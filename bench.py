@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+value = total wall-clock of the headline suite (sum of per-query times,
+after a warmup run of h06 to absorb JVM/session startup).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from flink_tpcds_spark.queries import all_queries  # noqa: E402
+from flink_tpcds_spark.session import get_spark  # noqa: E402
+
+# Headline set: spans scan-agg, multi-join, semi/anti, window, top-k.
+HEADLINE = [
+    "h01_pricing_summary",
+    "h03_shipping_priority",
+    "h05_local_supplier_volume",
+    "h06_forecast_revenue",
+    "h08_market_share",
+    "h09_product_profit",
+    "h13_customer_distribution",
+    "h18_large_volume_customer",
+    "h21_suppliers_waiting",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0  # unknown scale tag; the dir is still used as-is
+    spark = get_spark("bench")
+    qs = all_queries()
+
+    # Warmup: absorb JVM+codegen startup so per-query numbers are real.
+    qs["h06_forecast_revenue"](spark, sf_dir).collect()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, sf_dir).collect()
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,155 @@
+"""Explicit schema registry + table loading.
+
+The reference registers tables with explicit name/type arrays (trait
+``TpcDsSchema`` in TpcDsSchemaProvider.scala:36-48 — no runtime schema
+inference). We do the same: every table the engine operates on has a
+declared StructType, and loaders validate the on-disk parquet against
+it (names + a compatible type) instead of silently inferring.
+
+Two table families:
+
+- TPCH_TABLES  — the driver's TPC-H-ish star schema (TESTDATA.md),
+  which is a column-subset of the reference's TpcHSchemaProvider
+  schemas (FIXTURES.md §1).
+- AUX_TABLES   — events (stream table), documents + embeddings
+  (LLM-data-pipeline tables).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# Declared schemas (driver testdata layout — TESTDATA.md / FIXTURES.md)
+# ---------------------------------------------------------------------------
+
+TPCH_TABLES: dict[str, T.StructType] = {
+    "region": T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    ),
+    "nation": T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    ),
+    "customer": T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    ),
+    "supplier": T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_nationkey", T.IntegerType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    ),
+    "part": T.StructType(
+        [
+            T.StructField("p_partkey", T.LongType()),
+            T.StructField("p_name", T.StringType()),
+            T.StructField("p_brand", T.StringType()),
+            T.StructField("p_type", T.StringType()),
+            T.StructField("p_size", T.IntegerType()),
+            T.StructField("p_retailprice", T.DoubleType()),
+        ]
+    ),
+    "orders": T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    ),
+    "lineitem": T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+            T.StructField("l_suppkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+            T.StructField("l_discount", T.DoubleType()),
+            T.StructField("l_tax", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_linestatus", T.StringType()),
+            T.StructField("l_shipdate", T.TimestampType()),
+        ]
+    ),
+}
+
+AUX_TABLES: dict[str, T.StructType] = {
+    "events": T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    ),
+    "documents": T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    ),
+    "embeddings": T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    ),
+}
+
+ALL_TABLES: dict[str, T.StructType] = {**TPCH_TABLES, **AUX_TABLES}
+
+# Small dimensions that are always broadcast-join candidates at any fact
+# scale (the reference's broadcast-threshold decision, made static).
+BROADCASTABLE_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one declared table from ``{sf_dir}/{name}.parquet``.
+
+    The read path keeps Spark's vectorized parquet reader + pushdown:
+    we do NOT apply the declared schema with a projection/cast wrapper
+    unless it differs, so ``PushedFilters``/``ReadSchema`` reach the scan.
+    """
+    if name not in ALL_TABLES:
+        raise KeyError(f"undeclared table {name!r}; declared: {sorted(ALL_TABLES)}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    return spark.read.parquet(path)
+
+
+def register_tables(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> dict[str, DataFrame]:
+    """Load tables and register each as a temp view. Returns the dict."""
+    out: dict[str, DataFrame] = {}
+    for name in names or list(ALL_TABLES):
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,78 @@
+"""SparkSession factory tuned to the reference's benchmark posture.
+
+The reference enables join reorder + subplan reuse and uses blocking
+shuffle with parallelism 32 (TpcDsBatchExecITCase.scala:71-78,
+flink-conf-online.yaml). The Spark translation is pure configuration:
+AQE (runtime re-plan ≈ Blink's cost-based physical pass), CBO join
+reorder, a broadcast threshold (≈ TABLE_OPTIMIZER_BROADCAST_JOIN_THRESHOLD),
+and shuffle partitions sized to the cluster.
+
+Scale notes (the settings below are written for local[32] testing but
+each is annotated with its 100 TB-cluster counterpart):
+
+- ``spark.sql.shuffle.partitions``: locally 32; on a 1000-executor
+  cluster this should be 2-3x total cores (or left to AQE coalescing
+  with ``spark.sql.adaptive.coalescePartitions.initialPartitionNum``
+  set high, e.g. 8192) so that post-shuffle partitions stay in the
+  64-256 MB range.
+- ``spark.sql.autoBroadcastJoinThreshold``: dims like region/nation/
+  part/supplier stay broadcastable at any fact-table scale; 64 MB is a
+  safe executor-memory-bounded ceiling.
+- AQE skew-join handles the skewed keys that at 100 TB would otherwise
+  stall a single reducer; no manual salting needed for the query corpus.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# One knob per driver contract: local parallelism.
+_DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def session_builder(
+    app_name: str = "flink-tpcds-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession.Builder:
+    """Return a builder with the engine's tuned config applied."""
+    cpus = int(_DEFAULT_CPUS)
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # --- determinism / interop ---
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # --- adaptive execution: runtime re-plan, skew join, coalesce ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m"
+        )
+        # --- join strategy: broadcast threshold mirrors the reference's
+        #     TABLE_OPTIMIZER_BROADCAST_JOIN_THRESHOLD concept ---
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # --- shuffle sizing ---
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        # --- cost-based optimizer (join reorder ON, like the ITCase) ---
+        .config("spark.sql.cbo.enabled", "true")
+        .config("spark.sql.cbo.joinReorder.enabled", "true")
+        # --- local test friendliness ---
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.enableVectorizedReader", "true")
+    )
+    return builder
+
+
+def get_spark(app_name: str = "flink-tpcds-spark") -> SparkSession:
+    """Get-or-create the tuned session."""
+    spark = session_builder(app_name).getOrCreate()
+    return spark

@@ -1,0 +1,50 @@
+#!/usr/bin/env python
+"""Dev loop: run every queries() entry against its DuckDB oracle.
+
+Usage: python scripts/check_parity.py [sf_dir] [name_filter]
+"""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from flink_tpcds_spark.oracle import compare, duckdb_connection
+from flink_tpcds_spark.queries import all_oracles, all_queries
+from flink_tpcds_spark.session import get_spark
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    name_filter = sys.argv[2] if len(sys.argv) > 2 else ""
+    spark = get_spark("parity-check")
+    con = duckdb_connection(sf_dir)
+    queries, oracles = all_queries(), all_oracles()
+    failed = []
+    for name, fn in sorted(queries.items()):
+        if name_filter and name_filter not in name:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            if name not in oracles:
+                n = df.count()
+                print(f"  {name:36s} rows-only rows={n} ({time.time()-t0:.1f}s)")
+                continue
+            res = compare(name, df, con, oracles[name])
+            status = "OK " if res.ok else "FAIL"
+            print(
+                f"  {name:36s} {status} rows={res.spark_rows}/{res.oracle_rows} "
+                f"({time.time()-t0:.1f}s) {res.detail[:300]}"
+            )
+            if not res.ok:
+                failed.append(name)
+        except Exception as e:  # noqa: BLE001 — dev loop, show and continue
+            print(f"  {name:36s} ERROR {type(e).__name__}: {str(e)[:2000]}")
+            failed.append(name)
+    print(f"\n{len(failed)} failures: {failed}")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
