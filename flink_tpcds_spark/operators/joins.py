@@ -1,0 +1,134 @@
+"""Join operators Spark lacks as single primitives.
+
+- **As-of (temporal) join** — reference TemporalRowTimeJoinOperator.java:71
+  / StreamExecTemporalJoin.scala:51: join each left row to the version
+  of the right table valid at the row's time. Spark has no built-in
+  as-of join (SURVEY §2.3); we implement the *union + windowed
+  last-value fill* strategy: one shuffle + one sort, no row explosion,
+  scales linearly — the plan a 100 TB as-of join wants (vs. the naive
+  inequality join which is O(n·m) per key).
+- **Interval (time-bounded) join** — reference TimeBoundedStreamJoin.java:
+  equi-join + time-range predicate; Spark's SMJ handles this directly.
+- **Lookup join** — reference LookupJoinRunner.java: probe an external
+  keyed table. Batch analog: broadcast hash join against the fetched
+  dimension snapshot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_time: str = "ts",
+    right_time: str = "ts",
+    right_cols: list[str] | None = None,
+    tolerance_seconds: float | None = None,
+    prefix: str = "r_",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right.right_time <= left.left_time`` (backward as-of), per key.
+
+    Strategy: tag and union both sides, then a single
+    ``last(..., ignorenulls=True)`` window ordered by (time, side)
+    fills each left row with the most recent right payload. One
+    shuffle on the key, one sort — the same state-ordered scan the
+    reference's TemporalRowTimeJoinOperator performs with its sorted
+    right-state view.
+
+    If several right rows share (key, time), the one that sorts last
+    wins; pre-deduplicate with ``dedup_last`` for full determinism.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    right_cols = right_cols or [
+        c for c in right.columns if c not in keys and c != right_time
+    ]
+
+    l_tagged = left.withColumn("__side", F.lit(1)).withColumn(
+        "__t", F.col(left_time)
+    )
+    for c in right_cols:
+        l_tagged = l_tagged.withColumn(prefix + c, F.lit(None).cast(right.schema[c].dataType))
+    l_tagged = l_tagged.withColumn(
+        prefix + "__matched_t", F.lit(None).cast(right.schema[right_time].dataType)
+    )
+
+    r_tagged = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(prefix + c) for c in right_cols],
+        F.col(right_time).alias(prefix + "__matched_t"),
+    )
+    for c in left.columns:
+        if c not in keys and c not in r_tagged.columns:
+            r_tagged = r_tagged.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+
+    unioned = l_tagged.unionByName(r_tagged.select(*l_tagged.columns))
+
+    # right rows (__side=0) sort before left rows at equal time → the
+    # as-of bound is inclusive (right version at exactly left_time wins).
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__t"), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned
+    for c in [*[prefix + c for c in right_cols], prefix + "__matched_t"]:
+        filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
+
+    out = filled.filter(F.col("__side") == 1).drop("__side", "__t")
+    if tolerance_seconds is not None:
+        age = F.col(left_time).cast("double") - F.col(
+            prefix + "__matched_t"
+        ).cast("double")
+        keep = age <= F.lit(float(tolerance_seconds))
+        for c in right_cols:
+            out = out.withColumn(
+                prefix + c, F.when(keep, F.col(prefix + c))
+            )
+    return out.drop(prefix + "__matched_t")
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Column,
+    left_time: Column,
+    right_time: Column,
+    lower_seconds: float,
+    upper_seconds: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Join rows whose times satisfy
+    ``left_time + lower <= right_time <= left_time + upper``
+    (reference TimeBoundedStreamJoin semantics, batch form).
+
+    Expressed as equi-join + range predicate so Catalyst plans the
+    equi-part as a hash/SMJ join and evaluates the range as a join
+    filter — no cartesian blowup.
+    """
+    cond = (
+        on
+        & (right_time >= left_time + F.expr(f"INTERVAL {lower_seconds} SECONDS"))
+        & (right_time <= left_time + F.expr(f"INTERVAL {upper_seconds} SECONDS"))
+    )
+    return left.join(right, cond, how)
+
+
+def lookup_join(
+    stream: DataFrame,
+    lookup: DataFrame,
+    on: str | list[str] | Column,
+    how: str = "left",
+) -> DataFrame:
+    """Probe-side join against an external keyed snapshot: always
+    broadcast the lookup side (a point-lookup table is small by
+    contract), keeping the probe side shuffle-free — which is the
+    whole point of the reference's LookupJoin at scale."""
+    return stream.join(F.broadcast(lookup), on, how)

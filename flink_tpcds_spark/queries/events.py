@@ -1,4 +1,208 @@
-"""placeholder — filled in subsequent commits."""
+"""Event-time window analytics over the ``events`` table (batch form).
+
+Covers the reference's group-window operators (SURVEY §2.5 —
+BatchExecHashWindowAggregate, WindowOperator with tumbling/sliding/
+session assigners) using Spark's ``window()`` / ``session_window()``
+scalar expansion + normal aggregation. The streaming forms of the
+same pipelines live in ``streaming/windows.py``; these batch queries
+give them a DuckDB-checkable oracle.
+
+Alignment notes: Spark's ``window()`` buckets are epoch-aligned;
+DuckDB's ``time_bucket`` origin (2000-01-01) is a multiple of every
+bucket width used here, so the two agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.deterministic import dsum, dsum_sql
+from ..schemas import load_table
 
 QUERIES = {}
 ORACLES = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Tumbling window (reference TumblingWindowAssigner)
+# ---------------------------------------------------------------------------
+@_q(
+    "ev_tumbling_window",
+    f"""
+    SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start,
+           event_type,
+           COUNT(*) AS cnt,
+           {dsum_sql('value')} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def ev_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TUMBLE(ts, 15 min) per event_type."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum(e.value).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "cnt", "sum_value"
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding / hopping window (reference SlidingWindowAssigner, paned variant)
+# ---------------------------------------------------------------------------
+@_q(
+    "ev_sliding_window",
+    f"""
+    SELECT ws AS window_start, event_type, COUNT(*) AS cnt,
+           {dsum_sql('value')} AS sum_value
+    FROM (
+      SELECT time_bucket(INTERVAL '10 minutes', ts)
+               - k.k * INTERVAL '10 minutes' AS ws,
+             event_type, value
+      FROM events CROSS JOIN (VALUES (0), (1), (2)) AS k(k)
+    ) t
+    GROUP BY ws, event_type
+    ORDER BY ws, event_type
+    """,
+)
+def ev_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOP(ts, slide 10 min, size 30 min): each event lands in 3
+    windows — Spark's window() does the expansion (the reference's
+    paned SlidingWindowAssigner pre-aggregates panes; Spark's Expand +
+    partial agg achieves the same shuffle volume)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "30 minutes", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum(e.value).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "cnt", "sum_value"
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session window (reference SessionWindowAssigner.java:37)
+# ---------------------------------------------------------------------------
+@_q(
+    "ev_session_window",
+    f"""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           COUNT(*) AS cnt,
+           {dsum_sql('value')} AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_no
+    ORDER BY user_id, session_start
+    """,
+)
+def ev_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION(ts, gap 30 min) per user — session_window() merges rows
+    whose gaps are < 30 min; the oracle reconstructs sessions with the
+    classic gaps-and-islands window SQL."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum(e.value).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "cnt",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON access (FlinkSqlOperatorTable JSONVALUE → get_json_object)
+# ---------------------------------------------------------------------------
+@_q(
+    "ev_json_extract",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           COUNT(*) AS cnt
+    FROM events
+    GROUP BY 1
+    ORDER BY k NULLS FIRST
+    """,
+)
+def ev_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONVALUE(props, '$.k') histogram."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.get_json_object("props", "$.k").cast("int").alias("k")
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("k").asc_nulls_first())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-user behavior profile (conditional aggs + event-time min/max)
+# ---------------------------------------------------------------------------
+@_q(
+    "ev_user_profile",
+    f"""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_purchases,
+           {dsum_sql("CASE WHEN event_type = 'purchase' THEN value ELSE 0 END")}
+             AS purchase_value,
+           MIN(ts) AS first_seen,
+           MAX(ts) AS last_seen
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def ev_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    is_purchase = F.col("event_type") == "purchase"
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(is_purchase, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_purchases"),
+            dsum(F.when(is_purchase, F.col("value")).otherwise(0.0)).alias(
+                "purchase_value"
+            ),
+            F.min("ts").alias("first_seen"),
+            F.max("ts").alias("last_seen"),
+        )
+        .orderBy("user_id")
+    )

@@ -1,4 +1,523 @@
-"""placeholder — filled in subsequent commits."""
+"""Operator battery: one query per §2 operator family not already
+covered by the TPC-H suite, each with a DuckDB oracle.
+
+Covers: Expand (rollup/cube/grouping sets — SURVEY §2.2/§2.4),
+OVER-window frames + ranking (§2.6), top-n/dedup (§2.7), set ops
+(§2.8), Correlate/UNNEST (§2.2), Values (§2.1), scalar functions
+(§2.9), approximate distinct (§2.4), as-of + interval joins (§2.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.deterministic import dsum, dsum_sql
+from ..operators import asof_join, dedup_first, interval_join, top_n
+from ..schemas import load_table
 
 QUERIES = {}
 ORACLES = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Expand: ROLLUP / CUBE / GROUPING SETS (reference DecomposeGroupingSetsRule,
+# BatchExecExpand — SURVEY §2.2; used by TPC-DS q5,q14,q18,...)
+# ---------------------------------------------------------------------------
+@_q(
+    "ops_rollup",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+           CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
+           {dsum_sql('l_quantity')} AS sum_qty, COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def ops_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with grouping() markers → ExpandExec under the hood."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_rf"),
+            F.grouping("l_linestatus").cast("int").alias("g_ls"),
+            dsum(l.l_quantity).alias("sum_qty"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select("l_returnflag", "l_linestatus", "g_rf", "g_ls", "sum_qty", "cnt")
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@_q(
+    "ops_cube",
+    f"""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+           {dsum_sql('o_totalprice')} AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def ops_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dsum(o.o_totalprice).alias("sum_price"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+@_q(
+    "ops_grouping_sets",
+    f"""
+    SELECT l_returnflag, CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+           {dsum_sql('l_extendedprice')} AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (ship_year), ())
+    ORDER BY l_returnflag NULLS FIRST, ship_year NULLS FIRST
+    """,
+)
+def ops_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via SQL (DataFrame API has no direct
+    grouping-sets call; spark.sql is the idiomatic route)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    l.createOrReplaceTempView("ops_gs_lineitem")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, CAST(year(l_shipdate) AS INT) AS ship_year,
+               {_spark_dsum('l_extendedprice')} AS sum_price
+        FROM ops_gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (ship_year), ())
+        ORDER BY l_returnflag ASC NULLS FIRST, ship_year ASC NULLS FIRST
+        """
+    )
+
+
+def _spark_dsum(expr: str, scale: int = 6) -> str:
+    # Spark-SQL-side rendering of the decimal bridge (same as oracle's).
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(18,{scale}))) AS DOUBLE)"
+
+
+# ---------------------------------------------------------------------------
+# OVER windows: frames, offsets, ranking (reference BatchExecOverAggregate,
+# frame classes in runtime/operators/over/frame — SURVEY §2.6)
+# ---------------------------------------------------------------------------
+@_q(
+    "ops_window_frames",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
+                OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)))
+                OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                      ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+                AS DOUBLE) AS neighborhood_qty,
+           LAG(l_quantity, 1) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS prev_qty,
+           LEAD(l_quantity, 1) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS next_qty,
+           FIRST_VALUE(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_part,
+           CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS INTEGER) AS rn,
+           CAST(RANK() OVER (PARTITION BY l_orderkey ORDER BY l_returnflag, l_linenumber) AS INTEGER) AS rnk,
+           CAST(DENSE_RANK() OVER (PARTITION BY l_orderkey ORDER BY l_returnflag) AS INTEGER) AS drnk
+    FROM lineitem
+    WHERE l_orderkey % 100 = 0
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def ops_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full frame matrix (rows frames, offsets,
+    unbounded, ranking) in one plan — WindowExec with 3 window specs."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 100 == 0
+    )
+    by_line = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    running = by_line.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    neigh = by_line.rowsBetween(-1, 1)
+    full = by_line.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    by_flag = Window.partitionBy("l_orderkey").orderBy(
+        "l_returnflag", "l_linenumber"
+    )
+    by_flag_only = Window.partitionBy("l_orderkey").orderBy("l_returnflag")
+    return (
+        l.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.sum(l.l_extendedprice.cast("decimal(18,6)"))
+            .over(running)
+            .cast("double")
+            .alias("running_price"),
+            F.sum(l.l_quantity.cast("decimal(18,6)"))
+            .over(neigh)
+            .cast("double")
+            .alias("neighborhood_qty"),
+            F.lag("l_quantity", 1).over(by_line).alias("prev_qty"),
+            F.lead("l_quantity", 1).over(by_line).alias("next_qty"),
+            F.first("l_partkey").over(full).alias("first_part"),
+            F.row_number().over(by_line).cast("int").alias("rn"),
+            F.rank().over(by_flag).cast("int").alias("rnk"),
+            F.dense_rank().over(by_flag_only).cast("int").alias("drnk"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@_q(
+    "ops_topn_per_group",
+    """
+    SELECT n_name, c_custkey, c_acctbal, CAST(rn AS INTEGER) AS rn
+    FROM (
+      SELECT n_name, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY n_name
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ) t WHERE rn <= 3
+    ORDER BY n_name, rn
+    """,
+)
+def ops_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by balance per nation via the top_n operator
+    (WindowGroupLimit pushdown in Spark ≥3.5 = reference's TopNBuffer)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    return (
+        top_n(
+            joined,
+            ["n_name"],
+            [F.desc("c_acctbal"), F.asc("c_custkey")],
+            3,
+            rank_col="rn",
+        )
+        .select("n_name", "c_custkey", "c_acctbal", F.col("rn").cast("int").alias("rn"))
+        .orderBy("n_name", "rn")
+    )
+
+
+@_q(
+    "ops_dedup_keep_first",
+    """
+    SELECT user_id, event_id, event_type, value
+    FROM (
+      SELECT user_id, event_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ) t WHERE rn = 1
+    ORDER BY user_id, event_type
+    """,
+)
+def ops_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the first event per (user, type) — StreamExecDeduplicate's
+    keep-first semantics in batch form (dedup_first operator)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        dedup_first(e, ["user_id", "event_type"], [F.col("ts"), F.col("event_id")])
+        .select("user_id", "event_id", "event_type", "value")
+        .orderBy("user_id", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (reference ReplaceIntersectWithSemiJoinRule etc. — §2.8)
+# ---------------------------------------------------------------------------
+@_q(
+    "ops_set_operations",
+    """
+    WITH building AS (
+      SELECT DISTINCT c_custkey FROM customer
+      WHERE c_mktsegment = 'BUILDING'
+    ), big_spenders AS (
+      SELECT DISTINCT o_custkey AS c_custkey FROM orders
+      WHERE o_totalprice > 300000
+    )
+    SELECT 'intersect' AS op, COUNT(*) AS cnt
+    FROM (SELECT * FROM building INTERSECT SELECT * FROM big_spenders) a
+    UNION ALL
+    SELECT 'except' AS op, COUNT(*) AS cnt
+    FROM (SELECT * FROM building EXCEPT SELECT * FROM big_spenders) b
+    UNION ALL
+    SELECT 'union' AS op, COUNT(*) AS cnt
+    FROM (SELECT * FROM building UNION SELECT * FROM big_spenders) c
+    ORDER BY op
+    """,
+)
+def ops_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION — Catalyst rewrites the first two to
+    semi/anti joins exactly like the reference's rule set."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    building = (
+        c.filter(c.c_mktsegment == "BUILDING").select("c_custkey").distinct()
+    )
+    big = (
+        o.filter(o.o_totalprice > 300000)
+        .select(o.o_custkey.alias("c_custkey"))
+        .distinct()
+    )
+    counts = [
+        building.intersect(big).agg(
+            F.lit("intersect").alias("op"), F.count(F.lit(1)).alias("cnt")
+        ),
+        building.exceptAll(big).agg(
+            F.lit("except").alias("op"), F.count(F.lit(1)).alias("cnt")
+        ),
+        building.union(big).distinct().agg(
+            F.lit("union").alias("op"), F.count(F.lit(1)).alias("cnt")
+        ),
+    ]
+    out = counts[0]
+    for df in counts[1:]:
+        out = out.unionByName(df)
+    return out.orderBy("op")
+
+
+# ---------------------------------------------------------------------------
+# Correlate / UNNEST (reference BatchExecCorrelate, LogicalUnnestRule — §2.2)
+# ---------------------------------------------------------------------------
+@_q(
+    "ops_explode_words",
+    """
+    SELECT word, COUNT(*) AS cnt
+    FROM (
+      SELECT unnest(string_split(text, ' ')) AS word
+      FROM documents WHERE lang = 'en'
+    ) t
+    WHERE word <> ''
+    GROUP BY word
+    ORDER BY cnt DESC, word
+    LIMIT 20
+    """,
+)
+def ops_explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL/UNNEST: explode(split(text)) — word histogram top-20."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    return (
+        d.select(F.explode(F.split(F.col("text"), " ", -1)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Values (reference BatchExecValues / ValuesInputFormat — §2.1)
+# ---------------------------------------------------------------------------
+@_q(
+    "ops_values_join",
+    """
+    SELECT t.tier, COUNT(*) AS cnt
+    FROM customer
+    JOIN (VALUES ('BUILDING', 'core'), ('AUTOMOBILE', 'core'),
+                 ('MACHINERY', 'growth'), ('FURNITURE', 'growth'),
+                 ('HOUSEHOLD', 'other')) AS t(segment, tier)
+      ON c_mktsegment = t.segment
+    GROUP BY t.tier
+    ORDER BY t.tier
+    """,
+)
+def ops_values_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline VALUES relation joined to a table (LocalTableScanExec)."""
+    c = load_table(spark, sf_dir, "customer")
+    tiers = spark.createDataFrame(
+        [
+            ("BUILDING", "core"),
+            ("AUTOMOBILE", "core"),
+            ("MACHINERY", "growth"),
+            ("FURNITURE", "growth"),
+            ("HOUSEHOLD", "other"),
+        ],
+        ["segment", "tier"],
+    )
+    return (
+        c.join(F.broadcast(tiers), c.c_mktsegment == tiers.segment)
+        .groupBy("tier")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("tier")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function battery (FlinkSqlOperatorTable surface — §2.9)
+# ---------------------------------------------------------------------------
+@_q(
+    "ops_scalar_functions",
+    """
+    SELECT c_custkey,
+           upper(c_name) AS uname,
+           lower(c_mktsegment) AS lseg,
+           substr(c_name, 1, 8) AS name8,
+           length(c_name) AS name_len,
+           concat(c_name, '#', c_mktsegment) AS tagged,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+           replace(c_mktsegment, 'I', '!') AS repl,
+           reverse(c_mktsegment) AS rseg,
+           strpos(c_name, '_') AS uspos,
+           trim(concat(' ', c_name, ' ')) AS trimmed,
+           md5(c_name) AS name_md5,
+           round(c_acctbal, 1) AS bal_round,
+           abs(c_acctbal) AS bal_abs,
+           CAST(floor(c_acctbal) AS DOUBLE) AS bal_floor,
+           CAST(ceil(c_acctbal) AS DOUBLE) AS bal_ceil,
+           CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END AS bal_sign,
+           coalesce(NULL, c_mktsegment) AS seg2,
+           CAST(c_custkey % 7 AS BIGINT) AS mod7
+    FROM customer
+    WHERE c_custkey <= 200
+    ORDER BY c_custkey
+    """,
+)
+def ops_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One pass over the shared scalar-function surface (string, math,
+    conditional) — every expression stays in whole-stage codegen."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("uname"),
+        F.lower("c_mktsegment").alias("lseg"),
+        F.substring("c_name", 1, 8).alias("name8"),
+        F.length("c_name").alias("name_len"),
+        F.concat(F.col("c_name"), F.lit("#"), F.col("c_mktsegment")).alias("tagged"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded"),
+        F.regexp_replace(F.col("c_mktsegment"), "I", "!").alias("repl"),
+        F.reverse(F.col("c_mktsegment")).alias("rseg"),
+        F.instr(F.col("c_name"), "_").alias("uspos"),
+        F.trim(F.concat(F.lit(" "), F.col("c_name"), F.lit(" "))).alias("trimmed"),
+        F.md5(F.col("c_name").cast("binary")).alias("name_md5"),
+        F.round(F.col("c_acctbal"), 1).alias("bal_round"),
+        F.abs(F.col("c_acctbal")).alias("bal_abs"),
+        F.floor(F.col("c_acctbal")).cast("double").alias("bal_floor"),
+        F.ceil(F.col("c_acctbal")).cast("double").alias("bal_ceil"),
+        F.when(F.col("c_acctbal") < 0, "neg").otherwise("pos").alias("bal_sign"),
+        F.coalesce(F.lit(None), F.col("c_mktsegment")).alias("seg2"),
+        (F.col("c_custkey") % 7).cast("bigint").alias("mod7"),
+    ).orderBy("c_custkey")
+
+
+@_q("ops_approx_count_distinct")  # no oracle: approximate by design
+def ops_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate (reference
+    ApproximateCountDistinctAggFunction / HyperLogLogPlusPlus.java —
+    Spark ships the same algorithm as approx_count_distinct)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey", 0.01).alias("approx_supps"),
+        F.count_distinct(F.col("l_partkey")).alias("exact_parts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of (temporal) join + interval join (§2.3 — custom operators)
+# ---------------------------------------------------------------------------
+@_q(
+    "ops_asof_join",
+    """
+    SELECT e.event_id, e.user_id, e.ts, e.value, s.r_value, s.r_event_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') e
+    ASOF LEFT JOIN (
+        SELECT user_id, ts, value AS r_value, event_id AS r_event_id
+        FROM events WHERE event_type = 'login'
+    ) s ON e.user_id = s.user_id AND s.ts <= e.ts
+    ORDER BY e.event_id
+    """,
+)
+def ops_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal as-of join: each purchase joined to the user's latest
+    login at-or-before it (reference TemporalRowTimeJoinOperator —
+    SURVEY §2.3 'no built-in as-of join in Spark'). DuckDB's native
+    ASOF JOIN is the oracle for our union+window implementation."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    logins = e.filter(F.col("event_type") == "login").select(
+        "user_id",
+        "ts",
+        F.col("value").alias("value2"),
+        F.col("event_id").alias("event_id2"),
+    )
+    return (
+        asof_join(
+            purchases,
+            logins,
+            on="user_id",
+            left_time="ts",
+            right_time="ts",
+            right_cols=["value2", "event_id2"],
+            prefix="r_",
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "value",
+            F.col("r_value2").alias("r_value"),
+            F.col("r_event_id2").alias("r_event_id"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@_q(
+    "ops_interval_join",
+    """
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id, a.user_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') a
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts
+     AND b.ts <= a.ts + INTERVAL 10 MINUTE
+    ORDER BY click_id, purchase_id
+    """,
+)
+def ops_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: purchases within 10 minutes after a click
+    (reference RowTimeBoundedStreamJoin, batch semantics)."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").alias("a")
+    purchases = e.filter(F.col("event_type") == "purchase").alias("b")
+    return (
+        interval_join(
+            clicks,
+            purchases,
+            on=F.col("a.user_id") == F.col("b.user_id"),
+            left_time=F.col("a.ts"),
+            right_time=F.col("b.ts"),
+            lower_seconds=0,
+            upper_seconds=600,
+        )
+        .select(
+            F.col("a.event_id").alias("click_id"),
+            F.col("b.event_id").alias("purchase_id"),
+            F.col("a.user_id").alias("user_id"),
+        )
+        .orderBy("click_id", "purchase_id")
+    )

@@ -20,6 +20,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # ---------------------------------------------------------------------------
@@ -140,6 +141,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in ALL_TABLES:
         raise KeyError(f"undeclared table {name!r}; declared: {sorted(ALL_TABLES)}")
     path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects
+        # outright (PARQUET_TYPE_ILLEGAL). Read nanos as long, then
+        # truncate to microseconds with *integer* division (ns values
+        # exceed 2^53, so float division would lose precision). The
+        # truncation matches DuckDB's ns→µs cast, keeping oracle parity.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
     return spark.read.parquet(path)
 
 
