@@ -1,0 +1,239 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the whole point of these ops is 100 TB corpora):
+
+- **exact**: hash → groupBy hash → keep min id. One shuffle on a
+  16-byte key; dedup state never materializes the texts twice.
+- **MinHash+LSH**: per-doc signature (map-side, no shuffle) →
+  explode to (band, band_hash) keys → self-join on band buckets →
+  exact-Jaccard verify on the candidates only. Shuffle volume is
+  O(docs × bands), never O(docs²); the verify join touches only
+  LSH-colliding pairs. This is the standard web-scale near-dedup
+  topology (cf. Broder '97 resemblance + banding analysis in MMDS).
+- **SimHash**: 64-bit fingerprint via per-token hash bit-votes —
+  pure map + one groupBy; candidates by fingerprint band equality.
+
+Parameters b=16 bands × r=4 rows (64 hashes): detection probability
+at Jaccard s is 1-(1-s⁴)¹⁶ — ≈0.9998 at s=0.8, ≈1-4e-8 at s=0.9 —
+against the exact-Jaccard oracle this is exhaustive for true
+near-duplicates.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+N_HASHES = 64
+N_BANDS = 16
+ROWS_PER_BAND = N_HASHES // N_BANDS
+
+# Deterministic Carter-Wegman universal-hash permutations over the
+# base xxhash64, in the 31-bit Mersenne-prime field: products stay
+# < 2^62, so the arithmetic never overflows a long — required because
+# Spark 4 runs ANSI mode by default (overflow is an error, and the
+# driver runs our queries under ITS session, not ours).
+_MERSENNE = (1 << 31) - 1
+_rng = random.Random(0x5EED)
+_PERM_A = [_rng.randrange(1, _MERSENNE) for _ in range(N_HASHES)]
+_PERM_B = [_rng.randrange(0, _MERSENNE) for _ in range(N_HASHES)]
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """Distinct k-gram word shingles of the token stream."""
+    t = tokens(col)
+    idx = F.sequence(F.lit(1), F.size(t) - (k - 1))
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, i + off) for off in range(k)]
+        ),
+    )
+    return F.array_distinct(gram)
+
+
+def exact_dedup_stats(df: DataFrame, text_col: str = "text", by: str = "source") -> DataFrame:
+    """Exact duplicate accounting per group: docs, distinct texts
+    (by md5), duplicate count."""
+    h = F.md5(F.col(text_col).cast("binary"))
+    return (
+        df.withColumn("__h", h)
+        .groupBy(by)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct(F.col("__h")).alias("n_distinct"),
+            (F.count(F.lit(1)) - F.count_distinct(F.col("__h"))).alias("n_dups"),
+        )
+    )
+
+
+def minhash_signature(shingle_col: Column) -> Column:
+    """64-element MinHash signature: min over shingles of
+    ``a_i * xxhash64(shingle) + b_i`` (wrapping 64-bit)."""
+    base = F.transform(
+        shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE))
+    )
+
+    def perm(a: int, b: int):
+        # closure (NOT default-arg capture: PySpark HOFs introspect the
+        # lambda arity, and default args read as extra positionals)
+        return lambda h: F.pmod(
+            h * F.lit(a).cast("long") + F.lit(b).cast("long"),
+            F.lit(_MERSENNE),
+        )
+
+    return F.array(
+        *[
+            F.array_min(F.transform(base, perm(a, b)))
+            for a, b in zip(_PERM_A, _PERM_B)
+        ]
+    )
+
+
+def _band_keys(sig_col: Column) -> Column:
+    """Array of (band_id, band_hash) structs — one per LSH band."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.xxhash64(
+                    *[
+                        F.element_at(sig_col, band * ROWS_PER_BAND + r + 1)
+                        for r in range(ROWS_PER_BAND)
+                    ]
+                ).alias("bucket"),
+            )
+            for band in range(N_BANDS)
+        ]
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact set Jaccard of two shingle arrays (int/int division —
+    bit-deterministic across engines)."""
+    return F.size(F.array_intersect(a, b)) / F.size(F.array_union(a, b))
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    min_tokens: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, exact jaccard ≥ threshold)
+    via MinHash-LSH candidate generation + exact verification.
+
+    Returns columns: ``id_a, id_b, jaccard``.
+    """
+    sh_table = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+        .filter(F.size(tokens(F.col("t"))) >= min_tokens)
+        .withColumn("sh", shingles(F.col("t")))
+        .filter(F.size("sh") >= 1)
+        .select("id", "sh")
+    )
+    # bands table carries only (band, bucket, id) — the signature and
+    # shingle arrays do NOT ride through the 16× band explosion.
+    bands = (
+        sh_table.withColumn("sig", minhash_signature(F.col("sh")))
+        .select("id", F.explode(_band_keys(F.col("sig"))).alias("bk"))
+        .select(
+            "id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket")
+        )
+    )
+    candidates = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "bucket"])
+        .select(
+            F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b")
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+    verified = (
+        candidates.join(
+            sh_table.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sh_table.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
+            "id_b",
+        )
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+    )
+    return verified.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+def ngram_jaccard_pairs_exact(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str = "lang",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard dedup with blocking: compare only pairs in
+    the same block whose shingle-set sizes are within the ratio bound
+    implied by the threshold (|A|/|B| ∈ [t, 1/t] is *necessary* for
+    J ≥ t, so the blocking is lossless)."""
+    base = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(block_col).alias("blk"),
+            shingles(F.col(text_col)).alias("sh"),
+        )
+        .filter(F.size("sh") >= 1)
+        .withColumn("n", F.size("sh"))
+    )
+    a = base.select(
+        F.col("blk"), F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n").alias("n_a")
+    )
+    b = base.select(
+        F.col("blk"), F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("n").alias("n_b")
+    )
+    pairs = a.join(b, "blk").filter(
+        (F.col("id_a") < F.col("id_b"))
+        & (F.col("n_a") * F.lit(1.0) >= F.col("n_b") * F.lit(threshold))
+        & (F.col("n_b") * F.lit(1.0) >= F.col("n_a") * F.lit(threshold))
+    )
+    return (
+        pairs.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash per document: per-token xxhash64, each bit votes
+    ±1, fingerprint bit = sign of the vote sum. Pure map-side +
+    explode/groupBy — linear at any corpus size."""
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = exploded.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), bit).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"v{bit}")
+            for bit in range(64)
+        ]
+    )
+    fp = None
+    for bit in range(64):
+        # bit 63: use Long.MIN_VALUE (adding it sets the sign bit via
+        # two's-complement wrap; 1<<63 itself does not fit in a long).
+        val = (1 << bit) if bit < 63 else -(1 << 63)
+        contrib = F.when(F.col(f"v{bit}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ) * F.lit(val).cast("long")
+        fp = contrib if fp is None else fp + contrib
+    return votes.select(F.col("id").alias(id_col), fp.alias("simhash"))

@@ -1,0 +1,134 @@
+"""Text analysis operators: tokenization, quality, language-ID,
+fingerprinting.
+
+All expressions are JVM-side (regexp/length/hash built-ins) so they
+run inside whole-stage codegen — at 100 TB these are pure map-side
+operators with zero shuffle.
+
+Tokenization contract (shared with the DuckDB oracles):
+``TOKEN_RE`` extracts lowercase alphanumeric runs; both engines use
+RE2-compatible syntax so the token streams are identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_RE = "[a-z0-9]+"
+WORD_RE = r"\p{L}[\p{L}\p{N}]*"  # unicode-aware (language-ID, counting)
+
+# Tiny per-language stopword profiles for the rule-based language-ID
+# heuristic (reference has no langid; this is the LLM-pipeline op).
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "es": ["el", "la", "de", "que", "los"],
+    "fr": ["le", "la", "les", "et", "des"],
+}
+
+
+def tokens(col: Column) -> Column:
+    """Lowercase alphanumeric tokens (deterministic, oracle-shared)."""
+    return F.regexp_extract_all(F.lower(col), F.lit(TOKEN_RE), 0)
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace/regex token counting + a BPE-ish subword estimate
+    (≈ chars/4 like common BPE vocabularies average)."""
+    t = tokens(F.col(text_col))
+    return df.withColumns(
+        {
+            "n_tokens": F.size(t).cast("bigint"),
+            "n_words": F.size(
+                F.regexp_extract_all(F.col(text_col), F.lit(WORD_RE), 0)
+            ).cast("bigint"),
+            "n_chars_m": F.length(text_col).cast("bigint"),
+            "approx_bpe_tokens": F.ceil(F.length(text_col) / 4).cast("bigint"),
+        }
+    )
+
+
+def add_quality_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring features: length, word shape, punctuation and
+    digit ratios, stopword ratio; plus an ``is_quality`` gate in the
+    style of Gopher/C4 rules (bounds tuned loosely)."""
+    t = tokens(F.col(text_col))
+    n_tok = F.size(t)
+    text_len = F.length(F.col(text_col))
+    punct = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(r"[\.,;:!\?]"), 0)
+    )
+    digits = F.size(F.regexp_extract_all(F.col(text_col), F.lit("[0-9]"), 0))
+    stop_hits = F.size(
+        F.filter(t, lambda w: w.isin(*LANG_PROFILES["en"]))
+    )
+    avg_tok_len = F.when(
+        n_tok > 0,
+        F.aggregate(
+            F.transform(t, F.length), F.lit(0).cast("bigint"), lambda a, x: a + x
+        )
+        / n_tok,
+    )
+    out = df.withColumns(
+        {
+            "q_n_tokens": n_tok.cast("bigint"),
+            "q_avg_token_len": avg_tok_len.cast("double"),
+            "q_punct_ratio": (punct / F.greatest(text_len, F.lit(1))).cast("double"),
+            "q_digit_ratio": (digits / F.greatest(text_len, F.lit(1))).cast("double"),
+            "q_stopword_ratio": (
+                stop_hits / F.greatest(n_tok, F.lit(1))
+            ).cast("double"),
+        }
+    )
+    return out.withColumn(
+        "is_quality",
+        (F.col("q_n_tokens") >= 10)
+        & (F.col("q_avg_token_len") >= 2.0)
+        & (F.col("q_avg_token_len") <= 12.0)
+        & (F.col("q_digit_ratio") <= 0.3),
+    )
+
+
+def langid(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Rule-based language ID: score = stopword hits per profile,
+    predict the argmax (ties → lexicographic language order, 'und' if
+    no hits). Deterministic and SQL-expressible for the oracle."""
+    t = tokens(F.col(text_col))
+
+    def stopword_hits(sw: list[str]):
+        # closure, not default-arg capture (HOF arity introspection)
+        return F.size(F.filter(t, lambda w: w.isin(*sw)))
+
+    scores = {lang: stopword_hits(sw) for lang, sw in LANG_PROFILES.items()}
+    pred = F.lit("und")
+    best = F.lit(0)
+    # iterate in reverse-lexicographic order so that on ties the
+    # lexicographically FIRST language wins (matches oracle SQL).
+    for lang in sorted(scores, reverse=True):
+        s = scores[lang]
+        pred = F.when(s >= F.greatest(best, F.lit(1)), F.lit(lang)).otherwise(pred)
+        best = F.greatest(best, s)
+    out = df
+    for lang, s in scores.items():
+        out = out.withColumn(f"score_{lang}", s.cast("bigint"))
+    return out.withColumn("pred_lang", pred)
+
+
+def md5_fingerprint(col: Column, prefix_len: int = 16) -> Column:
+    """Document fingerprint: first ``prefix_len`` hex chars of md5 over
+    the normalized token stream (whitespace/punct-insensitive)."""
+    normalized = F.array_join(tokens(col), " ")
+    return F.substring(F.md5(normalized.cast("binary")), 1, prefix_len)
+
+
+def rolling_fingerprint(col: Column, mod: int = (1 << 61) - 1) -> Column:
+    """Polynomial rolling hash over the token stream:
+    ``acc = acc * 1000003 + xxhash64(token)  (wrapping int64)``.
+    Spark-side only (uses xxhash64); oracle-checked via the md5 variant.
+    """
+    return F.aggregate(
+        tokens(col),
+        F.lit(0).cast("long"),
+        lambda acc, tok: acc * F.lit(1000003).cast("long") + F.xxhash64(tok),
+    )

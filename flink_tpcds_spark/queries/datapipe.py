@@ -1,4 +1,329 @@
-"""placeholder — filled in subsequent commits."""
+"""LLM-data-pipeline queries over ``documents`` / ``embeddings``.
+
+Each entry exercises one datapipe operator end-to-end with a DuckDB
+oracle where the semantics are SQL-expressible:
+
+- minhash near-dup: oracle = EXACT all-pairs Jaccard (with the
+  lossless size-ratio block) — the LSH pipeline must reproduce the
+  exact result because its banding (b=16, r=4) has ≈1 recall at the
+  observed duplicate similarities (≥0.95).
+- ANN (LSH) and SimHash are hash-topology-dependent → rows-only here,
+  recall-tested against the exact variants in tests/test_datapipe.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..datapipe.dedup import (
+    exact_dedup_stats,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs_exact,
+    simhash_fingerprints,
+)
+from ..datapipe.multimodal import extract_binary_metadata, to_binary_table
+from ..datapipe.similarity import knn_bruteforce, knn_lsh
+from ..datapipe.text import (
+    add_quality_columns,
+    langid,
+    md5_fingerprint,
+    token_stats,
+)
+from ..schemas import load_table
 
 QUERIES = {}
 ORACLES = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# Shared oracle fragments (tokenization contract = datapipe.text).
+_TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+_SH_CTE = f"""
+    sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, len(toks) - 1)]) AS shingles,
+             lang
+      FROM (SELECT doc_id, lang, {_TOKS} AS toks FROM documents)
+      WHERE len(toks) >= 3
+    )
+"""
+_JACCARD = (
+    "len(list_intersect(a.shingles, b.shingles)) * 1.0"
+    " / len(list_distinct(list_concat(a.shingles, b.shingles)))"
+)
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+@_q(
+    "dp_dedup_exact",
+    """
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(text)) AS n_distinct,
+           CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_dups
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def dp_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (hash) dedup accounting per source."""
+    d = load_table(spark, sf_dir, "documents")
+    return exact_dedup_stats(d).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-duplicate detection (oracle = exact Jaccard)
+# ---------------------------------------------------------------------------
+@_q(
+    "dp_neardup_minhash",
+    f"""
+    WITH {_SH_CTE}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, {_JACCARD} AS jaccard
+    FROM sh a JOIN sh b
+      ON a.doc_id < b.doc_id
+     AND len(a.shingles) * 1.0 >= len(b.shingles) * 0.8
+     AND len(b.shingles) * 1.0 >= len(a.shingles) * 0.8
+    WHERE {_JACCARD} >= 0.8
+    ORDER BY id_a, id_b
+    """,
+)
+def dp_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + LSH(16×4) candidates, exact-Jaccard verified at
+    0.8 — must equal the oracle's exhaustive exact pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(d, threshold=0.8).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Exact blocked n-gram Jaccard (quadratic within block — the oracle-
+# grade exact algorithm, itself oracle-checked)
+# ---------------------------------------------------------------------------
+@_q(
+    "dp_ngram_jaccard",
+    f"""
+    WITH {_SH_CTE}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, {_JACCARD} AS jaccard
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang
+     AND a.doc_id < b.doc_id
+     AND len(a.shingles) * 1.0 >= len(b.shingles) * 0.8
+     AND len(b.shingles) * 1.0 >= len(a.shingles) * 0.8
+    WHERE {_JACCARD} >= 0.8
+    ORDER BY id_a, id_b
+    """,
+)
+def dp_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs, blocked by lang + size ratio."""
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs_exact(d, block_col="lang", threshold=0.8).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@_q("dp_simhash")  # hash-topology output → rows-only check
+def dp_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints (near-dup candidates by band
+    equality are tested in tests/test_datapipe.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_fingerprints(d).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+@_q(
+    "dp_knn_cosine",
+    """
+    WITH q AS (
+      SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+      FROM embeddings WHERE vec_id % 20 = 0
+    ), c AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings
+    ), s AS (
+      SELECT qid, cid, ROUND(list_cosine_similarity(qe, ce), 4) AS cos4
+      FROM q JOIN c ON cid <> qid
+    ), r AS (
+      SELECT qid, cid, cos4,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos4 DESC, cid) AS rn
+      FROM s
+    )
+    SELECT qid AS query_id, cid AS neighbor_id, cos4, CAST(rn AS INTEGER) AS rn
+    FROM r WHERE rn <= 10
+    ORDER BY query_id, rn
+    """,
+)
+def dp_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for every 20th vector; ranked on
+    4-digit-rounded similarity so ranking ties are engine-stable."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return knn_bruteforce(e, F.col("vec_id") % 20 == 0, k=10).orderBy(
+        "query_id", "rn"
+    )
+
+
+@_q("dp_knn_lsh")  # approximate by design → rows-only check
+def dp_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (8 hyperplanes): the 100 TB-scale path; recall
+    vs brute force asserted in tests."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return knn_lsh(e, F.col("vec_id") % 20 == 0, k=10).orderBy("query_id", "rn")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+@_q(
+    "dp_text_quality",
+    """
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS q_n_tokens,
+           CASE WHEN len(toks) > 0 THEN
+             CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+               / len(toks) END AS q_avg_token_len,
+           CAST(len(regexp_extract_all(text, '[\\.,;:!\\?]')) AS DOUBLE)
+             / greatest(length(text), 1) AS q_punct_ratio,
+           CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+             / greatest(length(text), 1) AS q_digit_ratio,
+           CAST(len(list_filter(toks, t -> t IN ('the','and','of','to','a'))) AS DOUBLE)
+             / greatest(len(toks), 1) AS q_stopword_ratio
+    FROM (SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+          FROM documents)
+    ORDER BY doc_id
+    """,
+)
+def dp_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring features (is_quality gate itself is tested in
+    pytest; the oracle checks the numeric features)."""
+    d = load_table(spark, sf_dir, "documents")
+    return add_quality_columns(d).select(
+        "doc_id",
+        "q_n_tokens",
+        "q_avg_token_len",
+        "q_punct_ratio",
+        "q_digit_ratio",
+        "q_stopword_ratio",
+    ).orderBy("doc_id")
+
+
+@_q(
+    "dp_langid",
+    """
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(list_filter(toks, t -> t IN ('the','and','of','to','a'))) AS s_en,
+             len(list_filter(toks, t -> t IN ('der','die','und','das','ist'))) AS s_de,
+             len(list_filter(toks, t -> t IN ('el','la','de','que','los'))) AS s_es,
+             len(list_filter(toks, t -> t IN ('le','la','les','et','des'))) AS s_fr
+      FROM (SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+            FROM documents)
+    )
+    SELECT lang, pred_lang, COUNT(*) AS cnt
+    FROM (
+      SELECT lang,
+             CASE WHEN greatest(s_de, s_en, s_es, s_fr) < 1 THEN 'und'
+                  WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                  WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                  WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                  ELSE 'fr' END AS pred_lang
+      FROM scored
+    ) p
+    GROUP BY lang, pred_lang
+    ORDER BY lang, pred_lang
+    """,
+)
+def dp_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based language-ID confusion matrix vs the labeled lang."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        langid(d)
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+@_q(
+    "dp_token_stats",
+    """
+    SELECT source,
+           CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT)
+             AS total_tokens,
+           CAST(SUM(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT)
+             AS total_bpe_est,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def dp_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per source (whitespace/regex tokens +
+    BPE-ish estimate)."""
+    d = token_stats(load_table(spark, sf_dir, "documents"))
+    return (
+        d.groupBy("source")
+        .agg(
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum("approx_bpe_tokens").cast("bigint").alias("total_bpe_est"),
+            F.sum("n_chars_m").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+@_q(
+    "dp_fingerprint",
+    """
+    SELECT doc_id,
+           substring(md5(array_to_string(
+             regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')), 1, 16)
+             AS fingerprint
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def dp_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized document fingerprint (md5 over the token stream —
+    whitespace/punctuation-insensitive)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", md5_fingerprint(F.col("text")).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (Arrow-batched mapInPandas; codec stubbed)
+# ---------------------------------------------------------------------------
+@_q(
+    "dp_multimodal_meta",
+    """
+    SELECT doc_id, 'text/plain' AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def dp_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline: encode → mapInPandas metadata extract.
+    The oracle validates byte counts produced INSIDE the pandas stage
+    (crc32 is additionally asserted in tests)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        extract_binary_metadata(to_binary_table(d))
+        .select("doc_id", "media_type", "n_bytes")
+        .orderBy("doc_id")
+    )

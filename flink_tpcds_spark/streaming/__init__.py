@@ -1,0 +1,17 @@
+from .source import event_stream
+from .windows import (
+    sliding_window_counts,
+    session_window_agg,
+    streaming_dedup,
+    streaming_interval_join,
+    tumbling_window_agg,
+)
+
+__all__ = [
+    "event_stream",
+    "tumbling_window_agg",
+    "sliding_window_counts",
+    "session_window_agg",
+    "streaming_dedup",
+    "streaming_interval_join",
+]

