@@ -20,7 +20,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from flink_tpcds_spark.queries import all_queries  # noqa: E402
 from flink_tpcds_spark.session import get_spark  # noqa: E402
 
-# Headline set: spans scan-agg, multi-join, semi/anti, window, top-k.
+# Headline set: spans scan-agg, multi-join, semi/anti, window frames,
+# top-k, event-time windows, and the LLM-pipeline ops (dedup + ANN).
 HEADLINE = [
     "h01_pricing_summary",
     "h03_shipping_priority",
@@ -31,6 +32,11 @@ HEADLINE = [
     "h13_customer_distribution",
     "h18_large_volume_customer",
     "h21_suppliers_waiting",
+    "ops_window_frames",
+    "ev_session_window",
+    "dp_neardup_minhash",
+    "dp_knn_cosine",
+    "dp_text_quality",
 ]
 
 
@@ -43,8 +49,10 @@ def main() -> None:
     spark = get_spark("bench")
     qs = all_queries()
 
-    # Warmup: absorb JVM+codegen startup so per-query numbers are real.
+    # Warmup: absorb JVM/codegen startup AND Python-worker spin-up
+    # (pandas UDF paths) so per-query numbers reflect steady state.
     qs["h06_forecast_revenue"](spark, sf_dir).collect()
+    qs["dp_neardup_minhash"](spark, "/root/testdata/sf0.01").collect()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

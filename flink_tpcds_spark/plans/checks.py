@@ -1,0 +1,68 @@
+"""Physical-plan introspection: the engine's translation of the
+reference's golden-plan tests (SURVEY §5 — 139 checked-in plan XMLs
+asserting optimizer behavior).
+
+Instead of snapshotting full plans (brittle across Spark versions),
+we assert the *properties that matter at 100 TB*:
+
+- filters reached the parquet scan (``PushedFilters`` non-empty)
+- scans read only the needed columns (``ReadSchema`` projection)
+- small dims joined via broadcast, not shuffle
+- operator pipelines run inside WholeStageCodegen
+
+tests/test_plans.py applies these to the query corpus.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def explain_text(df: DataFrame) -> str:
+    """The formatted physical plan as a string."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """All PushedFilters lists appearing in the plan's scans."""
+    text = explain_text(df)
+    return re.findall(r"PushedFilters: \[([^\]]*)\]", text)
+
+
+def has_pushed_filters(df: DataFrame, needle: str | None = None) -> bool:
+    """True if any scan carries pushed filters (optionally matching
+    ``needle``, e.g. a column name)."""
+    found = [f for f in pushed_filters(df) if f.strip()]
+    if needle is None:
+        return bool(found)
+    return any(needle in f for f in found)
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in explain_text(df) or "BroadcastNestedLoopJoin" in explain_text(df)
+
+
+def scan_read_columns(df: DataFrame) -> list[list[str]]:
+    """Column lists from each scan's ReadSchema — to assert pruning."""
+    text = explain_text(df)
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", text)
+    return [
+        [c.split(":")[0].strip() for c in s.split(",") if c.strip()]
+        for s in schemas
+    ]
+
+
+def whole_stage_codegen_ops(df: DataFrame) -> int:
+    """Number of distinct WholeStageCodegen spans in the EXECUTED plan.
+
+    Under AQE the codegen stages exist only after execution, so this
+    triggers the query (use on test-scale data) and reads the final
+    adaptive plan's ``*(n)`` markers.
+    """
+    df.collect()  # count() would execute a DIFFERENT QueryExecution
+    text = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    return len(set(re.findall(r"\*\((\d+)\)", text)))

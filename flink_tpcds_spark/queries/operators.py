@@ -521,3 +521,67 @@ def ops_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("click_id", "purchase_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# UDAF / UDTAGG surface (§2.11, §2.4 GroupTableAggregate)
+# ---------------------------------------------------------------------------
+@_q(
+    "ops_group_table_agg",
+    """
+    SELECT event_id, user_id, value
+    FROM (
+      SELECT event_id, user_id, value,
+             AVG(value) OVER (PARTITION BY user_id) AS m
+      FROM events WHERE event_type = 'purchase'
+    ) t
+    WHERE value > m
+    ORDER BY event_id
+    """,
+)
+def ops_group_table_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table aggregate (UDTAGG): emit each user's above-mean purchases
+    via groupBy().applyInPandas — reference GroupTableAggFunction.
+
+    Tie-safety: a comparison `value > mean` flips between engines only
+    if value sits within float-ulp of the group mean, which requires a
+    single-row group (excluded identically: x > x is false) — so the
+    pandas path and the SQL window oracle agree exactly.
+    """
+    from ..operators.table_agg import emit_above_group_mean
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    return (
+        emit_above_group_mean(e, ["user_id"], "value")
+        .select("event_id", "user_id", "value")
+        .orderBy("event_id")
+    )
+
+
+@_q(
+    "ops_pandas_udaf",
+    """
+    SELECT event_type,
+           ROUND(SUM(value * (epoch(ts) % 100)) / SUM(epoch(ts) % 100), 6)
+             AS wmean
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def ops_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF (GROUPED_AGG pandas UDF): time-weighted mean value
+    per event type — reference AggregateFunction-with-accumulator."""
+    from ..operators.table_agg import weighted_mean_udaf
+
+    wm = weighted_mean_udaf()
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "w", (F.col("ts").cast("double") % 100)
+    )
+    return (
+        e.groupBy("event_type")
+        .agg(wm(F.col("value"), F.col("w")).alias("wmean"))
+        .orderBy("event_type")
+    )

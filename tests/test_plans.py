@@ -1,0 +1,80 @@
+"""Plan-property tests (translation of the reference's golden-plan
+suite): pushdown, pruning, broadcast choice, codegen coverage on the
+actual query corpus. These are the properties that decide whether a
+plan survives a 100× scale-up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_tpcds_spark.plans import (
+    explain_text,
+    has_broadcast_join,
+    has_pushed_filters,
+    scan_read_columns,
+    whole_stage_codegen_ops,
+)
+from flink_tpcds_spark.queries.tpch import QUERIES
+from flink_tpcds_spark.schemas import load_table
+
+
+def test_h06_filters_reach_scan(spark, sf_dir):
+    df = QUERIES["h06_forecast_revenue"](spark, sf_dir)
+    # all four predicates must be pushed into the parquet scan
+    assert has_pushed_filters(df, "l_shipdate")
+    assert has_pushed_filters(df, "l_discount")
+    assert has_pushed_filters(df, "l_quantity")
+
+
+def test_h06_column_pruning(spark, sf_dir):
+    df = QUERIES["h06_forecast_revenue"](spark, sf_dir)
+    for cols in scan_read_columns(df):
+        # a 4-predicate 2-column aggregate must not read all 11 columns
+        assert len(cols) <= 4, f"scan reads too many columns: {cols}"
+
+
+def test_h03_broadcasts_dimension(spark, sf_dir):
+    df = QUERIES["h03_shipping_priority"](spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert has_pushed_filters(df, "c_mktsegment")
+
+
+def test_h05_join_pipeline_codegen(spark, sf_dir):
+    df = QUERIES["h05_local_supplier_volume"](spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert whole_stage_codegen_ops(df) >= 1
+
+
+def test_projection_pruning_simple(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem")
+    df = l.select("l_orderkey", "l_quantity")
+    cols = scan_read_columns(df)
+    assert cols and all(set(c) <= {"l_orderkey", "l_quantity"} for c in cols)
+
+
+def test_semi_join_planned_for_exists(spark, sf_dir):
+    df = QUERIES["h04_order_priority"](spark, sf_dir)
+    text = explain_text(df)
+    assert "LeftSemi" in text
+
+
+def test_anti_join_planned_for_not_exists(spark, sf_dir):
+    df = QUERIES["h21_suppliers_waiting"](spark, sf_dir)
+    text = explain_text(df)
+    assert "LeftAnti" in text
+
+
+def test_topn_uses_take_ordered(spark, sf_dir):
+    df = QUERIES["h03_shipping_priority"](spark, sf_dir)
+    assert "TakeOrderedAndProject" in explain_text(df)
+
+
+def test_window_group_limit_pushdown(spark, sf_dir):
+    """Spark ≥3.5 plans rank-filter as WindowGroupLimit — the
+    reference's TopNBuffer behavior (SURVEY §2.7)."""
+    from flink_tpcds_spark.operators import top_n
+
+    c = load_table(spark, sf_dir, "customer")
+    df = top_n(c, ["c_mktsegment"], [F.desc("c_acctbal"), F.asc("c_custkey")], 3)
+    assert "WindowGroupLimit" in explain_text(df)
