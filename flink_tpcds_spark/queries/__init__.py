@@ -15,11 +15,15 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
-def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from . import datapipe, events, operators, tpch
+def _modules():
+    from . import datapipe, events, operators, tpcds_style, tpch
 
+    return (tpch, tpcds_style, operators, events, datapipe)
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in (tpch, operators, events, datapipe):
+    for mod in _modules():
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query keys: {sorted(overlap)}")
@@ -28,9 +32,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def all_oracles() -> dict[str, str]:
-    from . import datapipe, events, operators, tpch
-
     merged: dict[str, str] = {}
-    for mod in (tpch, operators, events, datapipe):
+    for mod in _modules():
         merged.update(mod.ORACLES)
     return merged

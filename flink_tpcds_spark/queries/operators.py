@@ -585,3 +585,185 @@ def ops_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(wm(F.col("value"), F.col("w")).alias("wmean"))
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Blink-specific scalar gap functions (§2.9: SPLIT_INDEX, KEYVALUE,
+# IS_DIGIT/IS_ALPHA/IS_DECIMAL — functions/scalar.py)
+# ---------------------------------------------------------------------------
+@_q(
+    "ops_blink_functions",
+    """
+    SELECT c_custkey,
+           string_split(c_name, '_')[2] AS name_part1,
+           CASE WHEN len(string_split(c_name, '_')) > 9 THEN string_split(c_name, '_')[10] END AS name_part9,
+           regexp_matches(CAST(c_custkey AS VARCHAR), '^[0-9]+$') AS key_is_digit,
+           regexp_matches(c_mktsegment, '^[A-Za-z]+$') AS seg_is_alpha,
+           regexp_matches(CAST(c_acctbal AS VARCHAR), '^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)$') AS bal_is_decimal,
+           map_extract(map_from_entries([{'k': string_split(p, '=')[1], 'v': string_split(p, '=')[2]} for p in string_split('seg=' || c_mktsegment || ';key=' || CAST(c_custkey AS VARCHAR), ';')]), 'seg')[1] AS kv_seg
+    FROM customer
+    WHERE c_custkey <= 100
+    ORDER BY c_custkey
+    """,
+)
+def ops_blink_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Blink built-ins Spark lacks, from the gap layer
+    (functions/scalar.py): SPLIT_INDEX, KEYVALUE, IS_DIGIT, IS_ALPHA,
+    IS_DECIMAL — reference FlinkSqlOperatorTable.java (SURVEY §2.9)."""
+    from ..functions.scalar import (
+        is_alpha,
+        is_decimal,
+        is_digit,
+        keyvalue,
+        split_index,
+    )
+
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 100)
+    kv_str = F.concat(
+        F.lit("seg="), F.col("c_mktsegment"),
+        F.lit(";key="), F.col("c_custkey").cast("string"),
+    )
+    return c.select(
+        "c_custkey",
+        split_index(F.col("c_name"), "_", 1).alias("name_part1"),
+        split_index(F.col("c_name"), "_", 9).alias("name_part9"),
+        is_digit(F.col("c_custkey").cast("string")).alias("key_is_digit"),
+        is_alpha(F.col("c_mktsegment")).alias("seg_is_alpha"),
+        is_decimal(F.col("c_acctbal").cast("string")).alias("bal_is_decimal"),
+        keyvalue(kv_str, ";", "=", "seg").alias("kv_seg"),
+    ).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Date/time function battery (§2.9: DATE_FORMAT, EXTRACT, FLOOR/CEIL on
+# dates, datediff — SqlDateTimeUtils.java)
+# ---------------------------------------------------------------------------
+@_q(
+    "ops_datetime_functions",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS y,
+           CAST(month(o_orderdate) AS INTEGER) AS m,
+           CAST(day(o_orderdate) AS INTEGER) AS d,
+           CAST(quarter(o_orderdate) AS INTEGER) AS q,
+           strftime(o_orderdate, '%Y-%m-%d') AS formatted,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS days_since_epoch_start,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+           CAST(isodow(o_orderdate) AS INTEGER) AS iso_dow
+    FROM orders
+    WHERE o_orderkey <= 500
+    ORDER BY o_orderkey
+    """,
+)
+def ops_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTRACT family, DATE_FORMAT, truncation, interval arithmetic,
+    datediff — reference SqlDateTimeUtils.java (1300 LoC) mapped to
+    pyspark.sql.functions one-liners."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.quarter("o_orderdate").alias("q"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("formatted"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).cast("date").alias("due_date"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
+        ).cast("bigint").alias("days_since_epoch_start"),
+        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+        F.dayofweek(F.col("o_orderdate")).alias("dow_tmp"),
+    ).withColumn(
+        # Spark dayofweek: 1=Sunday..7=Saturday → ISO 1=Monday..7=Sunday
+        "iso_dow",
+        F.when(F.col("dow_tmp") == 1, 7).otherwise(F.col("dow_tmp") - 1).cast("int"),
+    ).drop("dow_tmp").orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# COLLECT / LISTAGG / FIRST-LAST-by-order aggregates (§2.4 agg functions)
+# ---------------------------------------------------------------------------
+@_q(
+    "ops_collect_aggs",
+    """
+    SELECT o_orderstatus,
+           list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+           array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities_csv,
+           arg_min(o_orderkey, o_totalprice) AS cheapest_order,
+           arg_max(o_orderkey, o_totalprice) AS priciest_order,
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def ops_collect_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLLECT (multiset→sorted array), LISTAGG, FIRST/LAST_VALUE-by
+    (min_by/max_by) — reference aggfunctions/ (SURVEY §2.4).
+
+    arg_min/arg_max determinism: o_totalprice is continuous (ties
+    impossible in the synthetic data), so both engines pick the same
+    order key."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+            F.concat_ws(
+                ",", F.sort_array(F.collect_set("o_orderpriority"))
+            ).alias("priorities_csv"),
+            F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+            F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+            F.count_distinct(F.col("o_orderpriority")).alias("n_priorities"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Plain LIMIT without sort (§2.7 BatchExecLimit) — wrapped in count so
+# the result is deterministic while still exercising GlobalLimitExec
+# ---------------------------------------------------------------------------
+@_q(
+    "ops_plain_limit",
+    """
+    SELECT COUNT(*) AS n FROM (SELECT * FROM lineitem LIMIT 1000) t
+    """,
+)
+def ops_plain_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.limit(1000).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Lookup join (§2.3 BatchExecLookupJoin / LookupJoinRunner)
+# ---------------------------------------------------------------------------
+@_q(
+    "ops_lookup_join",
+    """
+    SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'signup'
+    ORDER BY e.event_id
+    """,
+)
+def ops_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lookup join: probe the stream-side rows against an external
+    keyed snapshot (customer) — always broadcast, probe side never
+    shuffles (operators/joins.py lookup_join)."""
+    from ..operators import lookup_join
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "signup"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    return (
+        lookup_join(e, c, e.user_id == c.c_custkey, "left")
+        .select("event_id", "user_id", "c_name", "c_mktsegment")
+        .orderBy("event_id")
+    )
