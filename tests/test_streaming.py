@@ -112,3 +112,95 @@ def test_streaming_interval_join_counts(spark, sf_dir):
         ),
     ).count()
     assert out.count() == expected
+
+
+def test_streaming_topn_matches_batch(spark, sf_dir):
+    from flink_tpcds_spark.operators import top_n
+    from flink_tpcds_spark.streaming.topn import streaming_top_k_by_value
+
+    q = streaming_top_k_by_value(event_stream(spark, sf_dir), k=5)
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.n_events)
+        for r in spark.table("global_temp.stream_topn").collect()
+    }
+    batch = load_table(spark, sf_dir, "events")
+    totals = batch.groupBy("user_id").agg(
+        F.sum("value").alias("total_value"), F.count(F.lit(1)).alias("n_events")
+    )
+    expected = {
+        (r.user_id, r.n_events)
+        for r in top_n(
+            totals, [], [F.desc("total_value"), F.asc("user_id")], 5
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_watermark_drops_late_rows(spark, tmp_path_factory):
+    """The reference's late-data policy (WindowOperator.java:131-138):
+    rows behind the watermark are dropped. Replay two files in order —
+    the second contains an event far behind the first file's max ts —
+    and assert the late row never lands in its (already-closed) window.
+    """
+    import pyspark.sql.types as T
+
+    from flink_tpcds_spark.streaming.windows import tumbling_window_agg
+
+    stream_dir = str(tmp_path_factory.mktemp("late_stream"))
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # nanos
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+    def ns(hour: float) -> int:
+        return int((1704067200 + hour * 3600) * 1e9)  # 2024-01-01 + h
+
+    import time as _time
+
+    # f1: hours 0–0.9; f2: hours 10–10.9 (advances the watermark far
+    # past f1's windows and closes+emits them); f3: one VERY late row
+    # (00:03) + one on-time row. The late row's window was emitted two
+    # commits ago — the watermark filter must drop it, not re-emit.
+    early = [(i, ns(i * 0.1), 1, "click", 1.0, "{}") for i in range(10)]
+    advance = [(100 + i, ns(10 + i * 0.1), 1, "click", 1.0, "{}") for i in range(10)]
+    late_batch = [(999, ns(0.05), 1, "click", 1.0, "{}"),
+                  (200, ns(11.0), 1, "click", 1.0, "{}")]
+    for fname, rows in [("f1", early), ("f2", advance), ("f3", late_batch)]:
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{stream_dir}/{fname}.parquet"
+        )
+        _time.sleep(1.1)  # distinct mtimes → deterministic file order
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(stream_dir + "/*.parquet")
+    )
+    stream = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    out = tumbling_window_agg(stream, size="15 minutes", watermark="30 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_late")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    first_window_rows = (
+        spark.table("t_late")
+        .filter(F.col("window_start") == "2024-01-01 00:00:00")
+        .collect()
+    )
+    # exactly one emission for window 00:00, counting only the 3
+    # on-time rows (00:00, 00:06, 00:12) — the late 00:03 row dropped
+    assert len(first_window_rows) == 1
+    assert first_window_rows[0].cnt == 3
