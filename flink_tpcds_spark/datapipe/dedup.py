@@ -175,12 +175,17 @@ def minhash_near_dup_pairs(
 
     Returns columns: ``id_a, id_b, jaccard``.
     """
+    # Filter on the RAW text first, then two clean stacked projects.
+    # Interleaving filters with computed array columns lets predicate
+    # pushdown inline the (tokens→shingles) expression tree into the
+    # filter conditions, recomputing the quadratic form — this shape
+    # keeps each expensive expression evaluated exactly once.
+    # min_tokens ≥ 3 also guarantees ≥1 shingle, so no post-filter.
     sh_table = (
-        df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
-        .filter(F.size("toks") >= min_tokens)
-        .withColumn("sh", shingles_of_tokens(F.col("toks")))
-        .filter(F.size("sh") >= 1)
-        .select("id", "sh")
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+        .filter(F.size(tokens(F.col("t"))) >= max(min_tokens, 3))
+        .select("id", tokens(F.col("t")).alias("toks"))
+        .select("id", shingles_of_tokens(F.col("toks")).alias("sh"))
         .cache()  # read 3× (bands + both sides of the verify join)
     )
     # bands table carries only (band, bucket, id) — the signature and
@@ -240,17 +245,21 @@ def ngram_jaccard_pairs_exact(
     """
     from pyspark.sql.window import Window
 
-    base = (
+    # same no-interleaved-filter shape as minhash_near_dup_pairs (see
+    # the CollapseProject/pushdown note there); sizes derived AFTER the
+    # cache barrier so they never inline the shingle expression.
+    cached = (
         df.select(
             F.col(id_col).alias("id"),
             F.col(block_col).alias("blk"),
-            tokens(F.col(text_col)).alias("toks"),
+            F.col(text_col).alias("t"),
         )
-        .withColumn("sh", shingles_of_tokens(F.col("toks")))
-        .filter(F.size("sh") >= 1)
-        .select("id", "blk", "sh", F.size("sh").alias("n"))
+        .filter(F.size(tokens(F.col("t"))) >= 3)
+        .select("id", "blk", tokens(F.col("t")).alias("toks"))
+        .select("id", "blk", shingles_of_tokens(F.col("toks")).alias("sh"))
         .cache()
     )
+    base = cached.withColumn("n", F.size("sh"))
     exploded = base.select(
         "id", "blk", "n", F.explode("sh").alias("shingle")
     )
