@@ -1,0 +1,65 @@
+"""Engine facade tests: SQL entry, table handles, gap functions in SQL
+text, plan explain."""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_tpcds_spark.engine import AnalyticsEngine
+
+
+@pytest.fixture(scope="module")
+def engine(spark, sf_dir):
+    return AnalyticsEngine(spark=spark, sf_dir=sf_dir)
+
+
+def test_sql_entry(engine):
+    row = engine.sql(
+        """
+        SELECT l_returnflag, count(*) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """
+    ).first()
+    assert row.l_returnflag == "A" and row.n > 0
+
+
+def test_table_handle_composition(engine):
+    from pyspark.sql import functions as F
+
+    df = (
+        engine.table("orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .count()
+    )
+    assert df.count() > 0
+
+
+def test_undeclared_table_rejected(engine):
+    with pytest.raises(KeyError):
+        engine.table("not_a_table")
+
+
+def test_gap_functions_usable_in_sql(engine):
+    row = engine.sql(
+        """
+        SELECT split_index('a,b,c', ',', 1) AS s1,
+               split_index('a,b,c', ',', 9) AS s9,
+               keyvalue('k1=v1;k2=v2', ';', '=', 'k2') AS kv,
+               is_digit('12345') AS d1, is_digit('12a') AS d2,
+               is_alpha('abc') AS a1, is_decimal('-3.25') AS dec1,
+               hash_code('x') AS hc
+        """
+    ).first()
+    assert row.s1 == "b" and row.s9 is None
+    assert row.kv == "v2"
+    assert row.d1 is True and row.d2 is False
+    assert row.a1 is True and row.dec1 is True
+    assert isinstance(row.hc, int)
+
+
+def test_explain_has_pushdown(engine):
+    text = engine.explain(
+        "SELECT l_orderkey FROM lineitem WHERE l_quantity < 5"
+    )
+    assert "PushedFilters" in text and "l_quantity" in text
