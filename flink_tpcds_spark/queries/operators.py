@@ -767,3 +767,43 @@ def ops_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "c_name", "c_mktsegment")
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count windows (§2.5 CountTumblingWindowAssigner — Spark has no count
+# window primitive; expressed as row_number()-derived window ids)
+# ---------------------------------------------------------------------------
+@_q(
+    "ops_count_window",
+    """
+    SELECT user_id, win_id, COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM (
+      SELECT user_id, value,
+             CAST((ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1)
+                  // 10 AS INTEGER) AS win_id
+      FROM events
+    ) t
+    GROUP BY user_id, win_id
+    ORDER BY user_id, win_id
+    """,
+)
+def ops_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling COUNT window (every 10 events per user): the reference's
+    CountTumblingWindowAssigner re-expressed as a derived window id —
+    deterministic because the per-user order (ts, event_id) is total."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn(
+            "win_id", F.floor((F.row_number().over(w) - 1) / 10).cast("int")
+        )
+        .groupBy("user_id", "win_id")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("user_id", "win_id")
+    )

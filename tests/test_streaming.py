@@ -204,3 +204,33 @@ def test_watermark_drops_late_rows(spark, tmp_path_factory):
     # on-time rows (00:00, 00:06, 00:12) — the late 00:03 row dropped
     assert len(first_window_rows) == 1
     assert first_window_rows[0].cnt == 3
+
+
+def test_stateful_sessionizer_matches_session_window(spark, sf_dir):
+    """The custom applyInPandasWithState sessionizer must agree with
+    the built-in session_window() on every CLOSED session (the open
+    tail session per user stays in state and is not emitted)."""
+    from flink_tpcds_spark.streaming.stateful import stateful_session_counts
+    from flink_tpcds_spark.streaming.windows import session_window_agg
+
+    out = _run_to_memory(
+        spark,
+        stateful_session_counts(event_stream(spark, sf_dir)),
+        "t_stateful",
+        mode="append",
+    )
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.cnt)
+        for r in out.collect()
+    }
+    batch = session_window_agg(load_table(spark, sf_dir, "events"))
+    expected_all = {
+        (r.user_id, r.session_start, r.session_end, r.cnt)
+        for r in batch.collect()
+    }
+    # every emitted session is a real session
+    assert got <= expected_all
+    # and only the per-user tail sessions may be missing
+    n_users = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert len(got) >= len(expected_all) - n_users
+    assert len(got) > 0
