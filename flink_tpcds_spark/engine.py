@@ -58,6 +58,11 @@ class AnalyticsEngine:
         reorder in its benchmark posture (TpcDsBatchExecITCase:71-72);
         Spark's CBO needs stats to act on it."""
         for name in names or list(self.tables):
+            # temp views must be cached before ANALYZE FOR COLUMNS
+            # (UNSUPPORTED_FEATURE.ANALYZE_UNCACHED_TEMP_VIEW); on a
+            # cluster deployment the tables would live in the catalog
+            # (saveAsTable / external location) and skip the cache.
+            self.spark.sql(f"CACHE TABLE {name}")
             self.spark.sql(
                 f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR ALL COLUMNS"
             )

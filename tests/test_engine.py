@@ -63,3 +63,37 @@ def test_explain_has_pushdown(engine):
         "SELECT l_orderkey FROM lineitem WHERE l_quantity < 5"
     )
     assert "PushedFilters" in text and "l_quantity" in text
+
+
+def test_python_udtf_lateral(engine):
+    """§2.11 UDTF: one row in, many out, via SQL table-function call."""
+    from flink_tpcds_spark.operators.udtf import register_udtfs
+
+    register_udtfs(engine.spark)
+    rows = engine.sql(
+        "SELECT word, pos, length FROM tokenize('alpha beta gamma')"
+    ).collect()
+    assert [(r.word, r.pos, r.length) for r in rows] == [
+        ("alpha", 0, 5),
+        ("beta", 1, 4),
+        ("gamma", 2, 5),
+    ]
+    # lateral application over a table
+    n = engine.sql(
+        """
+        SELECT d.doc_id, t.word
+        FROM documents d, LATERAL tokenize(d.text) t
+        WHERE d.doc_id < 5
+        """
+    ).count()
+    assert n > 0
+
+
+def test_analyze_tables_feeds_cbo(engine):
+    engine.analyze_tables(["region", "nation"])
+    # what CBO actually consumes: the optimized plan's row-count stats
+    stats = (
+        engine.table("region")._jdf.queryExecution().optimizedPlan().stats()
+    )
+    assert stats.rowCount().isDefined()
+    assert stats.rowCount().get() == 5

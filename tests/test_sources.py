@@ -102,3 +102,32 @@ def test_bucketed_join_has_no_exchange(spark, scratch_dir, sf_dir):
     assert joined.count() > 0
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_json_format_roundtrip(spark, scratch_dir, sf_dir):
+    """§2.1 formats: JSON sink/source with explicit schema (the
+    reference's flink-json format module)."""
+    path = os.path.join(scratch_dir, "json_rt")
+    src = load_table(spark, sf_dir, "nation")
+    src.write.mode("overwrite").json(path)
+    back = spark.read.schema(src.schema).json(path)
+    assert {tuple(r) for r in back.collect()} == {
+        tuple(r) for r in src.collect()
+    }
+
+
+def test_orc_format_roundtrip(spark, scratch_dir, sf_dir):
+    """§2.1 formats: ORC sink/source (the reference's flink-orc)."""
+    path = os.path.join(scratch_dir, "orc_rt")
+    src = load_table(spark, sf_dir, "region")
+    src.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert {tuple(r) for r in back.collect()} == {
+        tuple(r) for r in src.collect()
+    }
+    # ORC scans support predicate pushdown too
+    from flink_tpcds_spark.plans import explain_text
+
+    assert "PushedFilters" in explain_text(
+        back.filter(F.col("r_regionkey") > 2)
+    )
