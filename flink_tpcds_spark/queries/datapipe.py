@@ -327,3 +327,25 @@ def dp_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "media_type", "n_bytes")
         .orderBy("doc_id")
     )
+
+
+@_q(
+    "dp_embedding_neardup",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 4) AS cos4
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
+    ORDER BY id_a, id_b
+    """,
+)
+def dp_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs at cos ≥ 0.4 (this synthetic
+    corpus has no true duplicates — max pairwise cos ≈ 0.5 — so the
+    threshold sits where a handful of strongest pairs qualify)."""
+    from ..datapipe.similarity import embedding_near_dup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(e, threshold=0.4).orderBy("id_a", "id_b")

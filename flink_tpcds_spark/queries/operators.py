@@ -446,19 +446,19 @@ def ops_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (SELECT * FROM events WHERE event_type = 'purchase') e
     ASOF LEFT JOIN (
         SELECT user_id, ts, value AS r_value, event_id AS r_event_id
-        FROM events WHERE event_type = 'login'
+        FROM events WHERE event_type = 'view'
     ) s ON e.user_id = s.user_id AND s.ts <= e.ts
     ORDER BY e.event_id
     """,
 )
 def ops_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal as-of join: each purchase joined to the user's latest
-    login at-or-before it (reference TemporalRowTimeJoinOperator —
+    page view at-or-before it (reference TemporalRowTimeJoinOperator —
     SURVEY §2.3 'no built-in as-of join in Spark'). DuckDB's native
     ASOF JOIN is the oracle for our union+window implementation."""
     e = load_table(spark, sf_dir, "events")
     purchases = e.filter(F.col("event_type") == "purchase")
-    logins = e.filter(F.col("event_type") == "login").select(
+    views = e.filter(F.col("event_type") == "view").select(
         "user_id",
         "ts",
         F.col("value").alias("value2"),
@@ -467,7 +467,7 @@ def ops_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         asof_join(
             purchases,
-            logins,
+            views,
             on="user_id",
             left_time="ts",
             right_time="ts",

@@ -1,0 +1,95 @@
+"""Operator-level unit tests (the translation of the reference's 73
+operator test classes — SURVEY §5): behavioral checks on the reusable
+operators beyond what the oracle-checked queries cover."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_tpcds_spark.operators import (
+    asof_join,
+    dedup_first,
+    dedup_last,
+    top_n,
+)
+from flink_tpcds_spark.operators.skew import salted_join
+from flink_tpcds_spark.schemas import load_table
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    plain = o.join(c.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey")
+    salted = salted_join(
+        o, c.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey"
+    )
+    assert {tuple(r) for r in salted.collect()} == {
+        tuple(r) for r in plain.collect()
+    }
+
+
+def test_top_n_rank_keeps_ties(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity"
+    )
+    ranked = top_n(
+        li, ["l_returnflag"], [F.desc("l_quantity")], 1, rank_fn="rank"
+    )
+    # quantity is integer-valued → the max is shared by many rows; RANK
+    # keeps all of them (BatchExecRank semantics), ROW_NUMBER keeps one
+    rn = top_n(
+        li,
+        ["l_returnflag"],
+        [F.desc("l_quantity")],
+        1,
+        rank_fn="row_number",
+    )
+    assert ranked.count() > rn.count()
+    assert rn.count() == 3  # one per returnflag
+
+
+def test_top_n_rejects_bad_rank_fn(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    with pytest.raises(ValueError):
+        top_n(li, ["l_returnflag"], [F.desc("l_quantity")], 1, rank_fn="nope")
+
+
+def test_dedup_first_vs_last(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    first = dedup_first(e, ["user_id"], [F.col("ts"), F.col("event_id")])
+    last = dedup_last(e, ["user_id"], [F.col("ts"), F.col("event_id")])
+    n_users = e.select("user_id").distinct().count()
+    assert first.count() == last.count() == n_users
+    f0 = {r.user_id: r.event_id for r in first.collect()}
+    l0 = {r.user_id: r.event_id for r in last.collect()}
+    # first/last pick different rows for any user with >1 event
+    assert any(f0[u] != l0[u] for u in f0)
+
+
+def test_asof_join_tolerance(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    logins = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("login_id")
+    )
+    def matched(tolerance):
+        out = asof_join(
+            purchases,
+            logins,
+            on="user_id",
+            right_cols=["login_id"],
+            tolerance_seconds=tolerance,
+        )
+        return out.filter(F.col("r_login_id").isNotNull()).count()
+
+    n_loose = (
+        asof_join(purchases, logins, on="user_id", right_cols=["login_id"])
+        .filter(F.col("r_login_id").isNotNull())
+        .count()
+    )
+    n_week, n_10min = matched(7 * 86400.0), matched(600.0)
+    # events are ~10h apart per user at this SF: a week keeps most
+    # matches, 10 minutes nulls most of them out
+    assert 0 < n_week <= n_loose
+    assert n_10min < n_week
