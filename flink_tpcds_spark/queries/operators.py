@@ -595,8 +595,8 @@ def ops_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ops_blink_functions",
     """
     SELECT c_custkey,
-           string_split(c_name, '_')[2] AS name_part1,
-           CASE WHEN len(string_split(c_name, '_')) > 9 THEN string_split(c_name, '_')[10] END AS name_part9,
+           string_split(c_name, '#')[2] AS name_part1,
+           CASE WHEN len(string_split(c_name, '#')) > 9 THEN string_split(c_name, '#')[10] END AS name_part9,
            regexp_matches(CAST(c_custkey AS VARCHAR), '^[0-9]+$') AS key_is_digit,
            regexp_matches(c_mktsegment, '^[A-Za-z]+$') AS seg_is_alpha,
            regexp_matches(CAST(c_acctbal AS VARCHAR), '^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)$') AS bal_is_decimal,
@@ -625,8 +625,8 @@ def ops_blink_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return c.select(
         "c_custkey",
-        split_index(F.col("c_name"), "_", 1).alias("name_part1"),
-        split_index(F.col("c_name"), "_", 9).alias("name_part9"),
+        split_index(F.col("c_name"), "#", 1).alias("name_part1"),
+        split_index(F.col("c_name"), "#", 9).alias("name_part9"),  # out-of-range → NULL (by design)
         is_digit(F.col("c_custkey").cast("string")).alias("key_is_digit"),
         is_alpha(F.col("c_mktsegment")).alias("seg_is_alpha"),
         is_decimal(F.col("c_acctbal").cast("string")).alias("bal_is_decimal"),

@@ -230,3 +230,41 @@ def ds04(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("spend")).alias("total_spend"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ds05 — cross-channel item intersection (TPC-DS q14: items sold in
+# every channel; channels modeled by l_returnflag)
+# ---------------------------------------------------------------------------
+@_q(
+    "ds05_cross_channel_items",
+    f"""
+    WITH cross_items AS (
+      SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+      INTERSECT
+      SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+      INTERSECT
+      SELECT l_partkey FROM lineitem WHERE l_returnflag = 'N'
+    )
+    SELECT COUNT(DISTINCT l_partkey) AS n_items,
+           {dsum_sql(REV)} AS revenue
+    FROM lineitem
+    WHERE l_partkey IN (SELECT l_partkey FROM cross_items)
+    """,
+)
+def ds05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q14-pattern: INTERSECT chain defines the cross-channel item set,
+    then a semi join restricts the fact scan to it."""
+    l = load_table(spark, sf_dir, "lineitem")
+
+    def parts(flag: str) -> DataFrame:
+        return l.filter(l.l_returnflag == flag).select("l_partkey")
+
+    cross_items = parts("R").intersect(parts("A")).intersect(parts("N"))
+    return (
+        l.join(cross_items, "l_partkey", "left_semi")
+        .agg(
+            F.count_distinct(F.col("l_partkey")).alias("n_items"),
+            dsum(l.l_extendedprice * (1 - l.l_discount)).alias("revenue"),
+        )
+    )

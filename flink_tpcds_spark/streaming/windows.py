@@ -115,3 +115,55 @@ def streaming_interval_join(
         F.col("l.ts").alias("left_ts"),
         F.col("r.ts").alias("right_ts"),
     )
+
+
+def streaming_dedup_keep_last(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Keep the LATEST row per key (reference
+    DeduplicateKeepLastRowFunction — dropDuplicates only keeps first).
+
+    Implemented as a custom stateful operator: state holds the current
+    winner per key; each batch emits nothing and updates state — the
+    final state is read back with ``dedup_state_snapshot`` semantics in
+    foreachBatch sinks, or emit-per-batch in update mode. Here we emit
+    the per-batch winner (update-mode changelog: downstream sees the
+    latest row per key as of each batch)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keys = keys or ["user_id", "event_type"]
+    out_schema = "user_id long, event_type string, event_id long, ts timestamp, value double"
+    state_schema = "ts double, event_id long, value double"
+
+    def keep_last(key, pdfs, state):
+        user_id, event_type = key
+        best_ts, best_id, best_val = (
+            state.get if state.exists else (None, None, None)
+        )
+        for pdf in pdfs:
+            for _, row in pdf.iterrows():
+                t = row["ts"].timestamp()
+                if best_ts is None or (t, row["event_id"]) > (best_ts, best_id):
+                    best_ts, best_id, best_val = t, row["event_id"], row["value"]
+        state.update((float(best_ts), int(best_id), float(best_val)))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "event_type": [event_type],
+                "event_id": [best_id],
+                "ts": pd.to_datetime([int(best_ts * 1e6)], unit="us"),
+                "value": [best_val],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(*keys)
+        .applyInPandasWithState(
+            keep_last, out_schema, state_schema, "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -234,3 +234,65 @@ def test_stateful_sessionizer_matches_session_window(spark, sf_dir):
     n_users = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
     assert len(got) >= len(expected_all) - n_users
     assert len(got) > 0
+
+
+def test_streaming_dedup_keep_last(spark, sf_dir):
+    """Keep-LAST dedup (update-mode changelog): the final emission per
+    key must equal the batch dedup_last winner."""
+    from flink_tpcds_spark.operators import dedup_last
+    from flink_tpcds_spark.streaming.windows import streaming_dedup_keep_last
+
+    out = _run_to_memory(
+        spark,
+        streaming_dedup_keep_last(event_stream(spark, sf_dir)),
+        "t_keep_last",
+        mode="update",
+    )
+    # update mode may emit a row per key per batch; the LAST emission
+    # per key is the winner
+    from pyspark.sql.window import Window as W
+
+    latest = (
+        out.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("user_id", "event_type").orderBy(
+                    F.desc("ts"), F.desc("event_id")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id")
+    )
+    got = {tuple(r) for r in latest.collect()}
+    batch = load_table(spark, sf_dir, "events")
+    expected = {
+        (r.user_id, r.event_type, r.event_id)
+        for r in dedup_last(
+            batch, ["user_id", "event_type"], [F.col("ts"), F.col("event_id")]
+        ).select("user_id", "event_type", "event_id").collect()
+    }
+    assert got == expected
+
+
+def test_update_mode_changelog_counts(spark, sf_dir):
+    """§1.1 changelog/retraction analog: update output mode re-emits
+    growing per-key aggregates; the final emission equals the batch
+    total (upsert semantics — the reference's UpsertStreamTableSink)."""
+    counts = (
+        event_stream(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    out = _run_to_memory(spark, counts, "t_update", mode="update")
+    final = {
+        r.event_type: r.cnt
+        for r in out.groupBy("event_type").agg(F.max("cnt").alias("cnt")).collect()
+    }
+    batch = dict(
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .count()
+        .collect()
+    )
+    assert final == batch
