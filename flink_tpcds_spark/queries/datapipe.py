@@ -349,3 +349,13 @@ def dp_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(e, threshold=0.4).orderBy("id_a", "id_b")
+
+
+@_q("dp_knn_ivf")  # approximate by design → rows-only check
+def dp_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF(16 cells, nprobe 4) ANN — the coarse-quantizer scale path
+    (FAISS IVF-Flat shape); recall floor-tested vs brute force."""
+    from ..datapipe.similarity import knn_ivf
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return knn_ivf(e, F.col("vec_id") % 20 == 0, k=10).orderBy("query_id", "rn")

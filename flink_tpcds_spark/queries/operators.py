@@ -807,3 +807,35 @@ def ops_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "win_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hash / encode functions (§2.9: MD5, SHA2 family, TO_BASE64/FROM_BASE64,
+# HEX — reference FlinkSqlOperatorTable hash group)
+# ---------------------------------------------------------------------------
+@_q(
+    "ops_hash_functions",
+    """
+    SELECT doc_id,
+           md5(text) AS h_md5,
+           sha256(text) AS h_sha256,
+           base64(encode(substring(text, 1, 24))) AS b64,
+           hex(encode(substring(text, 1, 8))) AS hex8,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    WHERE doc_id < 100
+    ORDER BY doc_id
+    """,
+)
+def ops_hash_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MD5 / SHA-256 / BASE64 / HEX over document text — the reference's
+    hash-function group (SqlFunctionUtils.java) as Spark built-ins."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("h_md5"),
+        F.sha2(F.col("text").cast("binary"), 256).alias("h_sha256"),
+        F.base64(F.encode(F.substring("text", 1, 24), "utf-8")).alias("b64"),
+        F.hex(F.encode(F.substring("text", 1, 8), "utf-8")).alias("hex8"),
+        F.length(F.encode(F.col("text"), "utf-8")).cast("bigint").alias("n_bytes"),
+    ).orderBy("doc_id")

@@ -82,3 +82,15 @@ def test_quality_gate_sane(spark, sf_dir):
     row = d.filter(F.col("q_n_tokens") > 0).first()
     assert 0.0 <= row.q_stopword_ratio <= 1.0
     assert 0.0 <= row.q_punct_ratio <= 1.0
+
+
+def test_ivf_ann_recall_floor(spark, sf_dir):
+    from flink_tpcds_spark.datapipe.similarity import knn_ivf
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qf = F.col("vec_id") % 20 == 0
+    bf = {(r.query_id, r.neighbor_id) for r in knn_bruteforce(e, qf, k=10).collect()}
+    ivf = {(r.query_id, r.neighbor_id) for r in knn_ivf(e, qf, k=10).collect()}
+    recall = len(bf & ivf) / len(bf)
+    # measured ~0.62 at 16 cells / nprobe 4; floor well below
+    assert recall >= 0.35, f"IVF recall {recall:.3f} below floor"
