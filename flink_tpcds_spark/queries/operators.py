@@ -839,3 +839,45 @@ def ops_hash_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hex(F.encode(F.substring("text", 1, 8), "utf-8")).alias("hex8"),
         F.length(F.encode(F.col("text"), "utf-8")).cast("bigint").alias("n_bytes"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# MULTISET emulation (§1.3: Blink MULTISET type → count-map; rendered
+# as a canonical "value:count" string so both engines hash identically)
+# ---------------------------------------------------------------------------
+@_q(
+    "ops_multiset_emulation",
+    """
+    SELECT o_orderstatus,
+           string_agg(pc, ',' ORDER BY pc) AS priority_multiset
+    FROM (
+      SELECT o_orderstatus,
+             o_orderpriority || ':' || CAST(COUNT(*) AS VARCHAR) AS pc
+      FROM orders
+      GROUP BY o_orderstatus, o_orderpriority
+    ) t
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def ops_multiset_emulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLLECT-to-MULTISET (reference CollectAggFunction → MULTISET
+    type): emulated as element→count, canonicalized to a sorted
+    'value:count' string (SURVEY §1.3's count-map mapping)."""
+    o = load_table(spark, sf_dir, "orders")
+    counted = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        counted.select(
+            "o_orderstatus",
+            F.concat_ws(":", F.col("o_orderpriority"), F.col("c")).alias("pc"),
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("pc"))).alias(
+                "priority_multiset"
+            )
+        )
+        .orderBy("o_orderstatus")
+    )

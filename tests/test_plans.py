@@ -78,3 +78,30 @@ def test_window_group_limit_pushdown(spark, sf_dir):
     c = load_table(spark, sf_dir, "customer")
     df = top_n(c, ["c_mktsegment"], [F.desc("c_acctbal"), F.asc("c_custkey")], 3)
     assert "WindowGroupLimit" in explain_text(df)
+
+
+def test_nested_field_projection_pruning(spark, sf_dir, tmp_path_factory):
+    """§2.1 NestedFieldsProjectableTableSource: selecting one field of
+    a struct column must prune the scan to that subfield."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path_factory.mktemp("nested")) + "/t"
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.struct("o_totalprice", "o_orderstatus", "o_orderpriority").alias(
+                "info"
+            ),
+        )
+    )
+    src.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path).select("o_orderkey", "info.o_orderstatus")
+    cols = scan_read_columns(back)
+    # the ReadSchema must contain only the selected subfield, not the
+    # whole struct
+    flat = ",".join(",".join(c) for c in cols)
+    assert "o_totalprice" not in flat
+    assert back.count() > 0
