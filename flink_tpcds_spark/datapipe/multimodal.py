@@ -78,3 +78,44 @@ def decode_image(binary_df: DataFrame) -> DataFrame:
         "image decode requires a codec library (PIL/libvips); "
         "the Spark-side plumbing is exercised via extract_binary_metadata"
     )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_bytes", T.LongType()),
+    ]
+)
+
+
+def sample_frames(
+    binary_df: DataFrame, frame_size: int = 256, stride: int = 4
+) -> DataFrame:
+    """Frame-sampling plumbing for video-like payloads: treat the
+    binary payload as fixed-size frames and keep every ``stride``-th
+    one — the Spark-side shape (one-to-many Arrow-batched emission,
+    partitioning preserved) of a real ffmpeg frame sampler, with the
+    codec replaced by byte arithmetic (deterministic, oracle-checkable).
+    """
+    import math
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_idx, out_len = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                total_frames = math.ceil(n / frame_size)
+                for idx in range(0, total_frames, stride):
+                    out_ids.append(doc_id)
+                    out_idx.append(idx)
+                    out_len.append(min(frame_size, n - idx * frame_size))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_ids, dtype="int64"),
+                    "frame_idx": pd.Series(out_idx, dtype="int32"),
+                    "frame_bytes": pd.Series(out_len, dtype="int64"),
+                }
+            )
+
+    return binary_df.mapInPandas(sample, FRAME_SCHEMA)

@@ -359,3 +359,29 @@ def dp_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return knn_ivf(e, F.col("vec_id") % 20 == 0, k=10).orderBy("query_id", "rn")
+
+
+@_q(
+    "dp_multimodal_framesample",
+    """
+    SELECT doc_id,
+           CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST(LEAST(64, octet_length(encode(text)) - frame_idx * 64)
+                AS BIGINT) AS frame_bytes
+    FROM documents,
+         LATERAL (
+           SELECT unnest(range(0,
+             CAST(ceil(octet_length(encode(text)) / 64.0) AS INTEGER),
+             2)) AS frame_idx
+         ) f
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def dp_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads (every 2nd 64-byte frame):
+    the video-pipeline plumbing with deterministic byte arithmetic in
+    place of the codec (multimodal.sample_frames)."""
+    from ..datapipe.multimodal import sample_frames, to_binary_table
+
+    d = load_table(spark, sf_dir, "documents")
+    return sample_frames(to_binary_table(d), frame_size=64, stride=2).orderBy("doc_id", "frame_idx")
