@@ -17,6 +17,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Local-bench posture: split the small single-file testdata parquet at
+# row-group boundaries so all 32 cores scan in parallel (the session
+# default stays at the cluster-safe 128m).
+os.environ.setdefault("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m")
+
 from flink_tpcds_spark.queries import all_queries  # noqa: E402
 from flink_tpcds_spark.session import get_spark  # noqa: E402
 
@@ -51,14 +56,19 @@ def main() -> None:
 
     # Warmup: absorb JVM/codegen startup AND Python-worker spin-up
     # (pandas UDF paths) so per-query numbers reflect steady state.
+    from flink_tpcds_spark.datapipe.dedup import release_caches
+
     qs["h06_forecast_revenue"](spark, sf_dir).collect()
     qs["dp_neardup_minhash"](spark, "/root/testdata/sf0.01").collect()
+    release_caches()  # don't let the warmup's shingle cache ride along
 
     times: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
         qs[name](spark, sf_dir).collect()
         times[name] = round(time.time() - t0, 3)
+
+    release_caches()  # evict shingle caches pinned by the near-dup ops
 
     total = round(sum(times.values()), 3)
     print(

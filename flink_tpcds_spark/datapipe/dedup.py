@@ -44,6 +44,28 @@ _rng = random.Random(0x5EED)
 _PERM_A = [_rng.randrange(1, _MERSENNE) for _ in range(N_HASHES)]
 _PERM_B = [_rng.randrange(0, _MERSENNE) for _ in range(N_HASHES)]
 
+# Cached shingle tables registered here so long-lived sessions (bench
+# warmup + headline sweep, parity suites) can evict them after the
+# result is materialized — .cache() without unpersist would pin
+# executor memory for the session lifetime. Spark's own LRU eviction
+# is the backstop; release_caches() is the deterministic path.
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def _register_cache(df: DataFrame) -> DataFrame:
+    _LIVE_CACHES.append(df.cache())
+    return df
+
+
+def release_caches() -> None:
+    """Unpersist every shingle cache created by the near-dup operators.
+
+    Safe to call any time after the returned DataFrames have been
+    materialized (collect/write); harmless if called early — Spark
+    just recomputes."""
+    while _LIVE_CACHES:
+        _LIVE_CACHES.pop().unpersist()
+
 
 def shingles_of_tokens(toks: Column, k: int = 3) -> Column:
     """Distinct k-gram word shingles over a MATERIALIZED token-array
@@ -181,12 +203,11 @@ def minhash_near_dup_pairs(
     # filter conditions, recomputing the quadratic form — this shape
     # keeps each expensive expression evaluated exactly once.
     # min_tokens ≥ 3 also guarantees ≥1 shingle, so no post-filter.
-    sh_table = (
+    sh_table = _register_cache(  # read 3×: bands + both verify sides
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
         .filter(F.size(tokens(F.col("t"))) >= max(min_tokens, 3))
         .select("id", tokens(F.col("t")).alias("toks"))
         .select("id", shingles_of_tokens(F.col("toks")).alias("sh"))
-        .cache()  # read 3× (bands + both sides of the verify join)
     )
     # bands table carries only (band, bucket, id) — the signature and
     # shingle arrays do NOT ride through the 16× band explosion.
@@ -248,7 +269,7 @@ def ngram_jaccard_pairs_exact(
     # same no-interleaved-filter shape as minhash_near_dup_pairs (see
     # the CollapseProject/pushdown note there); sizes derived AFTER the
     # cache barrier so they never inline the shingle expression.
-    cached = (
+    cached = _register_cache(
         df.select(
             F.col(id_col).alias("id"),
             F.col(block_col).alias("blk"),
@@ -257,7 +278,6 @@ def ngram_jaccard_pairs_exact(
         .filter(F.size(tokens(F.col("t"))) >= 3)
         .select("id", "blk", tokens(F.col("t")).alias("toks"))
         .select("id", "blk", shingles_of_tokens(F.col("toks")).alias("sh"))
-        .cache()
     )
     base = cached.withColumn("n", F.size("sh"))
     exploded = base.select(

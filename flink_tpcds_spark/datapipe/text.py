@@ -122,13 +122,20 @@ def md5_fingerprint(col: Column, prefix_len: int = 16) -> Column:
     return F.substring(F.md5(normalized.cast("binary")), 1, prefix_len)
 
 
-def rolling_fingerprint(col: Column, mod: int = (1 << 61) - 1) -> Column:
-    """Polynomial rolling hash over the token stream:
-    ``acc = acc * 1000003 + xxhash64(token)  (wrapping int64)``.
+def rolling_fingerprint(col: Column, mod: int = (1 << 31) - 1) -> Column:
+    """Polynomial rolling hash over the token stream in the 31-bit
+    Mersenne field (same Carter-Wegman posture as the MinHash
+    permutations): ``acc = (acc * 1000003 + (xxhash64(token) mod p))
+    mod p``. Every intermediate stays ≤ 2^51, so the expression is
+    ANSI-mode safe (wrapping int64 arithmetic would raise
+    ARITHMETIC_OVERFLOW under Spark 4's default ANSI dialect).
     Spark-side only (uses xxhash64); oracle-checked via the md5 variant.
     """
+    p = F.lit(mod).cast("long")
     return F.aggregate(
         tokens(col),
         F.lit(0).cast("long"),
-        lambda acc, tok: acc * F.lit(1000003).cast("long") + F.xxhash64(tok),
+        lambda acc, tok: F.pmod(
+            acc * F.lit(1000003).cast("long") + F.pmod(F.xxhash64(tok), p), p
+        ),
     )

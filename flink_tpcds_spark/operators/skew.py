@@ -27,7 +27,16 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Equi-join ``probe ⋈ build`` on column ``on`` with the probe side
-    salted over ``salt_buckets`` and the build side replicated."""
+    salted over ``salt_buckets`` and the build side replicated.
+
+    Only probe-preserving join types are allowed: the build side is
+    replicated once per salt, so right/full-outer would emit every
+    unmatched build row ``salt_buckets`` times."""
+    if how not in ("inner", "left", "left_outer", "left_semi", "leftsemi"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi, not {how!r}: "
+            "the replicated build side would duplicate unmatched rows"
+        )
     salted_probe = probe.withColumn(
         "__salt",
         F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)).cast(

@@ -18,7 +18,13 @@ from pyspark.sql import DataFrame, SparkSession
 def _modules():
     from . import datapipe, events, operators, tpcds_style, tpch
 
-    return (tpch, tpcds_style, operators, events, datapipe)
+    # Order matters: the driver's correctness sweep covers the FIRST 50
+    # entries of all_queries() (round 1 verified exactly 50). Round 1
+    # already driver-greened the tpch/tpcds_style/operators families, so
+    # the streaming-events + datapipe suites go first this round, then
+    # the operator battery (its first entries include the round-2 fixes),
+    # then the already-verified suites.
+    return (events, datapipe, operators, tpch, tpcds_style)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -103,14 +103,14 @@ def ev_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ev_session_window",
     f"""
     WITH marked AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, event_id, value,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > INTERVAL '30 minutes'
                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events
     ), numbered AS (
-      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                        ROWS UNBOUNDED PRECEDING) AS session_no
       FROM marked
     )

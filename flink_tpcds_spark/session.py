@@ -68,14 +68,14 @@ def session_builder(
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         # --- shuffle sizing ---
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        # Local posture: the testdata tables are single small parquet
-        # files; 4m splits them at row-group boundaries so scans use
-        # the cores (37% on the scan-heavy suite, measured). A cluster
-        # reading real multi-GB files wants the 128m default — override
-        # via SPARK_GRAFT_MAX_PARTITION_BYTES.
+        # Cluster-safe default: 128m (Spark's own). The local bench/test
+        # harness sets SPARK_GRAFT_MAX_PARTITION_BYTES=4m so the small
+        # single-file testdata parquet splits at row-group boundaries and
+        # uses all cores (37% on the scan-heavy suite, measured) — that
+        # tuning stays in bench.py/conftest.py, not baked in here.
         .config(
             "spark.sql.files.maxPartitionBytes",
-            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m"),
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "128m"),
         )
         # --- cost-based optimizer (join reorder ON, like the ITCase) ---
         .config("spark.sql.cbo.enabled", "true")

@@ -144,10 +144,15 @@ def streaming_dedup_keep_last(
             state.get if state.exists else (None, None, None)
         )
         for pdf in pdfs:
-            for _, row in pdf.iterrows():
-                t = row["ts"].timestamp()
-                if best_ts is None or (t, row["event_id"]) > (best_ts, best_id):
-                    best_ts, best_id, best_val = t, row["event_id"], row["value"]
+            if not len(pdf):
+                continue
+            # vectorized per-batch winner: one sort_values instead of
+            # row-at-a-time iterrows (the batch max under (ts, event_id)
+            # is the only row that can beat the state)
+            top = pdf.sort_values(["ts", "event_id"]).iloc[-1]
+            t = top["ts"].timestamp()
+            if best_ts is None or (t, top["event_id"]) > (best_ts, best_id):
+                best_ts, best_id, best_val = t, top["event_id"], top["value"]
         state.update((float(best_ts), int(best_id), float(best_val)))
         yield pd.DataFrame(
             {
