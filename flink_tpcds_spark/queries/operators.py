@@ -908,3 +908,80 @@ def ops_multiset_emulation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregate battery (§2.4: reference FlinkSqlOperatorTable
+# STDDEV_POP/STDDEV_SAMP/VAR_POP/VAR_SAMP + AggregateReduceFunctionsRule,
+# which rewrites them to the same sum/sum² form used here)
+# ---------------------------------------------------------------------------
+@_q(
+    "ops_stats_aggs",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+             AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+           ROUND(stddev_pop(l_quantity), 4) AS sdp_qty,
+           ROUND(var_samp(l_quantity), 4) AS var_qty,
+           ROUND(var_pop(l_quantity), 4) AS varp_qty,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qty_price,
+           ROUND(covar_pop(l_quantity, l_extendedprice), 2) AS covp_qty_price,
+           ROUND(corr(l_quantity, l_extendedprice), 4) + 0.0 AS corr_qty_price,
+           ROUND(
+             (avg(l_quantity*l_quantity*l_quantity)
+              - 3*avg(l_quantity)*avg(l_quantity*l_quantity)
+              + 2*avg(l_quantity)*avg(l_quantity)*avg(l_quantity))
+             / POWER(avg(l_quantity*l_quantity) - avg(l_quantity)*avg(l_quantity), 1.5),
+             4) + 0.0 AS skew_qty,
+           ROUND(
+             (avg(l_quantity*l_quantity*l_quantity*l_quantity)
+              - 4*avg(l_quantity)*avg(l_quantity*l_quantity*l_quantity)
+              + 6*avg(l_quantity)*avg(l_quantity)*avg(l_quantity*l_quantity)
+              - 3*avg(l_quantity)*avg(l_quantity)*avg(l_quantity)*avg(l_quantity))
+             / POWER(avg(l_quantity*l_quantity) - avg(l_quantity)*avg(l_quantity), 2)
+             - 3,
+             4) + 0.0 AS kurt_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY gid, l_returnflag, l_linestatus
+    """,
+)
+def ops_stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STDDEV/VAR family + covariance/correlation + skew/kurtosis over
+    a ROLLUP with grouping-bit identification. ROUND(·, 4) on BOTH
+    sides: the moment aggregates are order-dependent in the last ~10
+    ulps, and 4 digits is the reference's own comparison precision
+    (TpcUtils.scala DecimalFormat "0.0000").
+
+    Spark computes POPULATION excess kurtosis g2 = m4/m2² − 3 and
+    population skewness g1 = m3/m2^1.5; DuckDB's skewness/kurtosis
+    are the sample-adjusted G1/G2, so the oracle rebuilds Spark's
+    definitions from raw moments instead. The gid column reproduces
+    Spark's grouping_id() bit order.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+            F.round(F.stddev_pop("l_quantity"), 4).alias("sdp_qty"),
+            F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+            F.round(F.var_pop("l_quantity"), 4).alias("varp_qty"),
+            F.round(
+                F.covar_samp("l_quantity", "l_extendedprice"), 2
+            ).alias("cov_qty_price"),
+            F.round(
+                F.covar_pop("l_quantity", "l_extendedprice"), 2
+            ).alias("covp_qty_price"),
+            # + 0.0 normalizes IEEE -0.0 to +0.0 (repr-level hash)
+            (F.round(F.corr("l_quantity", "l_extendedprice"), 4) + F.lit(0.0))
+            .alias("corr_qty_price"),
+            (F.round(F.skewness("l_quantity"), 4) + F.lit(0.0)).alias("skew_qty"),
+            (F.round(F.kurtosis("l_quantity"), 4) + F.lit(0.0)).alias("kurt_qty"),
+        )
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )

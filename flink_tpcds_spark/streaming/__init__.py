@@ -1,3 +1,8 @@
+from .joins import (
+    streaming_anti_join,
+    streaming_over_running_sum,
+    streaming_semi_join,
+)
 from .source import event_stream
 from .windows import (
     sliding_window_counts,
@@ -14,4 +19,7 @@ __all__ = [
     "session_window_agg",
     "streaming_dedup",
     "streaming_interval_join",
+    "streaming_semi_join",
+    "streaming_anti_join",
+    "streaming_over_running_sum",
 ]

@@ -296,3 +296,101 @@ def test_update_mode_changelog_counts(spark, sf_dir):
         .collect()
     )
     assert final == batch
+
+
+def test_streaming_semi_join_matches_batch(spark, sf_dir):
+    from flink_tpcds_spark.streaming import streaming_semi_join
+
+    ev = event_stream(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    views = ev.filter(F.col("event_type") == "view")
+    out = _run_to_memory(
+        spark,
+        streaming_semi_join(purchases, views),
+        "t_semi",
+        mode="append",
+    )
+    b = load_table(spark, sf_dir, "events")
+    bl = b.filter(F.col("event_type") == "purchase").alias("l")
+    br = b.filter(F.col("event_type") == "view").alias("r")
+    expected = {
+        r.event_id
+        for r in bl.join(
+            br,
+            F.expr(
+                "l.user_id = r.user_id AND r.ts >= l.ts - INTERVAL 3600 "
+                "SECONDS AND r.ts <= l.ts"
+            ),
+            "left_semi",
+        ).collect()
+    }
+    got = {r.event_id for r in out.collect()}
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_streaming_anti_join_matches_batch(spark, sf_dir):
+    from flink_tpcds_spark.streaming import streaming_anti_join
+
+    ev = event_stream(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    views = ev.filter(F.col("event_type") == "view")
+    out = _run_to_memory(
+        spark,
+        streaming_anti_join(purchases, views),
+        "t_anti",
+        mode="append",
+    )
+    b = load_table(spark, sf_dir, "events")
+    bl = b.filter(F.col("event_type") == "purchase").alias("l")
+    br = b.filter(F.col("event_type") == "view").alias("r")
+    expected = {
+        r.event_id
+        for r in bl.join(
+            br,
+            F.expr(
+                "l.user_id = r.user_id AND r.ts >= l.ts - INTERVAL 3600 "
+                "SECONDS AND r.ts <= l.ts"
+            ),
+            "left_anti",
+        ).collect()
+    }
+    got = {r.event_id for r in out.collect()}
+    # outer-join null-padded rows are only emitted once the watermark
+    # proves no match can arrive; rows near end-of-stream stay pending.
+    assert got <= expected
+    assert len(got) >= len(expected) * 3 // 4
+    assert len(got) > 0
+
+
+def test_streaming_over_running_sum_matches_batch(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from flink_tpcds_spark.streaming import streaming_over_running_sum
+
+    out = _run_to_memory(
+        spark,
+        streaming_over_running_sum(event_stream(spark, sf_dir)),
+        "t_over",
+        mode="append",
+    )
+    b = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    expected = {
+        (r.user_id, r.event_id, r.running_cnt, round(r.running_sum, 6))
+        for r in b.select(
+            "user_id",
+            "event_id",
+            F.count(F.lit(1)).over(w).alias("running_cnt"),
+            F.sum("value").over(w).alias("running_sum"),
+        ).collect()
+    }
+    got = {
+        (r.user_id, r.event_id, r.running_cnt, round(r.running_sum, 6))
+        for r in out.collect()
+    }
+    assert got == expected
