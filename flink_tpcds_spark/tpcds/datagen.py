@@ -1,0 +1,1478 @@
+"""Deterministic offline TPC-DS data generator (24 tables → parquet).
+
+The reference validates its 103-query corpus against dsdgen SF1 CSV
+(TpcDsBatchExecITCase.scala:45, ``dsdgen -SCALE 1 -RNGSEED 0``).
+dsdgen is not available offline, so this module generates a micro-
+scale dataset with the same *shape*: every table, every column, and —
+critically — value domains that cover every literal predicate in the
+query corpus (harvested from the 103 .sql files), so the queries
+exercise their real plans instead of constant-folding to empty.
+
+Design rules:
+
+- **Deterministic**: fixed numpy PCG64 seed per table; no wall-clock.
+  Byte-identical parquet on every run/machine.
+- **Linked**: returns are subsets of sales (same ticket/order + item
+  + customer) with later dates; multi-line orders share order number,
+  date and customer but vary warehouse (q16/q94's EXISTS-other-line
+  predicates); inventory is a weekly snapshot aligned to
+  date_dim.d_week_seq (q72's same-week join).
+- **Calendar facts are real**: d_month_seq = (year-1900)*12+moy-1 so
+  the corpus literal 1176 == 1998-01 (dsdgen's own convention),
+  day names / dow / quarter names computed from the actual date.
+- **Money is decimal(7,2)** exactly as the reference schemas declare:
+  decimal sums are associative, so aggregates are bit-deterministic
+  across engines and partitionings (the repo's decimal-bridge rule).
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import date, timedelta
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .schema import TPCDS_SCHEMAS
+
+# ---------------------------------------------------------------------------
+# Global layout constants
+# ---------------------------------------------------------------------------
+EPOCH = date(1900, 1, 1)  # d_date_sk = days since EPOCH (dsdgen uses julian)
+CAL_START = date(1990, 1, 1)
+CAL_END = date(2003, 12, 31)
+SALES_START = date(1998, 1, 1)  # corpus literals live in 1998-2002
+SALES_END = date(2002, 12, 31)
+
+MARKER = "_GENERATED_OK"
+
+
+def _sk(d: date) -> int:
+    return (d - EPOCH).days
+
+
+SALES_SK_LO, SALES_SK_HI = _sk(SALES_START), _sk(SALES_END)
+
+# Value pools covering every string literal the 103 queries compare
+# against (harvested; see module docstring).
+CATEGORIES = [
+    "Books", "Children", "Electronics", "Home", "Jewelry",
+    "Men", "Music", "Shoes", "Sports", "Women",
+]
+CLASSES = [
+    "accessories", "birdal", "classical", "dresses", "fragrances",
+    "newborn", "pants", "personal", "portable", "reference", "rock",
+    "self-help", "womens", "computers", "fiction", "football",
+]
+COLORS = [
+    "almond",
+    "antique",
+    "aquamarine",
+    "azure",
+    "beige",
+    "bisque",
+    "black",
+    "blanched",
+    "blue",
+    "blush",
+    "brown",
+    "burlywood",
+    "burnished",
+    "chartreuse",
+    "chiffon",
+    "cyan",
+    "lace",
+    "lawn",
+    "metallic",
+    "peach",
+    "powder",
+    "khaki",
+    "orchid",
+    "saddle",
+    "indian",
+    "spring",
+    "navajo",
+    "slate",
+    "snow",
+    "yellow",
+]
+SIZES = ["N/A", "extra large", "large", "medium", "petite", "small"]
+UNITS = [
+    "Box", "Bunch", "Bundle", "Carton", "Case", "Cup", "Dozen",
+    "Dram", "Each", "Gram", "Gross", "Lb", "N/A", "Ounce", "Oz",
+    "Pallet", "Pound", "Tbl", "Ton", "Tsp", "Unknown",
+]
+# dsdgen builds brands/manufacturers/product names from these
+# number-word syllables; the corpus filters on specific combinations.
+SYL = [
+    "ought", "able", "pri", "ese", "anti", "cally", "ation", "eing",
+    "n st", "bar",
+]
+BRAND_LITERALS = [
+    "amalgimporto #1", "edu packscholar #1", "exportiimporto #1",
+    "exportiunivamalg #9", "importoamalg #1", "scholaramalgamalg #14",
+    "scholaramalgamalg #7", "scholaramalgamalg #9",
+]
+BRAND_HALVES = [
+    "amalg", "importo", "edu pack", "scholar", "brand", "corp",
+    "maxi", "univ", "nameless", "exporti",
+]
+STATES = [
+    "AL", "CA", "GA", "IA", "ID", "IL", "IN", "KS", "KY", "LA",
+    "MI", "MN", "MO", "NC", "ND", "NE", "NM", "NY", "OH", "OK",
+    "OR", "SC", "SD", "TN", "TX", "VA", "WA", "WI", "WV",
+]
+COUNTIES = [
+    "Fairfield County", "Walker County", "Washington County",
+    "Williamson County", "Ziebach County", "Barrow County",
+    "Bronx County", "Franklin Parish", "Luce County", "Richland County",
+]
+CITIES = [
+    "Midway", "Fairview", "Oak Grove", "Oakland", "Riverside",
+    "Glendale", "Centerville", "Salem", "Georgetown", "Greenfield",
+    "Liberty", "Bethel", "Clinton", "Marion", "Antioch",
+]
+COUNTRIES = [
+    "UNITED STATES", "GERMANY", "BRAZIL", "CANADA", "JAPAN",
+    "FRANCE", "MEXICO", "INDIA", "CHINA", "AUSTRALIA",
+]
+# 5-digit zip prefixes from the q8/q45 IN-lists plus filler
+ZIPS = [
+    "10000",
+    "10001",
+    "10002",
+    "10003",
+    "10004",
+    "10005",
+    "10006",
+    "10007",
+    "10008",
+    "10009",
+    "10010",
+    "10011",
+    "10012",
+    "10013",
+    "10014",
+    "10015",
+    "10016",
+    "10017",
+    "10018",
+    "10019",
+    "10020",
+    "10021",
+    "10022",
+    "10023",
+    "10024",
+    "10025",
+    "10026",
+    "10027",
+    "10028",
+    "10029",
+    "10030",
+    "10031",
+    "10032",
+    "10033",
+    "10034",
+    "10035",
+    "10036",
+    "10037",
+    "10038",
+    "10039",
+    "10040",
+    "10041",
+    "10042",
+    "10043",
+    "10044",
+    "10045",
+    "10046",
+    "10047",
+    "10048",
+    "10049",
+    "16807",
+    "24128",
+    "47306",
+    "57834",
+    "80348",
+    "81792",
+    "83405",
+    "85392",
+    "85460",
+    "85669",
+    "86197",
+    "86475",
+    "88274",
+    "99543",
+]
+EDUCATION = [
+    "Unknown", "Primary", "Secondary", "College", "2 yr Degree",
+    "4 yr Degree", "Advanced Degree",
+]
+MARITAL = ["M", "S", "D", "W", "U"]
+BUY_POTENTIAL = [
+    "0-500", "501-1000", "1001-5000", "5001-10000", ">10000", "Unknown",
+]
+CREDIT_RATING = ["Good", "High Risk", "Low Risk", "Unknown"]
+FIRST_NAMES = [
+    "James", "Mary", "John", "Patricia", "Robert", "Jennifer",
+    "Michael", "Linda", "William", "Elizabeth", "David", "Barbara",
+    "Richard", "Susan", "Joseph", "Jessica", "Thomas", "Sarah",
+    "Charles", "Karen", "Anna", "Brian", "Laura", "Kevin", "Emma",
+]
+LAST_NAMES = [
+    "Smith", "Johnson", "Williams", "Brown", "Jones", "Garcia",
+    "Miller", "Davis", "Rodriguez", "Martinez", "Hernandez", "Lopez",
+    "Gonzalez", "Wilson", "Anderson", "Thomas", "Taylor", "Moore",
+    "Jackson", "Martin", "Lee", "Perez", "White", "Harris", "Clark",
+]
+DAY_NAMES = [
+    "Sunday", "Monday", "Tuesday", "Wednesday", "Thursday", "Friday",
+    "Saturday",
+]
+MEALS = {range(6, 10): "breakfast", range(11, 15): "lunch", range(17, 22): "dinner"}
+
+# Micro-scale row counts (tuned so the 103-query sweep runs in
+# minutes while every query family still has matching rows).
+SIZES_N = {
+    "item": 1000,
+    "customer": 4000,
+    "customer_address": 2000,
+    "store": 12,
+    "call_center": 6,
+    "catalog_page": 200,
+    "warehouse": 5,
+    "web_site": 12,
+    "web_page": 40,
+    "promotion": 100,
+    "reason": 35,
+    "ship_mode": 20,
+    "income_band": 20,
+    "ss_tickets": 9000,
+    "ss_lines": 60000,
+    "cs_orders": 6000,
+    "cs_lines": 24000,
+    "ws_orders": 3500,
+    "ws_lines": 14000,
+    "return_frac": 0.12,
+    "inv_item_step": 2,
+}
+
+# Density knobs: micro-scale data needs deliberate correlation for
+# the most selective query families to return rows (at dsdgen SF1 the
+# sheer row count provides it).
+HOT_ITEMS = 15  # item sks 1..15 get ~25% of store sales (q23's >4-a-day)
+HOT_RET_ITEMS = 12  # return-side bias (q83's 3-channel intersection)
+BIG_TICKET_FRAC = 0.12  # lines routed to ~300 big tickets (q34's 15-20)
+CS_LINK_FRAC = 0.12  # cs lines re-targeted at store-return pairs (q17/q25/q29)
+YEAR_W = [0.30, 0.25, 0.20, 0.15, 0.10]  # 1998..2002 sales-date weights
+
+
+def _sales_dates(rng, n: int) -> np.ndarray:
+    """Year-weighted uniform day within the year (queries filter
+    1998/1999 overwhelmingly)."""
+    years = rng.choice(5, size=n, p=YEAR_W)
+    lo = np.array([_sk(date(1998 + y, 1, 1)) for y in range(5)])
+    hi = np.array([_sk(date(1998 + y, 12, 31)) for y in range(5)])
+    return lo[years] + (
+        rng.random(n) * (hi[years] - lo[years] + 1)
+    ).astype(np.int64)
+
+
+def _money(cents: np.ndarray, mask: np.ndarray | None = None) -> pa.Array:
+    """int cents → decimal(7,2) arrow array (exact)."""
+    arr = pa.array(cents.astype("float64") / 100.0, mask=mask)
+    return arr.cast(pa.decimal128(7, 2))
+
+
+def _dec_type(t: str):
+    if t.startswith("decimal"):
+        p, s = t[8:-1].split(",")
+        return pa.decimal128(int(p), int(s))
+    return {
+        "bigint": pa.int64(),
+        "int": pa.int32(),
+        "string": pa.string(),
+        "date": pa.date32(),
+        "double": pa.float64(),
+    }[t]
+
+
+def _table(name: str, cols: dict) -> pa.Table:
+    """Assemble an arrow table in schema order, casting to the
+    declared types; every schema column must be provided."""
+    schema = TPCDS_SCHEMAS[name]
+    missing = [c for c, _ in schema if c not in cols]
+    if missing:
+        raise ValueError(f"{name}: missing {missing}")
+    n_rows = None
+    for v in cols.values():
+        if isinstance(v, (pa.Array, np.ndarray, list)):
+            n_rows = len(v)
+            break
+    arrays, fields = [], []
+    for cname, ctype in schema:
+        v = cols[cname]
+        t = _dec_type(ctype)
+        if isinstance(v, (str, int, float)):  # scalar → broadcast
+            v = [v] * n_rows
+        if isinstance(v, pa.Array):
+            arr = v.cast(t) if v.type != t else v
+        else:
+            arr = pa.array(v).cast(t)
+        arrays.append(arr)
+        fields.append(pa.field(cname, t))
+    return pa.Table.from_arrays(arrays, schema=pa.schema(fields))
+
+
+def _nullify(rng, vals: np.ndarray, frac: float) -> pa.Array:
+    mask = rng.random(len(vals)) < frac
+    return pa.array(vals, mask=mask)
+
+
+def _ids(prefix: str, sks) -> list[str]:
+    return [f"{prefix}{int(s):012d}" for s in sks]
+
+
+# ---------------------------------------------------------------------------
+# Dimension tables
+# ---------------------------------------------------------------------------
+def gen_date_dim() -> pa.Table:
+    days = (CAL_END - CAL_START).days + 1
+    dates = [CAL_START + timedelta(days=i) for i in range(days)]
+    sks = np.array([_sk(d) for d in dates], dtype=np.int64)
+    y = np.array([d.year for d in dates], dtype=np.int64)
+    m = np.array([d.month for d in dates], dtype=np.int64)
+    dom = np.array([d.day for d in dates], dtype=np.int64)
+    dow = np.array([(d.weekday() + 1) % 7 for d in dates], dtype=np.int64)
+    qoy = (m - 1) // 3 + 1
+    month_seq = (y - 1900) * 12 + (m - 1)
+    week_seq = (sks + 1) // 7  # +1 aligns week boundary to Sunday
+    first_dom = np.array([_sk(d.replace(day=1)) for d in dates], dtype=np.int64)
+    # holidays: fixed (moy, dom) set — deterministic, a few per year
+    hol = {(1, 1), (7, 4), (11, 25), (12, 25), (12, 31), (2, 14), (5, 31)}
+    is_hol = np.array([(mm, dd) in hol for mm, dd in zip(m, dom)])
+    next_hol = np.roll(is_hol, -1)
+    return _table(
+        "date_dim",
+        {
+            "d_date_sk": sks,
+            "d_date_id": _ids("AAAAAAAA", sks),
+            "d_date": pa.array(dates, type=pa.date32()),
+            "d_month_seq": month_seq,
+            "d_week_seq": week_seq,
+            "d_quarter_seq": (y - 1900) * 4 + qoy - 1,
+            "d_year": y,
+            "d_dow": dow,
+            "d_moy": m,
+            "d_dom": dom,
+            "d_qoy": qoy,
+            "d_fy_year": y,
+            "d_fy_quarter_seq": (y - 1900) * 4 + qoy - 1,
+            "d_fy_week_seq": week_seq,
+            "d_day_name": [DAY_NAMES[w] for w in dow],
+            "d_quarter_name": [f"{yy}Q{qq}" for yy, qq in zip(y, qoy)],
+            "d_holiday": np.where(is_hol, "Y", "N"),
+            "d_weekend": np.where((dow == 0) | (dow == 6), "Y", "N"),
+            "d_following_holiday": np.where(next_hol, "Y", "N"),
+            "d_first_dom": first_dom,
+            "d_last_dom": first_dom + 27,  # spec-style approximation
+            "d_same_day_ly": sks - 365,
+            "d_same_day_lq": sks - 91,
+            "d_current_day": "N",
+            "d_current_week": "N",
+            "d_current_month": "N",
+            "d_current_quarter": "N",
+            "d_current_year": "N",
+        },
+    )
+
+
+def gen_time_dim() -> pa.Table:
+    t = np.arange(86400, dtype=np.int64)
+    hour = t // 3600
+    minute = (t % 3600) // 60
+    meal = np.full(86400, None, dtype=object)
+    for rng_, name in MEALS.items():
+        sel = (hour >= rng_.start) & (hour < rng_.stop)
+        meal[sel] = name
+    shift = np.where(hour < 8, "third", np.where(hour < 16, "first", "second"))
+    return _table(
+        "time_dim",
+        {
+            "t_time_sk": t,
+            "t_time_id": _ids("AAAAAAAA", t),
+            "t_time": t,
+            "t_hour": hour,
+            "t_minute": minute,
+            "t_second": t % 60,
+            "t_am_pm": np.where(hour < 12, "AM", "PM"),
+            "t_shift": shift,
+            "t_sub_shift": np.where(hour < 12, "morning", "afternoon"),
+            "t_meal_time": pa.array(list(meal), type=pa.string()),
+        },
+    )
+
+
+def gen_item(n: int) -> pa.Table:
+    rng = np.random.default_rng(101)
+    sk = np.arange(1, n + 1, dtype=np.int64)
+    # SCD: every 10th item shares i_item_id with its predecessor
+    id_of = sk.copy()
+    id_of[9::10] = id_of[8::10]
+    brand_pool = BRAND_LITERALS + [
+        f"{a}{b} #{i}"
+        for i, (a, b) in enumerate(
+            [(x, yy) for x in BRAND_HALVES for yy in BRAND_HALVES][:40], 1
+        )
+    ]
+    brand_idx = rng.integers(0, len(brand_pool), n)
+    cat_idx = rng.integers(0, len(CATEGORIES), n)
+    class_idx = rng.integers(0, len(CLASSES), n)
+    price_c = rng.integers(9, 10000, n)  # 0.09 .. 99.99
+    start = np.where(sk % 10 == 9, _sk(date(2000, 10, 27)), _sk(date(1997, 10, 27)))
+    prod_name = [
+        "".join(SYL[int(c)] for c in f"{i % 100000:05d}") for i in sk
+    ]
+    return _table(
+        "item",
+        {
+            "i_item_sk": sk,
+            "i_item_id": _ids("AAAAAAAA", id_of),
+            "i_rec_start_date": pa.array(
+                [EPOCH + timedelta(days=int(s)) for s in start], pa.date32()
+            ),
+            "i_rec_end_date": pa.array(
+                [
+                    date(2000, 10, 26) if s % 10 == 8 else None
+                    for s in sk
+                ],
+                pa.date32(),
+            ),
+            "i_item_desc": [
+                f"Item description {i} " + "x" * int(rng.integers(0, 60))
+                for i in sk
+            ],
+            "i_current_price": _money(price_c),
+            "i_wholesale_cost": _money((price_c * 0.6).astype(np.int64)),
+            "i_brand_id": 1001000 + brand_idx,
+            "i_brand": [brand_pool[i] for i in brand_idx],
+            "i_class_id": class_idx + 1,
+            "i_class": [CLASSES[i] for i in class_idx],
+            "i_category_id": cat_idx + 1,
+            "i_category": [CATEGORIES[i] for i in cat_idx],
+            "i_manufact_id": np.where(
+                rng.random(n) < 0.25,
+                rng.integers(650, 701, n),
+                rng.integers(1, 1001, n),
+            ),
+            "i_manufact": [
+                "".join(SYL[int(c)] for c in f"{int(x):03d}")
+                for x in rng.integers(0, 1000, n)
+            ],
+            "i_size": [SIZES[i] for i in rng.integers(0, len(SIZES), n)],
+            "i_formulation": [
+                f"{int(x):08d}" for x in rng.integers(0, 10**8, n)
+            ],
+            "i_color": [COLORS[i] for i in rng.integers(0, len(COLORS), n)],
+            "i_units": [UNITS[i] for i in rng.integers(0, len(UNITS), n)],
+            "i_container": "Unknown",
+            "i_manager_id": rng.integers(1, 101, n),
+            "i_product_name": prod_name,
+        },
+    )
+
+
+def gen_customer_demographics() -> pa.Table:
+    rows = []
+    sk = 0
+    for g in ["M", "F"]:
+        for ms in MARITAL:
+            for ed in EDUCATION:
+                for pe in [500, 1500, 5000, 9000]:
+                    for cr in CREDIT_RATING:
+                        sk += 1
+                        rows.append((sk, g, ms, ed, pe, cr))
+    a = list(zip(*rows))
+    n = len(rows)
+    dep = np.arange(n) % 7
+    return _table(
+        "customer_demographics",
+        {
+            "cd_demo_sk": np.array(a[0], dtype=np.int64),
+            "cd_gender": list(a[1]),
+            "cd_marital_status": list(a[2]),
+            "cd_education_status": list(a[3]),
+            "cd_purchase_estimate": np.array(a[4], dtype=np.int64),
+            "cd_credit_rating": list(a[5]),
+            "cd_dep_count": dep,
+            "cd_dep_employed_count": (np.arange(n) // 7) % 7,
+            "cd_dep_college_count": (np.arange(n) // 49) % 7,
+        },
+    )
+
+
+def gen_household_demographics() -> pa.Table:
+    rows = []
+    sk = 0
+    for ib in range(1, 21):
+        for bp in BUY_POTENTIAL:
+            for dep in [0, 1, 3, 5, 7, 9]:
+                sk += 1
+                rows.append((sk, ib, bp, dep))
+    a = list(zip(*rows))
+    n = len(rows)
+    return _table(
+        "household_demographics",
+        {
+            "hd_demo_sk": np.array(a[0], dtype=np.int64),
+            "hd_income_band_sk": np.array(a[1], dtype=np.int64),
+            "hd_buy_potential": list(a[2]),
+            "hd_dep_count": np.array(a[3], dtype=np.int64),
+            "hd_vehicle_count": np.arange(n) % 7 - 1,
+        },
+    )
+
+
+def gen_income_band() -> pa.Table:
+    sk = np.arange(1, 21, dtype=np.int64)
+    return _table(
+        "income_band",
+        {
+            "ib_income_band_sk": sk,
+            "ib_lower_bound": (sk - 1) * 10000 + np.where(sk > 1, 1, 0),
+            "ib_upper_bound": sk * 10000,
+        },
+    )
+
+
+def gen_customer_address(n: int) -> pa.Table:
+    rng = np.random.default_rng(102)
+    sk = np.arange(1, n + 1, dtype=np.int64)
+    city_i = rng.integers(0, len(CITIES), n)
+    state_i = rng.integers(0, len(STATES), n)
+    return _table(
+        "customer_address",
+        {
+            "ca_address_sk": sk,
+            "ca_address_id": _ids("AAAAAAAA", sk),
+            "ca_street_number": [str(int(x)) for x in rng.integers(1, 1000, n)],
+            "ca_street_name": [
+                f"{SYL[int(a)]} {SYL[int(b)]}"
+                for a, b in rng.integers(0, 10, (n, 2))
+            ],
+            "ca_street_type": [
+                ["Ave", "Blvd", "Ct", "Dr", "Ln", "Rd", "St", "Way"][i]
+                for i in rng.integers(0, 8, n)
+            ],
+            "ca_suite_number": [f"Suite {int(x)}" for x in rng.integers(0, 100, n)],
+            "ca_city": [CITIES[i] for i in city_i],
+            "ca_county": [COUNTIES[i] for i in rng.integers(0, len(COUNTIES), n)],
+            "ca_state": _nullify(
+                rng, np.array([STATES[i] for i in state_i], dtype=object), 0.02
+            ),
+            "ca_zip": [ZIPS[i] for i in rng.integers(0, len(ZIPS), n)],
+            "ca_country": "United States",
+            "ca_gmt_offset": _money(
+                np.array([-500, -600, -700, -800])[rng.integers(0, 4, n)]
+            ),
+            "ca_location_type": [
+                ["apartment", "condo", "single family"][i]
+                for i in rng.integers(0, 3, n)
+            ],
+        },
+    )
+
+
+def gen_customer(n: int, n_addr: int, n_cd: int, n_hd: int) -> pa.Table:
+    rng = np.random.default_rng(103)
+    sk = np.arange(1, n + 1, dtype=np.int64)
+    fn = [FIRST_NAMES[i] for i in rng.integers(0, len(FIRST_NAMES), n)]
+    ln = [LAST_NAMES[i] for i in rng.integers(0, len(LAST_NAMES), n)]
+    first_sales = rng.integers(_sk(date(1994, 1, 1)), SALES_SK_HI - 400, n)
+    country_i = np.where(
+        rng.random(n) < 0.35, 0, rng.integers(0, len(COUNTRIES), n)
+    )
+    return _table(
+        "customer",
+        {
+            "c_customer_sk": sk,
+            "c_customer_id": _ids("AAAAAAAA", sk),
+            "c_current_cdemo_sk": _nullify(rng, rng.integers(1, n_cd + 1, n), 0.02),
+            "c_current_hdemo_sk": _nullify(rng, rng.integers(1, n_hd + 1, n), 0.02),
+            "c_current_addr_sk": rng.integers(1, n_addr + 1, n),
+            "c_first_shipto_date_sk": first_sales + 30,
+            "c_first_sales_date_sk": first_sales,
+            "c_salutation": [
+                ["Mr.", "Mrs.", "Ms.", "Dr.", "Sir", "Miss"][i]
+                for i in rng.integers(0, 6, n)
+            ],
+            "c_first_name": fn,
+            "c_last_name": ln,
+            "c_preferred_cust_flag": np.where(rng.random(n) < 0.5, "Y", "N"),
+            "c_birth_day": rng.integers(1, 29, n),
+            "c_birth_month": rng.integers(1, 13, n),
+            "c_birth_year": rng.integers(1924, 1993, n),
+            "c_birth_country": [COUNTRIES[i] for i in country_i],
+            "c_login": pa.array([None] * n, pa.string()),
+            "c_email_address": [
+                f"{a}.{b}@example.com" for a, b in zip(fn, ln)
+            ],
+            "c_last_review_date": rng.integers(SALES_SK_LO, SALES_SK_HI, n),
+        },
+    )
+
+
+def gen_store(n: int) -> pa.Table:
+    rng = np.random.default_rng(104)
+    sk = np.arange(1, n + 1, dtype=np.int64)
+    names = [SYL[i % len(SYL)] for i in range(n)]  # includes 'ese'
+    states = ["TN"] * 8 + ["OH", "SD", "TN", "TN"]
+    return _table(
+        "store",
+        {
+            "s_store_sk": sk,
+            # Unique id per row (no SCD pairs): with shared ids, q59's
+            # year-over-year self-join ties distinct ratio rows on its
+            # (name, id, week) ORDER BY at the LIMIT cutoff, making the
+            # result nondeterministic between engines.
+            "s_store_id": _ids("AAAAAAAA", sk),
+            "s_rec_start_date": pa.array([date(1997, 3, 13)] * n, pa.date32()),
+            "s_rec_end_date": pa.array([None] * n, pa.date32()),
+            "s_closed_date_sk": pa.array([None] * n, pa.int64()),
+            "s_store_name": names,
+            "s_number_employees": rng.integers(200, 301, n),
+            "s_floor_space": rng.integers(5000000, 10000001, n),
+            "s_hours": ["8AM-8PM", "8AM-4PM", "8AM-12AM"][0:1] * n,
+            "s_manager": [
+                f"{FIRST_NAMES[i]} {LAST_NAMES[j]}"
+                for i, j in rng.integers(0, 25, (n, 2))
+            ],
+            "s_market_id": rng.integers(1, 11, n),
+            "s_geography_class": "Unknown",
+            "s_market_desc": [f"Market desc {i}" for i in sk],
+            "s_market_manager": [
+                f"{FIRST_NAMES[i]} {LAST_NAMES[j]}"
+                for i, j in rng.integers(0, 25, (n, 2))
+            ],
+            "s_division_id": np.ones(n, dtype=np.int64),
+            "s_division_name": "Unknown",
+            "s_company_id": np.ones(n, dtype=np.int64),
+            "s_company_name": "Unknown",
+            "s_street_number": [str(int(x)) for x in rng.integers(1, 1000, n)],
+            "s_street_name": [
+                f"{SYL[int(a)]} {SYL[int(b)]}"
+                for a, b in rng.integers(0, 10, (n, 2))
+            ],
+            "s_street_type": "Blvd",
+            "s_suite_number": [f"Suite {int(x)}" for x in rng.integers(0, 100, n)],
+            "s_city": [["Midway", "Fairview"][i % 2] for i in range(n)],
+            "s_county": "Williamson County",
+            "s_state": states,
+            "s_zip": [ZIPS[i] for i in rng.integers(0, len(ZIPS), n)],
+            "s_country": "United States",
+            "s_gmt_offset": _money(np.full(n, -500)),
+            "s_tax_precentage": _money(rng.integers(0, 12, n)),
+        },
+    )
+
+
+def gen_call_center(n: int) -> pa.Table:
+    rng = np.random.default_rng(105)
+    sk = np.arange(1, n + 1, dtype=np.int64)
+    return _table(
+        "call_center",
+        {
+            "cc_call_center_sk": sk,
+            "cc_call_center_id": _ids("AAAAAAAA", (sk + 1) // 2),
+            "cc_rec_start_date": pa.array([date(1998, 1, 1)] * n, pa.date32()),
+            "cc_rec_end_date": pa.array([None] * n, pa.date32()),
+            "cc_closed_date_sk": pa.array([None] * n, pa.int64()),
+            "cc_open_date_sk": np.full(n, _sk(date(1997, 1, 1)), dtype=np.int64),
+            "cc_name": [f"{['NY Metro','Mid Atlantic','North Midwest'][i % 3]}" for i in range(n)],
+            "cc_class": [["small", "medium", "large"][i % 3] for i in range(n)],
+            "cc_employees": rng.integers(100, 700, n),
+            "cc_sq_ft": rng.integers(10000, 50000, n),
+            "cc_hours": "8AM-8PM",
+            "cc_manager": [
+                f"{FIRST_NAMES[i]} {LAST_NAMES[j]}"
+                for i, j in rng.integers(0, 25, (n, 2))
+            ],
+            "cc_mkt_id": rng.integers(1, 7, n),
+            "cc_mkt_class": [f"Class {i}" for i in sk],
+            "cc_mkt_desc": [f"Mkt desc {i}" for i in sk],
+            "cc_market_manager": [
+                f"{FIRST_NAMES[i]} {LAST_NAMES[j]}"
+                for i, j in rng.integers(0, 25, (n, 2))
+            ],
+            "cc_division": np.ones(n, dtype=np.int64),
+            "cc_division_name": "cally",
+            "cc_company": np.ones(n, dtype=np.int64),
+            "cc_company_name": "pri",
+            "cc_street_number": "100",
+            "cc_street_name": "ought blvd",
+            "cc_street_type": "Blvd",
+            "cc_suite_number": "Suite 1",
+            "cc_city": "Midway",
+            "cc_county": "Williamson County",
+            "cc_state": "TN",
+            "cc_zip": ZIPS[0],
+            "cc_country": "United States",
+            "cc_gmt_offset": _money(np.full(n, -500)),
+            "cc_tax_percentage": _money(rng.integers(0, 12, n)),
+        },
+    )
+
+
+def gen_catalog_page(n: int) -> pa.Table:
+    rng = np.random.default_rng(106)
+    sk = np.arange(1, n + 1, dtype=np.int64)
+    return _table(
+        "catalog_page",
+        {
+            "cp_catalog_page_sk": sk,
+            "cp_catalog_page_id": _ids("AAAAAAAA", sk),
+            "cp_start_date_sk": np.full(n, SALES_SK_LO, dtype=np.int64),
+            "cp_end_date_sk": np.full(n, SALES_SK_HI, dtype=np.int64),
+            "cp_department": "DEPARTMENT",
+            "cp_catalog_number": (sk - 1) // 100 + 1,
+            "cp_catalog_page_number": (sk - 1) % 100 + 1,
+            "cp_description": [f"Catalog page {i}" for i in sk],
+            "cp_type": [
+                ["bi-annual", "monthly", "quarterly"][i] for i in rng.integers(0, 3, n)
+            ],
+        },
+    )
+
+
+def gen_warehouse(n: int) -> pa.Table:
+    rng = np.random.default_rng(107)
+    sk = np.arange(1, n + 1, dtype=np.int64)
+    return _table(
+        "warehouse",
+        {
+            "w_warehouse_sk": sk,
+            "w_warehouse_id": _ids("AAAAAAAA", sk),
+            "w_warehouse_name": [f"Warehouse {SYL[i % 10]}" for i in range(n)],
+            "w_warehouse_sq_ft": rng.integers(50000, 1000001, n),
+            "w_street_number": [str(int(x)) for x in rng.integers(1, 1000, n)],
+            "w_street_name": "bar ation",
+            "w_street_type": "Ave",
+            "w_suite_number": "Suite 0",
+            "w_city": "Midway",
+            "w_county": "Williamson County",
+            "w_state": ["TN", "OH", "SD", "TN", "TN"][:n],
+            "w_zip": [ZIPS[i] for i in rng.integers(0, len(ZIPS), n)],
+            "w_country": "United States",
+            "w_gmt_offset": _money(np.full(n, -500)),
+        },
+    )
+
+
+def gen_ship_mode() -> pa.Table:
+    types = ["EXPRESS", "NEXT DAY", "OVERNIGHT", "REGULAR", "TWO DAY"]
+    carriers = ["UPS", "FEDEX", "AIRBORNE", "PRIVATECARRIER"]
+    sk, t, c = [], [], []
+    i = 0
+    for ty in types:
+        for ca in carriers:
+            i += 1
+            sk.append(i)
+            t.append(ty)
+            c.append(ca)
+    n = len(sk)
+    return _table(
+        "ship_mode",
+        {
+            "sm_ship_mode_sk": np.array(sk, dtype=np.int64),
+            "sm_ship_mode_id": _ids("AAAAAAAA", sk),
+            "sm_type": t,
+            "sm_code": [["AIR", "SURFACE", "SEA"][i % 3] for i in range(n)],
+            "sm_carrier": c,
+            "sm_contract": [f"contract {i}" for i in range(n)],
+        },
+    )
+
+
+def gen_reason() -> pa.Table:
+    descs = ["Package was damaged"] + [f"reason {i}" for i in range(2, 36)]
+    sk = np.arange(1, 36, dtype=np.int64)
+    return _table(
+        "reason",
+        {
+            "r_reason_sk": sk,
+            "r_reason_id": _ids("AAAAAAAA", sk),
+            "r_reason_desc": descs,
+        },
+    )
+
+
+def gen_promotion(n: int, n_item: int) -> pa.Table:
+    rng = np.random.default_rng(108)
+    sk = np.arange(1, n + 1, dtype=np.int64)
+    start = rng.integers(SALES_SK_LO, SALES_SK_HI - 60, n)
+    yn = lambda p: np.where(rng.random(n) < p, "Y", "N")  # noqa: E731
+    return _table(
+        "promotion",
+        {
+            "p_promo_sk": sk,
+            "p_promo_id": _ids("AAAAAAAA", sk),
+            "p_start_date_sk": start,
+            "p_end_date_sk": start + rng.integers(10, 60, n),
+            "p_item_sk": rng.integers(1, n_item + 1, n),
+            "p_cost": _money(rng.integers(50000, 300000, n)),
+            "p_response_target": np.ones(n, dtype=np.int64),
+            "p_promo_name": [SYL[i % 10] for i in range(n)],
+            "p_channel_dmail": yn(0.5),
+            "p_channel_email": yn(0.5),
+            "p_channel_catalog": yn(0.5),
+            "p_channel_tv": yn(0.5),
+            "p_channel_radio": yn(0.5),
+            "p_channel_press": yn(0.5),
+            "p_channel_event": yn(0.5),
+            "p_channel_demo": yn(0.5),
+            "p_channel_details": [f"promo details {i}" for i in sk],
+            "p_purpose": "Unknown",
+            "p_discount_active": "N",
+        },
+    )
+
+
+def gen_web_site(n: int) -> pa.Table:
+    rng = np.random.default_rng(109)
+    sk = np.arange(1, n + 1, dtype=np.int64)
+    return _table(
+        "web_site",
+        {
+            "web_site_sk": sk,
+            "web_site_id": _ids("AAAAAAAA", sk),
+            "web_rec_start_date": pa.array([date(1997, 8, 16)] * n, pa.date32()),
+            "web_rec_end_date": pa.array([None] * n, pa.date32()),
+            "web_name": [f"site_{i % 4}" for i in range(n)],
+            "web_open_date_sk": np.full(n, _sk(date(1997, 1, 1)), dtype=np.int64),
+            "web_close_date_sk": pa.array([None] * n, pa.int64()),
+            "web_class": "Unknown",
+            "web_manager": [
+                f"{FIRST_NAMES[i]} {LAST_NAMES[j]}"
+                for i, j in rng.integers(0, 25, (n, 2))
+            ],
+            "web_mkt_id": rng.integers(1, 7, n),
+            "web_mkt_class": [f"Class {i}" for i in sk],
+            "web_mkt_desc": [f"Mkt desc {i}" for i in sk],
+            "web_market_manager": [
+                f"{FIRST_NAMES[i]} {LAST_NAMES[j]}"
+                for i, j in rng.integers(0, 25, (n, 2))
+            ],
+            "web_company_id": (sk - 1) % 6 + 1,
+            "web_company_name": [SYL[i % 6] for i in range(n)],  # incl 'pri'
+            "web_street_number": [str(int(x)) for x in rng.integers(1, 1000, n)],
+            "web_street_name": "eing st",
+            "web_street_type": "St",
+            "web_suite_number": "Suite 2",
+            "web_city": "Midway",
+            "web_county": "Williamson County",
+            "web_state": "TN",
+            "web_zip": [ZIPS[i] for i in rng.integers(0, len(ZIPS), n)],
+            "web_country": "United States",
+            "web_gmt_offset": _money(np.full(n, -500)),
+            "web_tax_percentage": _money(rng.integers(0, 12, n)),
+        },
+    )
+
+
+def gen_web_page(n: int, n_cust: int) -> pa.Table:
+    rng = np.random.default_rng(110)
+    sk = np.arange(1, n + 1, dtype=np.int64)
+    return _table(
+        "web_page",
+        {
+            "wp_web_page_sk": sk,
+            "wp_web_page_id": _ids("AAAAAAAA", sk),
+            "wp_rec_start_date": pa.array([date(1997, 9, 3)] * n, pa.date32()),
+            "wp_rec_end_date": pa.array([None] * n, pa.date32()),
+            "wp_creation_date_sk": np.full(n, SALES_SK_LO, dtype=np.int64),
+            "wp_access_date_sk": np.full(n, SALES_SK_LO + 100, dtype=np.int64),
+            "wp_autogen_flag": np.where(rng.random(n) < 0.5, "Y", "N"),
+            "wp_customer_sk": _nullify(rng, rng.integers(1, n_cust + 1, n), 0.7),
+            "wp_url": "http://www.foo.com",
+            "wp_type": [
+                ["ad", "dynamic", "feedback", "general", "order", "protected", "welcome"][i]
+                for i in rng.integers(0, 7, n)
+            ],
+            # first 10 pages pinned into q90's 5000-5200 window
+            "wp_char_count": np.where(
+                sk <= 10,
+                rng.integers(5000, 5201, n),
+                rng.integers(100, 7001, n),
+            ),
+            "wp_link_count": rng.integers(2, 25, n),
+            "wp_image_count": rng.integers(1, 7, n),
+            "wp_max_ad_count": rng.integers(0, 4, n),
+        },
+    )
+
+
+def gen_inventory(n_item: int, n_wh: int, step: int) -> pa.Table:
+    rng = np.random.default_rng(111)
+    # weekly snapshots aligned to week boundaries (dow==0 under our
+    # week_seq convention), 1997-01 .. 2002-12
+    lo, hi = _sk(date(1997, 1, 1)), _sk(date(2002, 12, 31))
+    days = np.arange(lo, hi + 1, dtype=np.int64)
+    week_days = days[(days + 1) % 7 == 0]
+    items = np.arange(1, n_item + 1, step, dtype=np.int64)
+    whs = np.arange(1, n_wh + 1, dtype=np.int64)
+    d, i, w = np.meshgrid(week_days, items, whs, indexing="ij")
+    n = d.size
+    return _table(
+        "inventory",
+        {
+            "inv_date_sk": d.ravel(),
+            "inv_item_sk": i.ravel(),
+            "inv_warehouse_sk": w.ravel(),
+            "inv_quantity_on_hand": np.minimum(
+                1000, rng.lognormal(4.5, 1.4, n)
+            ).astype(np.int32),
+        },
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fact tables: sales + linked returns
+# ---------------------------------------------------------------------------
+def _sales_money(rng, qty: np.ndarray):
+    """Consistent money columns from quantity (all int cents)."""
+    n = len(qty)
+    wholesale = rng.integers(100, 10000, n)  # 1.00..99.99
+    list_p = (wholesale * (1.2 + rng.random(n) * 1.2)).astype(np.int64)
+    sales_p = (list_p * rng.random(n)).astype(np.int64)
+    ext_discount = (list_p - sales_p) * qty
+    ext_sales = sales_p * qty
+    ext_wholesale = wholesale * qty
+    ext_list = list_p * qty
+    tax = (ext_sales * rng.integers(0, 10, n) / 100).astype(np.int64)
+    coupon = np.where(
+        rng.random(n) < 0.15, (ext_sales * rng.random(n) * 0.5).astype(np.int64), 0
+    )
+    net_paid = ext_sales - coupon
+    net_paid_tax = net_paid + tax
+    net_profit = net_paid - ext_wholesale
+    return {
+        "wholesale_cost": wholesale,
+        "list_price": list_p,
+        "sales_price": sales_p,
+        "ext_discount_amt": ext_discount,
+        "ext_sales_price": ext_sales,
+        "ext_wholesale_cost": ext_wholesale,
+        "ext_list_price": ext_list,
+        "ext_tax": tax,
+        "coupon_amt": coupon,
+        "net_paid": net_paid,
+        "net_paid_inc_tax": net_paid_tax,
+        "net_profit": net_profit,
+    }
+
+
+def gen_store_sales(n_lines, n_tickets, dims) -> pa.Table:
+    rng = np.random.default_rng(201)
+    # ~12% of lines land on ~300 "big" tickets (15-25 lines each —
+    # q34's per-ticket count-15-20 band); rest uniform.
+    n_big = max(1, n_tickets // 30)
+    big = rng.random(n_lines) < BIG_TICKET_FRAC
+    line_ticket = np.sort(
+        np.where(
+            big,
+            rng.integers(1, n_big + 1, n_lines),
+            rng.integers(1, n_tickets + 1, n_lines),
+        )
+    )
+    # per-ticket attributes, broadcast to lines
+    t_date = _sales_dates(rng, n_tickets + 1)
+    t_time = rng.integers(28800, 79200, n_tickets + 1)
+    t_cust = rng.integers(1, dims["customer"] + 1, n_tickets + 1)
+    t_store = rng.integers(1, dims["store"] + 1, n_tickets + 1)
+    t_hdemo = rng.integers(1, dims["hd"] + 1, n_tickets + 1)
+    t_addr = rng.integers(1, dims["ca"] + 1, n_tickets + 1)
+    qty = rng.integers(1, 101, n_lines)
+    # hot items: q23's "more than 4 sales of an item in a day" needs
+    # per-(item, day) density micro-scale uniformity can't give
+    item = np.where(
+        rng.random(n_lines) < 0.25,
+        rng.integers(1, HOT_ITEMS + 1, n_lines),
+        rng.integers(1, dims["item"] + 1, n_lines),
+    )
+    m = _sales_money(rng, qty)
+    null02 = lambda v: _nullify(rng, v, 0.02)  # noqa: E731
+    return _table(
+        "store_sales",
+        {
+            "ss_sold_date_sk": null02(t_date[line_ticket]),
+            "ss_sold_time_sk": t_time[line_ticket],
+            "ss_item_sk": item,
+            "ss_customer_sk": null02(t_cust[line_ticket]),
+            "ss_cdemo_sk": null02(rng.integers(1, dims["cd"] + 1, n_lines)),
+            "ss_hdemo_sk": null02(t_hdemo[line_ticket]),
+            "ss_addr_sk": null02(t_addr[line_ticket]),
+            "ss_store_sk": null02(t_store[line_ticket]),
+            "ss_promo_sk": _nullify(
+                rng, rng.integers(1, dims["promo"] + 1, n_lines), 0.3
+            ),
+            "ss_ticket_number": line_ticket,
+            "ss_quantity": qty,
+            "ss_wholesale_cost": _money(m["wholesale_cost"]),
+            "ss_list_price": _money(m["list_price"]),
+            "ss_sales_price": _money(m["sales_price"]),
+            "ss_ext_discount_amt": _money(m["ext_discount_amt"]),
+            "ss_ext_sales_price": _money(m["ext_sales_price"]),
+            "ss_ext_wholesale_cost": _money(m["ext_wholesale_cost"]),
+            "ss_ext_list_price": _money(m["ext_list_price"]),
+            "ss_ext_tax": _money(m["ext_tax"]),
+            "ss_coupon_amt": _money(m["coupon_amt"]),
+            "ss_net_paid": _money(m["net_paid"]),
+            "ss_net_paid_inc_tax": _money(m["net_paid_inc_tax"]),
+            "ss_net_profit": _money(m["net_profit"]),
+        },
+    )
+
+
+def _return_idx(rng, items: np.ndarray, frac: float) -> np.ndarray:
+    """Biased return-line selection: lines of the first HOT_RET_ITEMS
+    items are 4× likelier to be returned, so the same small item set
+    shows up in all three return channels (q83's intersection)."""
+    w = np.where(items <= HOT_RET_ITEMS, 4.0, 1.0)
+    w = w / w.sum()
+    return np.sort(
+        rng.choice(len(items), size=int(len(items) * frac), replace=False, p=w)
+    )
+
+
+def gen_store_returns(ss: pa.Table, frac: float, dims) -> pa.Table:
+    rng = np.random.default_rng(202)
+    n_ss = ss.num_rows
+    idx = _return_idx(
+        rng, ss.column("ss_item_sk").to_numpy(zero_copy_only=False), frac
+    )
+    n = len(idx)
+    col = lambda c: ss.column(c).to_numpy(zero_copy_only=False)[idx]  # noqa: E731
+    sold = col("ss_sold_date_sk")
+    sold = np.where(np.isnan(sold.astype("float64")), SALES_SK_LO, sold).astype(
+        np.int64
+    )
+    ret_qty = np.minimum(
+        col("ss_quantity").astype(np.int64), rng.integers(1, 101, n)
+    )
+    sales_p = (
+        np.array([float(x) for x in col("ss_sales_price")]) * 100
+    ).astype(np.int64)
+    amt = sales_p * ret_qty
+    tax = (amt * rng.integers(0, 10, n) / 100).astype(np.int64)
+    fee = rng.integers(50, 10000, n)
+    ship = rng.integers(0, 5000, n)
+    refunded = (amt * rng.random(n)).astype(np.int64)
+    reversed_c = amt - refunded
+    credit = (refunded * rng.random(n) * 0.5).astype(np.int64)
+    cust = col("ss_customer_sk")
+    cust = np.where(np.isnan(cust.astype("float64")), 1, cust).astype(np.int64)
+    # 10% of returns come from a different (returning) customer
+    other = rng.integers(1, dims["customer"] + 1, n)
+    cust = np.where(rng.random(n) < 0.1, other, cust)
+    return _table(
+        "store_returns",
+        {
+            "sr_returned_date_sk": sold + rng.integers(1, 91, n),
+            "sr_return_time_sk": rng.integers(28800, 79200, n),
+            "sr_item_sk": col("ss_item_sk").astype(np.int64),
+            "sr_customer_sk": cust,
+            "sr_cdemo_sk": rng.integers(1, dims["cd"] + 1, n),
+            "sr_hdemo_sk": rng.integers(1, dims["hd"] + 1, n),
+            "sr_addr_sk": rng.integers(1, dims["ca"] + 1, n),
+            "sr_store_sk": _nullify(
+                rng,
+                np.nan_to_num(
+                    col("ss_store_sk").astype("float64"), nan=1.0
+                ).astype(np.int64),
+                0.02,
+            ),
+            "sr_reason_sk": rng.integers(1, 36, n),
+            "sr_ticket_number": col("ss_ticket_number").astype(np.int64),
+            "sr_return_quantity": ret_qty,
+            "sr_return_amt": _money(amt),
+            "sr_return_tax": _money(tax),
+            "sr_return_amt_inc_tax": _money(amt + tax),
+            "sr_fee": _money(fee),
+            "sr_return_ship_cost": _money(ship),
+            "sr_refunded_cash": _money(refunded),
+            "sr_reversed_charge": _money(reversed_c),
+            "sr_store_credit": _money(credit),
+            "sr_net_loss": _money(tax + fee + ship + rng.integers(0, 3000, n)),
+        },
+    )
+
+
+def _gen_channel_sales(seed, prefix, n_lines, n_orders, dims, link=None):
+    """Shared shape of catalog_sales / web_sales.
+
+    ``link``: optional (customer, item, returned_date) arrays from
+    store_returns; a CS_LINK_FRAC share of lines is re-targeted at
+    those (customer, item) pairs dated shortly after the return —
+    q17/q25/q29's ss⋈sr⋈cs chains need the cross-channel pairs to
+    exist, which independent uniform draws can't provide at micro
+    scale (dsdgen provides them via sheer volume at SF1)."""
+    rng = np.random.default_rng(seed)
+    line_order = np.sort(rng.integers(1, n_orders + 1, n_lines))
+    o_date = _sales_dates(rng, n_orders + 1)
+    o_time = rng.integers(0, 86400, n_orders + 1)
+    o_bill = rng.integers(1, dims["customer"] + 1, n_orders + 1)
+    o_bill_cd = rng.integers(1, dims["cd"] + 1, n_orders + 1)
+    o_bill_hd = rng.integers(1, dims["hd"] + 1, n_orders + 1)
+    o_bill_ca = rng.integers(1, dims["ca"] + 1, n_orders + 1)
+    same = rng.random(n_orders + 1) < 0.85
+    o_ship = np.where(same, o_bill, rng.integers(1, dims["customer"] + 1, n_orders + 1))
+    o_ship_cd = np.where(same, o_bill_cd, rng.integers(1, dims["cd"] + 1, n_orders + 1))
+    o_ship_hd = np.where(same, o_bill_hd, rng.integers(1, dims["hd"] + 1, n_orders + 1))
+    o_ship_ca = np.where(same, o_bill_ca, rng.integers(1, dims["ca"] + 1, n_orders + 1))
+    qty = rng.integers(1, 101, n_lines)
+    m = _sales_money(rng, qty)
+    ship_cost = (m["ext_sales_price"] * rng.random(n_lines) * 0.2).astype(np.int64)
+    sold = o_date[line_order].copy()
+    bill = o_bill[line_order].copy()
+    item = rng.integers(1, dims["item"] + 1, n_lines)
+    if link is not None:
+        l_cust, l_item, l_date = link
+        pick = np.flatnonzero(rng.random(n_lines) < CS_LINK_FRAC)
+        src = rng.integers(0, len(l_cust), len(pick))
+        bill[pick] = l_cust[src]
+        item[pick] = l_item[src]
+        sold[pick] = np.minimum(
+            l_date[src] + rng.integers(0, 61, len(pick)), SALES_SK_HI
+        )
+    out = {
+        "sold_date_sk": _nullify(rng, sold, 0.01),
+        "sold_time_sk": o_time[line_order],
+        "ship_date_sk": sold + rng.integers(2, 61, n_lines),
+        "bill_customer_sk": _nullify(rng, bill, 0.01),
+        "bill_cdemo_sk": _nullify(rng, o_bill_cd[line_order], 0.01),
+        "bill_hdemo_sk": o_bill_hd[line_order],
+        "bill_addr_sk": o_bill_ca[line_order],
+        "ship_customer_sk": o_ship[line_order],
+        "ship_cdemo_sk": o_ship_cd[line_order],
+        "ship_hdemo_sk": o_ship_hd[line_order],
+        "ship_addr_sk": _nullify(rng, o_ship_ca[line_order], 0.01),
+        "ship_mode_sk": rng.integers(1, 21, n_lines),
+        # warehouse varies WITHIN an order (q16/q94 EXISTS predicate)
+        "warehouse_sk": rng.integers(1, dims["wh"] + 1, n_lines),
+        "item_sk": item,
+        "promo_sk": _nullify(rng, rng.integers(1, dims["promo"] + 1, n_lines), 0.3),
+        "order_number": line_order,
+        "quantity": qty,
+        "wholesale_cost": _money(m["wholesale_cost"]),
+        "list_price": _money(m["list_price"]),
+        "sales_price": _money(m["sales_price"]),
+        "ext_discount_amt": _money(m["ext_discount_amt"]),
+        "ext_sales_price": _money(m["ext_sales_price"]),
+        "ext_wholesale_cost": _money(m["ext_wholesale_cost"]),
+        "ext_list_price": _money(m["ext_list_price"]),
+        "ext_tax": _money(m["ext_tax"]),
+        "coupon_amt": _money(m["coupon_amt"]),
+        "ext_ship_cost": _money(ship_cost),
+        "net_paid": _money(m["net_paid"]),
+        "net_paid_inc_tax": _money(m["net_paid_inc_tax"]),
+        "net_paid_inc_ship": _money(m["net_paid"] + ship_cost),
+        "net_paid_inc_ship_tax": _money(
+            m["net_paid"] + ship_cost + (m["ext_tax"] if True else 0)
+        ),
+        "net_profit": _money(m["net_profit"]),
+    }
+    return rng, out
+
+
+def gen_catalog_sales(n_lines, n_orders, dims, link=None) -> pa.Table:
+    rng, c = _gen_channel_sales(203, "cs", n_lines, n_orders, dims, link)
+    n = n_lines
+    return _table(
+        "catalog_sales",
+        {
+            "cs_sold_date_sk": c["sold_date_sk"],
+            "cs_sold_time_sk": c["sold_time_sk"],
+            "cs_ship_date_sk": c["ship_date_sk"],
+            "cs_bill_customer_sk": c["bill_customer_sk"],
+            "cs_bill_cdemo_sk": c["bill_cdemo_sk"],
+            "cs_bill_hdemo_sk": c["bill_hdemo_sk"],
+            "cs_bill_addr_sk": c["bill_addr_sk"],
+            "cs_ship_customer_sk": c["ship_customer_sk"],
+            "cs_ship_cdemo_sk": c["ship_cdemo_sk"],
+            "cs_ship_hdemo_sk": c["ship_hdemo_sk"],
+            "cs_ship_addr_sk": c["ship_addr_sk"],
+            "cs_call_center_sk": rng.integers(1, dims["cc"] + 1, n),
+            "cs_catalog_page_sk": rng.integers(1, dims["cp"] + 1, n),
+            "cs_ship_mode_sk": c["ship_mode_sk"],
+            "cs_warehouse_sk": c["warehouse_sk"],
+            "cs_item_sk": c["item_sk"],
+            "cs_promo_sk": c["promo_sk"],
+            "cs_order_number": c["order_number"],
+            "cs_quantity": c["quantity"],
+            "cs_wholesale_cost": c["wholesale_cost"],
+            "cs_list_price": c["list_price"],
+            "cs_sales_price": c["sales_price"],
+            "cs_ext_discount_amt": c["ext_discount_amt"],
+            "cs_ext_sales_price": c["ext_sales_price"],
+            "cs_ext_wholesale_cost": c["ext_wholesale_cost"],
+            "cs_ext_list_price": c["ext_list_price"],
+            "cs_ext_tax": c["ext_tax"],
+            "cs_coupon_amt": c["coupon_amt"],
+            "cs_ext_ship_cost": c["ext_ship_cost"],
+            "cs_net_paid": c["net_paid"],
+            "cs_net_paid_inc_tax": c["net_paid_inc_tax"],
+            "cs_net_paid_inc_ship": c["net_paid_inc_ship"],
+            "cs_net_paid_inc_ship_tax": c["net_paid_inc_ship_tax"],
+            "cs_net_profit": c["net_profit"],
+        },
+    )
+
+
+def gen_catalog_returns(cs: pa.Table, frac: float, dims) -> pa.Table:
+    rng = np.random.default_rng(204)
+    n_cs = cs.num_rows
+    idx = _return_idx(
+        rng, cs.column("cs_item_sk").to_numpy(zero_copy_only=False), frac
+    )
+    n = len(idx)
+    col = lambda c: cs.column(c).to_numpy(zero_copy_only=False)[idx]  # noqa: E731
+    ship = col("cs_ship_date_sk").astype(np.int64)
+    qty = np.minimum(col("cs_quantity").astype(np.int64), rng.integers(1, 101, n))
+    sales_p = (np.array([float(x) for x in col("cs_sales_price")]) * 100).astype(
+        np.int64
+    )
+    amt = sales_p * qty
+    tax = (amt * rng.integers(0, 10, n) / 100).astype(np.int64)
+    fee = rng.integers(50, 10000, n)
+    shipc = rng.integers(0, 5000, n)
+    refunded = (amt * rng.random(n)).astype(np.int64)
+    bill = np.nan_to_num(
+        col("cs_bill_customer_sk").astype("float64"), nan=1.0
+    ).astype(np.int64)
+    bill_cd = np.nan_to_num(
+        col("cs_bill_cdemo_sk").astype("float64"), nan=1.0
+    ).astype(np.int64)
+    return _table(
+        "catalog_returns",
+        {
+            "cr_returned_date_sk": ship + rng.integers(1, 61, n),
+            "cr_returned_time_sk": rng.integers(0, 86400, n),
+            "cr_item_sk": col("cs_item_sk").astype(np.int64),
+            "cr_refunded_customer_sk": bill,
+            "cr_refunded_cdemo_sk": bill_cd,
+            "cr_refunded_hdemo_sk": col("cs_bill_hdemo_sk").astype(np.int64),
+            "cr_refunded_addr_sk": col("cs_bill_addr_sk").astype(np.int64),
+            "cr_returning_customer_sk": np.where(
+                rng.random(n) < 0.9, bill, rng.integers(1, dims["customer"] + 1, n)
+            ),
+            "cr_returning_cdemo_sk": rng.integers(1, dims["cd"] + 1, n),
+            "cr_returning_hdemo_sk": rng.integers(1, dims["hd"] + 1, n),
+            "cr_returning_addr_sk": rng.integers(1, dims["ca"] + 1, n),
+            "cr_call_center_sk": col("cs_call_center_sk").astype(np.int64),
+            "cr_catalog_page_sk": col("cs_catalog_page_sk").astype(np.int64),
+            "cr_ship_mode_sk": col("cs_ship_mode_sk").astype(np.int64),
+            "cr_warehouse_sk": col("cs_warehouse_sk").astype(np.int64),
+            "cr_reason_sk": rng.integers(1, 36, n),
+            "cr_order_number": col("cs_order_number").astype(np.int64),
+            "cr_return_quantity": qty,
+            "cr_return_amount": _money(amt),
+            "cr_return_tax": _money(tax),
+            "cr_return_amt_inc_tax": _money(amt + tax),
+            "cr_fee": _money(fee),
+            "cr_return_ship_cost": _money(shipc),
+            "cr_refunded_cash": _money(refunded),
+            "cr_reversed_charge": _money(amt - refunded),
+            "cr_store_credit": _money((refunded * 0.3).astype(np.int64)),
+            "cr_net_loss": _money(tax + fee + shipc + rng.integers(0, 3000, n)),
+        },
+    )
+
+
+def gen_web_sales(n_lines, n_orders, dims, link=None) -> pa.Table:
+    rng, c = _gen_channel_sales(205, "ws", n_lines, n_orders, dims, link)
+    n = n_lines
+    return _table(
+        "web_sales",
+        {
+            "ws_sold_date_sk": c["sold_date_sk"],
+            "ws_sold_time_sk": c["sold_time_sk"],
+            "ws_ship_date_sk": c["ship_date_sk"],
+            "ws_item_sk": c["item_sk"],
+            "ws_bill_customer_sk": c["bill_customer_sk"],
+            "ws_bill_cdemo_sk": c["bill_cdemo_sk"],
+            "ws_bill_hdemo_sk": c["bill_hdemo_sk"],
+            "ws_bill_addr_sk": c["bill_addr_sk"],
+            "ws_ship_customer_sk": c["ship_customer_sk"],
+            "ws_ship_cdemo_sk": c["ship_cdemo_sk"],
+            "ws_ship_hdemo_sk": c["ship_hdemo_sk"],
+            "ws_ship_addr_sk": c["ship_addr_sk"],
+            "ws_web_page_sk": rng.integers(1, dims["wp"] + 1, n),
+            "ws_web_site_sk": rng.integers(1, dims["web"] + 1, n),
+            "ws_ship_mode_sk": c["ship_mode_sk"],
+            "ws_warehouse_sk": c["warehouse_sk"],
+            "ws_promo_sk": c["promo_sk"],
+            "ws_order_number": c["order_number"],
+            "ws_quantity": c["quantity"],
+            "ws_wholesale_cost": c["wholesale_cost"],
+            "ws_list_price": c["list_price"],
+            "ws_sales_price": c["sales_price"],
+            "ws_ext_discount_amt": c["ext_discount_amt"],
+            "ws_ext_sales_price": c["ext_sales_price"],
+            "ws_ext_wholesale_cost": c["ext_wholesale_cost"],
+            "ws_ext_list_price": c["ext_list_price"],
+            "ws_ext_tax": c["ext_tax"],
+            "ws_coupon_amt": c["coupon_amt"],
+            "ws_ext_ship_cost": c["ext_ship_cost"],
+            "ws_net_paid": c["net_paid"],
+            "ws_net_paid_inc_tax": c["net_paid_inc_tax"],
+            "ws_net_paid_inc_ship": c["net_paid_inc_ship"],
+            "ws_net_paid_inc_ship_tax": c["net_paid_inc_ship_tax"],
+            "ws_net_profit": c["net_profit"],
+        },
+    )
+
+
+def gen_web_returns(ws: pa.Table, frac: float, dims) -> pa.Table:
+    rng = np.random.default_rng(206)
+    n_ws = ws.num_rows
+    idx = _return_idx(
+        rng, ws.column("ws_item_sk").to_numpy(zero_copy_only=False), frac
+    )
+    n = len(idx)
+    col = lambda c: ws.column(c).to_numpy(zero_copy_only=False)[idx]  # noqa: E731
+    ship = col("ws_ship_date_sk").astype(np.int64)
+    qty = np.minimum(col("ws_quantity").astype(np.int64), rng.integers(1, 101, n))
+    sales_p = (np.array([float(x) for x in col("ws_sales_price")]) * 100).astype(
+        np.int64
+    )
+    amt = sales_p * qty
+    tax = (amt * rng.integers(0, 10, n) / 100).astype(np.int64)
+    fee = rng.integers(50, 10000, n)
+    shipc = rng.integers(0, 5000, n)
+    refunded = (amt * rng.random(n)).astype(np.int64)
+    bill = np.nan_to_num(
+        col("ws_bill_customer_sk").astype("float64"), nan=1.0
+    ).astype(np.int64)
+    return _table(
+        "web_returns",
+        {
+            "wr_returned_date_sk": ship + rng.integers(1, 61, n),
+            "wr_returned_time_sk": rng.integers(0, 86400, n),
+            "wr_item_sk": col("ws_item_sk").astype(np.int64),
+            "wr_refunded_customer_sk": bill,
+            "wr_refunded_cdemo_sk": (ref_cd := rng.integers(1, dims["cd"] + 1, n)),
+            "wr_refunded_hdemo_sk": rng.integers(1, dims["hd"] + 1, n),
+            "wr_refunded_addr_sk": rng.integers(1, dims["ca"] + 1, n),
+            "wr_returning_customer_sk": np.where(
+                rng.random(n) < 0.9, bill, rng.integers(1, dims["customer"] + 1, n)
+            ),
+            # 40% same person returns (q85 equates cd1/cd2 attributes)
+            "wr_returning_cdemo_sk": np.where(
+                rng.random(n) < 0.4, ref_cd, rng.integers(1, dims["cd"] + 1, n)
+            ),
+            "wr_returning_hdemo_sk": rng.integers(1, dims["hd"] + 1, n),
+            "wr_returning_addr_sk": rng.integers(1, dims["ca"] + 1, n),
+            "wr_web_page_sk": col("ws_web_page_sk").astype(np.int64),
+            "wr_reason_sk": rng.integers(1, 36, n),
+            "wr_order_number": col("ws_order_number").astype(np.int64),
+            "wr_return_quantity": qty,
+            "wr_return_amt": _money(amt),
+            "wr_return_tax": _money(tax),
+            "wr_return_amt_inc_tax": _money(amt + tax),
+            "wr_fee": _money(fee),
+            "wr_return_ship_cost": _money(shipc),
+            "wr_refunded_cash": _money(refunded),
+            "wr_reversed_charge": _money(amt - refunded),
+            "wr_account_credit": _money((refunded * 0.3).astype(np.int64)),
+            "wr_net_loss": _money(tax + fee + shipc + rng.integers(0, 3000, n)),
+        },
+    )
+
+
+# ---------------------------------------------------------------------------
+# Entry point
+# ---------------------------------------------------------------------------
+DEFAULT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests",
+    "data",
+    "tpcds",
+)
+
+
+def generate(out_dir: str = DEFAULT_DIR, force: bool = False) -> str:
+    """Generate all 24 tables as parquet under ``out_dir`` (cached:
+    re-generation is skipped when the marker file exists)."""
+    marker = os.path.join(out_dir, MARKER)
+    if os.path.exists(marker) and not force:
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    s = SIZES_N
+    dims = {
+        "item": s["item"],
+        "customer": s["customer"],
+        "ca": s["customer_address"],
+        "cd": 2 * 5 * 7 * 4 * 4,
+        "hd": 20 * 6 * 6,
+        "store": s["store"],
+        "promo": s["promotion"],
+        "wh": s["warehouse"],
+        "cc": s["call_center"],
+        "cp": s["catalog_page"],
+        "wp": s["web_page"],
+        "web": s["web_site"],
+    }
+    tables: dict[str, pa.Table] = {
+        "date_dim": gen_date_dim(),
+        "time_dim": gen_time_dim(),
+        "item": gen_item(s["item"]),
+        "customer_demographics": gen_customer_demographics(),
+        "household_demographics": gen_household_demographics(),
+        "income_band": gen_income_band(),
+        "customer_address": gen_customer_address(s["customer_address"]),
+        "customer": gen_customer(
+            s["customer"], s["customer_address"], dims["cd"], dims["hd"]
+        ),
+        "store": gen_store(s["store"]),
+        "call_center": gen_call_center(s["call_center"]),
+        "catalog_page": gen_catalog_page(s["catalog_page"]),
+        "warehouse": gen_warehouse(s["warehouse"]),
+        "ship_mode": gen_ship_mode(),
+        "reason": gen_reason(),
+        "promotion": gen_promotion(s["promotion"], s["item"]),
+        "web_site": gen_web_site(s["web_site"]),
+        "web_page": gen_web_page(s["web_page"], s["customer"]),
+        "inventory": gen_inventory(s["item"], s["warehouse"], s["inv_item_step"]),
+    }
+    ss = gen_store_sales(s["ss_lines"], s["ss_tickets"], dims)
+    sr = gen_store_returns(ss, s["return_frac"], dims)
+    link = (
+        sr.column("sr_customer_sk").to_numpy(zero_copy_only=False).astype(np.int64),
+        sr.column("sr_item_sk").to_numpy(zero_copy_only=False).astype(np.int64),
+        sr.column("sr_returned_date_sk").to_numpy(zero_copy_only=False).astype(np.int64),
+    )
+    cs = gen_catalog_sales(s["cs_lines"], s["cs_orders"], dims, link)
+    ws = gen_web_sales(s["ws_lines"], s["ws_orders"], dims)
+    tables.update(
+        {
+            "store_sales": ss,
+            "store_returns": sr,
+            "catalog_sales": cs,
+            "catalog_returns": gen_catalog_returns(cs, s["return_frac"], dims),
+            "web_sales": ws,
+            "web_returns": gen_web_returns(ws, s["return_frac"], dims),
+        }
+    )
+    assert set(tables) == set(TPCDS_SCHEMAS)
+    for name, t in tables.items():
+        pq.write_table(t, os.path.join(out_dir, f"{name}.parquet"))
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    return out_dir
+
+
+if __name__ == "__main__":
+    import sys
+
+    d = generate(force="--force" in sys.argv)
+    print(d)
