@@ -1,0 +1,165 @@
+"""MATCH_RECOGNIZE analog: row-pattern matching over partitioned,
+ordered rows.
+
+The reference plans SQL MATCH_RECOGNIZE through StreamExecMatch
+(reference: flink-table-planner-blink/src/main/scala/org/apache/
+flink/table/planner/plan/nodes/physical/stream/StreamExecMatch.scala:68)
+backed by a CEP NFA. Spark has no MATCH_RECOGNIZE, so this module
+re-expresses the two layers Spark-first:
+
+1. ``match_v_shapes`` — the canonical ``PATTERN (DOWN+ UP+)`` /
+   ``AFTER MATCH SKIP PAST LAST ROW`` query (the Flink docs' V-shape
+   example) as a pure DataFrame composition: LAG classification →
+   run-length encoding via a cumulative change counter → run collapse
+   → adjacent-run pairing. Everything stays in JVM window operators —
+   no Python in the hot path, shuffles only on the partition key —
+   and the same SQL runs on DuckDB, so the whole operator is
+   oracle-checkable.
+
+2. ``match_recognize`` — the general form: arbitrary regex patterns
+   over per-row symbol classifications. Rows are classified JVM-side
+   (a CASE chain), then an Arrow-batched ``applyInPandas`` per
+   partition materializes the symbol string and runs Python's ``re``
+   with SKIP PAST LAST ROW semantics. This is the (b) escape hatch
+   for semantics the composition can't express (alternation, bounded
+   quantifiers, reluctant modes).
+
+Scale: both forms shuffle once on ``partition_by``. The generic form
+additionally requires each partition to fit in one Arrow batch — the
+same per-key-state assumption the reference's NFA operator makes.
+Determinism: callers must pass a total order (tie columns included);
+both forms and the oracle use identical orderings.
+"""
+
+from __future__ import annotations
+
+import re as _re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def match_v_shapes(
+    df: DataFrame,
+    partition_by: str,
+    order_by: list[str],
+    value: str,
+) -> DataFrame:
+    """Find maximal DOWN+ UP+ runs of ``value`` per partition.
+
+    Emits one row per match: (partition key, start of the descent,
+    the bottom, end of the ascent, rows in each leg, peak-to-trough
+    values). Matches never overlap (SKIP PAST LAST ROW): runs are
+    maximal by construction, so a descent pairs with exactly the
+    ascent that follows it.
+    """
+    w = Window.partitionBy(partition_by).orderBy(*order_by)
+    prev = F.lag(F.col(value)).over(w)
+    classified = df.withColumn(
+        "_dir",
+        F.when(F.col(value) < prev, F.lit("D"))
+        .when(F.col(value) > prev, F.lit("U"))
+        .otherwise(F.lit("F")),  # flat or first row: breaks runs
+    )
+    chg = F.when(
+        F.lag("_dir").over(w).isNull() | (F.lag("_dir").over(w) != F.col("_dir")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    runs = (
+        classified.withColumn("_run", F.sum(chg).over(w))
+        .groupBy(partition_by, "_run")
+        .agg(
+            F.first("_dir").alias("_dir"),
+            F.min(F.struct(*order_by, value)).alias("_lo"),
+            F.max(F.struct(*order_by, value)).alias("_hi"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    )
+    wr = Window.partitionBy(partition_by).orderBy("_run")
+    nxt = lambda c: F.lead(c).over(wr)  # noqa: E731
+    return (
+        runs.withColumn("_ndir", nxt("_dir"))
+        .withColumn("_nhi", nxt("_hi"))
+        .withColumn("_nn", nxt("_n"))
+        .filter((F.col("_dir") == "D") & (F.col("_ndir") == "U"))
+        .select(
+            F.col(partition_by),
+            F.col(f"_lo.{order_by[0]}").alias("start_" + order_by[0]),
+            F.col(f"_hi.{order_by[0]}").alias("bottom_" + order_by[0]),
+            F.col(f"_nhi.{order_by[0]}").alias("end_" + order_by[0]),
+            F.col(f"_lo.{value}").alias("start_value"),
+            F.col(f"_hi.{value}").alias("bottom_value"),
+            F.col(f"_nhi.{value}").alias("end_value"),
+            F.col("_n").alias("down_rows"),
+            F.col("_nn").alias("up_rows"),
+        )
+    )
+
+
+def match_recognize(
+    df: DataFrame,
+    partition_by: str,
+    order_by: list[str],
+    define: dict[str, Column],
+    pattern: str,
+) -> DataFrame:
+    """General row-pattern matching (reference StreamExecMatch form).
+
+    ``define`` maps single-letter symbols to boolean classifier
+    columns (evaluated JVM-side, first match wins; unclassified rows
+    get ``.`` which only matches an explicit ``.`` in the pattern).
+    ``pattern`` is a Python regex over those symbols, e.g. ``D+U+``.
+    Matching is greedy, non-overlapping (AFTER MATCH SKIP PAST LAST
+    ROW). Emits (key, match_seq, start/end order column, row count,
+    matched symbol string).
+    """
+    for s in define:
+        if len(s) != 1 or not s.isalpha():
+            raise ValueError(f"symbols must be single letters, got {s!r}")
+    sym = None
+    for s, cond in define.items():
+        sym = F.when(cond, F.lit(s)) if sym is None else sym.when(cond, F.lit(s))
+    sym = sym.otherwise(F.lit("."))
+    ocol = order_by[0]
+    classified = df.select(
+        F.col(partition_by), *[F.col(c) for c in order_by], sym.alias("_sym")
+    )
+    rx = _re.compile(pattern)
+    out_fields = []
+    for f in classified.schema.fields:
+        if f.name == partition_by or f.name == ocol:
+            out_fields.append(f"{f.name} {f.dataType.simpleString()}")
+    schema = (
+        f"{out_fields[0]}, match_seq bigint, "
+        f"start_{ocol} {classified.schema[ocol].dataType.simpleString()}, "
+        f"end_{ocol} {classified.schema[ocol].dataType.simpleString()}, "
+        "match_rows bigint, symbols string"
+    )
+
+    def _match(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(order_by, kind="mergesort").reset_index(drop=True)
+        s = "".join(pdf["_sym"])
+        rows = []
+        for seq, m in enumerate(rx.finditer(s), 1):
+            if m.end() == m.start():  # zero-width: skip defensively
+                continue
+            rows.append(
+                (
+                    pdf[partition_by].iloc[0],
+                    seq,
+                    pdf[ocol].iloc[m.start()],
+                    pdf[ocol].iloc[m.end() - 1],
+                    m.end() - m.start(),
+                    m.group(0),
+                )
+            )
+        cols = [
+            partition_by, "match_seq", f"start_{ocol}", f"end_{ocol}",
+            "match_rows", "symbols",
+        ]
+        return pd.DataFrame(rows, columns=cols)
+
+    return classified.groupBy(partition_by).applyInPandas(_match, schema=schema)

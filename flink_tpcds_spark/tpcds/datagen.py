@@ -23,6 +23,10 @@ Design rules:
 - **Money is decimal(7,2)** exactly as the reference schemas declare:
   decimal sums are associative, so aggregates are bit-deterministic
   across engines and partitionings (the repo's decimal-bridge rule).
+- **Planted witnesses**: nine conjunction-heavy queries that dsdgen
+  satisfies only through SF1 volume get small deterministic row
+  cohorts (see ``plant_cohorts``) so their results are non-empty and
+  the parity gate checks real values for all 103 queries.
 """
 
 from __future__ import annotations
@@ -1400,6 +1404,347 @@ DEFAULT_DIR = os.path.join(
 )
 
 
+# ---------------------------------------------------------------------------
+# Planted cohorts
+# ---------------------------------------------------------------------------
+# Nine corpus queries conjoin so many selective predicates that a
+# micro-scale uniform draw leaves them with empty results — which pass
+# the parity gate trivially (0 == 0) and therefore verify nothing.
+# dsdgen at SF1 satisfies them through sheer volume (2.8M store_sales
+# rows); at 60k rows we instead *plant* small deterministic cohorts —
+# a handful of rows overwritten post-generation so each query's full
+# predicate chain has at least a few satisfying witnesses. Planting
+# mutates existing rows (never appends), so table sizes, schemas and
+# the organic distributions stay intact; the parity gate then compares
+# real, non-empty results for all 103 queries.
+
+
+def _apply_edits(tbl: pa.Table, edits: dict) -> pa.Table:
+    """edits: {column: {row_index: value}} — rebuild edited columns."""
+    for col, m in edits.items():
+        i = tbl.schema.get_field_index(col)
+        t = tbl.schema.field(i).type
+        data = tbl.column(i).to_pylist()
+        for r, v in m.items():
+            data[int(r)] = v
+        tbl = tbl.set_column(i, tbl.schema.field(i), pa.array(data, type=t))
+    return tbl
+
+
+def _col(tbl: pa.Table, name: str) -> np.ndarray:
+    return tbl.column(name).to_numpy(zero_copy_only=False)
+
+
+def plant_cohorts(tables: dict) -> dict:
+    """Overwrite small row cohorts so the nine conjunction-heavy
+    queries (q23b q34 q49 q54 q58 q64 q83 q85 q91) return rows."""
+    from decimal import Decimal as D
+
+    dd = lambda y, m, d: _sk(date(y, m, d))  # noqa: E731
+    money = lambda x: D(str(x)).quantize(D("0.01"))  # noqa: E731
+
+    # ---- dimension lookups (all deterministic) ----
+    cd = tables["customer_demographics"].to_pandas()
+    cd_sk = lambda ms, es: int(  # noqa: E731
+        cd[(cd.cd_marital_status == ms) & (cd.cd_education_status == es)]
+        .cd_demo_sk.iloc[0]
+    )
+    cd_uu, cd_mu, cd_w = (
+        cd_sk("U", "Unknown"),
+        cd_sk("M", "Unknown"),
+        cd_sk("W", "Unknown"),
+    )
+    hd = tables["household_demographics"].to_pandas()
+    hd_q34 = hd[
+        hd.hd_buy_potential.isin(["1001-5000", "0-500"])
+        & (hd.hd_vehicle_count > 0)
+        & (hd.hd_dep_count / hd.hd_vehicle_count > 1.2)
+    ].hd_demo_sk.to_numpy()
+    hd_1001 = int(hd[hd.hd_buy_potential == "1001-5000"].hd_demo_sk.iloc[0])
+    ca = tables["customer_address"].to_pandas()
+    ca_tn = int(ca[ca.ca_state == "TN"].ca_address_sk.iloc[0])
+    ca_gmt6 = int(ca[ca.ca_gmt_offset == -6].ca_address_sk.iloc[0])
+    item = tables["item"].to_pandas()
+    dress = item[
+        (item.i_category == "Women") & (item.i_class == "dresses")
+    ].i_item_sk.to_numpy()
+    cust = tables["customer"].to_pandas()
+    will = cust.merge(
+        ca[(ca.ca_county == "Williamson County") & (ca.ca_state == "TN")],
+        left_on="c_current_addr_sk",
+        right_on="ca_address_sk",
+    )
+    will_cust = [int(x) for x in will[will.c_customer_sk > 100].c_customer_sk[:8]]
+
+    n_tickets = SIZES_N["ss_tickets"]
+
+    # ---- q91: ten customers with (M/Unknown cdemo, '1001-5000' hd,
+    # GMT-6 address); Nov-1998 catalog returns point at them below.
+    q91_cust = list(range(61, 71))
+    tables["customer"] = _apply_edits(
+        tables["customer"],
+        {
+            "c_current_cdemo_sk": {c - 1: cd_mu for c in q91_cust},
+            "c_current_hdemo_sk": {c - 1: hd_1001 for c in q91_cust},
+            "c_current_addr_sk": {c - 1: ca_gmt6 for c in q91_cust},
+        },
+    )
+
+    # ---- q64: item 941 becomes a cheap yellow item (color/price are
+    # the query's item-side filters); store-sale chain planted below.
+    tables["item"] = _apply_edits(
+        tables["item"],
+        {
+            "i_color": {940: "yellow"},
+            "i_current_price": {940: money(5)},
+        },
+    )
+
+    # ---- store_sales blocks ----
+    ss_edits: dict[str, dict] = {c: {} for c in (
+        "ss_sold_date_sk", "ss_item_sk", "ss_customer_sk", "ss_cdemo_sk",
+        "ss_hdemo_sk", "ss_addr_sk", "ss_store_sk", "ss_promo_sk",
+        "ss_ticket_number", "ss_quantity", "ss_wholesale_cost",
+        "ss_list_price", "ss_sales_price", "ss_ext_sales_price",
+        "ss_coupon_amt",
+    )}
+
+    def ss_line(r, *, date_sk, ticket, customer, item_sk=None, store=1,
+                hdemo=1, cdemo=None, qty=None, sales=None, ext_sales=None):
+        e = ss_edits
+        e["ss_sold_date_sk"][r] = date_sk
+        e["ss_ticket_number"][r] = ticket
+        e["ss_customer_sk"][r] = customer
+        e["ss_store_sk"][r] = store
+        e["ss_hdemo_sk"][r] = hdemo
+        e["ss_addr_sk"][r] = 1
+        e["ss_promo_sk"][r] = 1
+        if item_sk is not None:
+            e["ss_item_sk"][r] = item_sk
+        if cdemo is not None:
+            e["ss_cdemo_sk"][r] = cdemo
+        if qty is not None:
+            e["ss_quantity"][r] = qty
+        if sales is not None:
+            e["ss_sales_price"][r] = money(sales)
+        if ext_sales is not None:
+            e["ss_ext_sales_price"][r] = money(ext_sales)
+
+    # q34: forty 17-line tickets on a 26th (d_dom 25-28 band), years
+    # 1998-2000, qualifying household demographics (buy potential +
+    # dependents-per-vehicle ratio); count lands in the 15-20 band.
+    for p in range(40):
+        for l in range(17):
+            ss_line(
+                p * 17 + l,
+                date_sk=dd(1998 + p % 3, 3, 26),
+                ticket=n_tickets + 100 + p,
+                customer=3000 + p,
+                store=1 + p % 12,
+                hdemo=int(hd_q34[p % len(hd_q34)]),
+            )
+    # q58: one line per cold item 921-928 in the 1998-01-02 week with
+    # a fixed 50k revenue; catalog/web twins below make the three
+    # channel revenues equal (the query's ±10%-of-average band).
+    for i in range(8):
+        ss_line(
+            680 + i, date_sk=dd(1998, 1, 2), ticket=n_tickets + 200 + i,
+            customer=120 + i, item_sk=921 + i, ext_sales=50000,
+        )
+    # q54: Williamson-County/TN residents make store purchases in
+    # Feb-Apr 1998 (month_seq+1..+3 of the Jan-1998 dresses cohort).
+    for i, c in enumerate(will_cust):
+        ss_line(
+            688 + i, date_sk=dd(1998, 3, 10), ticket=n_tickets + 210 + i,
+            customer=c, ext_sales=100 * (i + 1),
+        )
+    # q23b: two "whale" customers with identical 396k totals (>95% of
+    # the max spend, i.e. both are best-customers); 40 same-item lines
+    # per ticket also make items 1-2 frequent (>4 a day).
+    for w, (customer, item_sk) in enumerate([(11, 1), (12, 2)]):
+        for l in range(40):
+            ss_line(
+                696 + w * 40 + l, date_sk=dd(1998, 6, 10),
+                ticket=n_tickets + 300 + w, customer=customer,
+                item_sk=item_sk, qty=100, sales=99,
+            )
+    # q64: item 941 bought+returned in 1999 and again in 2000 (the
+    # query's stream-0 syear binds) at the same store; line cdemo (W)
+    # differs from the buyers' current cdemo (M) — the cd1<>cd2
+    # marital filter.
+    for y, r in ((1999, 776), (2000, 777)):
+        ss_line(
+            r, date_sk=dd(y, 5, 10), ticket=n_tickets + 310 + (y - 1999),
+            customer=q91_cust[y - 1999], item_sk=941, store=2,
+            cdemo=cd_w, qty=10,
+        )
+        ss_edits["ss_wholesale_cost"][r] = money(10)
+        ss_edits["ss_list_price"][r] = money(20)
+        ss_edits["ss_coupon_amt"][r] = money(0)
+    tables["store_sales"] = _apply_edits(tables["store_sales"], ss_edits)
+
+    # ---- store_returns: q64's two planted tickets get returns ----
+    tables["store_returns"] = _apply_edits(
+        tables["store_returns"],
+        {
+            "sr_ticket_number": {0: n_tickets + 310, 1: n_tickets + 311},
+            "sr_item_sk": {0: 941, 1: 941},
+        },
+    )
+
+    # ---- catalog_sales blocks ----
+    cs_edits: dict[str, dict] = {c: {} for c in (
+        "cs_sold_date_sk", "cs_item_sk", "cs_bill_customer_sk",
+        "cs_quantity", "cs_list_price", "cs_ext_sales_price",
+    )}
+    for i in range(8):  # q58 twins
+        cs_edits["cs_sold_date_sk"][i] = dd(1998, 1, 2)
+        cs_edits["cs_item_sk"][i] = 921 + i
+        cs_edits["cs_ext_sales_price"][i] = money(50000)
+    for i, c in enumerate(will_cust):  # q54: Jan-1998 dresses buyers
+        cs_edits["cs_sold_date_sk"][8 + i] = dd(1998, 1, 15)
+        cs_edits["cs_item_sk"][8 + i] = int(dress[i % len(dress)])
+        cs_edits["cs_bill_customer_sk"][8 + i] = c
+    for i in range(20):  # q23b: whales buy frequent items in Jan 1998
+        cs_edits["cs_sold_date_sk"][16 + i] = dd(1998, 1, 20)
+        cs_edits["cs_item_sk"][16 + i] = 1 + i % 2
+        cs_edits["cs_bill_customer_sk"][16 + i] = 11 + i % 2
+        cs_edits["cs_quantity"][16 + i] = 5
+        cs_edits["cs_list_price"][16 + i] = money(50)
+    tables["catalog_sales"] = _apply_edits(tables["catalog_sales"], cs_edits)
+
+    # ---- catalog_returns: q64 cs_ui pair, q91 re-points, q83 dates --
+    cr = tables["catalog_returns"]
+    cr_order = _col(cr, "cr_order_number")
+    cr_item = _col(cr, "cr_item_sk")
+    cr_date = _col(cr, "cr_returned_date_sk")
+    used_cr: set[int] = set()
+    cr_edits: dict[str, dict] = {
+        "cr_item_sk": {}, "cr_returned_date_sk": {},
+        "cr_returning_customer_sk": {}, "cr_call_center_sk": {},
+        "cr_refunded_cash": {}, "cr_reversed_charge": {},
+        "cr_store_credit": {},
+    }
+    cs_post = tables["catalog_sales"]
+    cs_order = _col(cs_post, "cs_order_number")
+    cs_item_col = _col(cs_post, "cs_item_sk")
+    # q64: re-item one matched cs/cr pair to 941 with a 20k list price
+    # and token refunds, putting 941 into cs_ui (sale > 2*refund).
+    for j in range(len(cr_order)):
+        src = np.where((cs_order == cr_order[j]) & (cs_item_col == cr_item[j]))[0]
+        src = src[src >= 60]
+        if len(src) and j not in used_cr:
+            used_cr.add(j)
+            cr_edits["cr_item_sk"][j] = 941
+            for c in ("cr_refunded_cash", "cr_reversed_charge", "cr_store_credit"):
+                cr_edits[c][j] = money(1)
+            tables["catalog_sales"] = _apply_edits(
+                tables["catalog_sales"],
+                {
+                    "cs_item_sk": {int(s): 941 for s in src},
+                    "cs_ext_list_price": {int(s): money(20000) for s in src},
+                },
+            )
+            break
+    # q91: point ten existing Nov-1998 returns at the planted cohort.
+    nov = np.where(
+        (cr_date >= dd(1998, 11, 1)) & (cr_date <= dd(1998, 11, 30))
+    )[0]
+    nov = [int(x) for x in nov if int(x) not in used_cr][:10]
+    for i, j in enumerate(nov):
+        used_cr.add(j)
+        cr_edits["cr_returning_customer_sk"][j] = q91_cust[i % len(q91_cust)]
+        cr_edits["cr_call_center_sk"][j] = 1 + i % SIZES_N["call_center"]
+
+    # ---- q83: same items returned in all three channels inside the
+    # three template weeks (1998-01-02 / 08-02 / 11-02) ----
+    sr_tbl, wr_tbl = tables["store_returns"], tables["web_returns"]
+    sr_item = _col(sr_tbl, "sr_item_sk")
+    wr_item = _col(wr_tbl, "wr_item_sk")
+    weeks = [dd(1998, 1, 2), dd(1998, 8, 2), dd(1998, 11, 2)]
+    common = sorted(
+        ({int(x) for x in sr_item[20:] if x == x}
+         & {int(x) for x in cr_item[:]}
+         & {int(x) for x in wr_item[40:] if x == x})
+        - {941}
+    )[:4]
+    sr_ed, wr_ed = {"sr_returned_date_sk": {}}, {"wr_returned_date_sk": {}}
+    for k, it in enumerate(common):
+        wk = weeks[k % 3]
+        j = int(np.where(sr_item[20:] == it)[0][0]) + 20
+        sr_ed["sr_returned_date_sk"][j] = wk
+        j = next(
+            int(x) for x in np.where(cr_item == it)[0] if int(x) not in used_cr
+        )
+        used_cr.add(j)
+        cr_edits["cr_returned_date_sk"][j] = wk
+        j = int(np.where(wr_item[40:] == it)[0][0]) + 40
+        wr_ed["wr_returned_date_sk"][j] = wk
+    tables["catalog_returns"] = _apply_edits(cr, cr_edits)
+    tables["store_returns"] = _apply_edits(sr_tbl, sr_ed)
+    tables["web_returns"] = _apply_edits(wr_tbl, wr_ed)
+
+    # ---- web_sales: q58 twins + q49's high-value November returns --
+    ws_edits: dict[str, dict] = {c: {} for c in (
+        "ws_sold_date_sk", "ws_item_sk", "ws_ext_sales_price",
+        "ws_sales_price", "ws_net_profit", "ws_web_page_sk",
+        "ws_quantity", "ws_net_paid",
+    )}
+    for i in range(8):
+        ws_edits["ws_sold_date_sk"][i] = dd(1998, 1, 2)
+        ws_edits["ws_item_sk"][i] = 921 + i
+        ws_edits["ws_ext_sales_price"][i] = money(50000)
+
+    # ---- q85 + q49: pick web returns whose sale rows we can mutate —
+    # demographics pair + price/profit bands (q85); >10k return amount
+    # in November 1998 (q49). ----
+    wr_tbl = tables["web_returns"]
+    wr_order = _col(wr_tbl, "wr_order_number")
+    wr_item2 = _col(wr_tbl, "wr_item_sk")
+    ws_order = _col(tables["web_sales"], "ws_order_number")
+    ws_item_col = _col(tables["web_sales"], "ws_item_sk")
+    wr_edits: dict[str, dict] = {
+        "wr_refunded_cdemo_sk": {}, "wr_returning_cdemo_sk": {},
+        "wr_refunded_addr_sk": {}, "wr_reason_sk": {},
+        "wr_return_amt": {}, "wr_return_quantity": {},
+    }
+    planted_85 = planted_49 = 0
+    for j in range(40, len(wr_order)):
+        if wr_ed["wr_returned_date_sk"].get(j) is not None:
+            continue
+        src = np.where((ws_order == wr_order[j]) & (ws_item_col == wr_item2[j]))[0]
+        src = [int(s) for s in src if s >= 20 and s not in ws_edits["ws_item_sk"]]
+        if not src:
+            continue
+        if planted_85 < 12:
+            wr_edits["wr_refunded_cdemo_sk"][j] = cd_uu
+            wr_edits["wr_returning_cdemo_sk"][j] = cd_uu
+            wr_edits["wr_refunded_addr_sk"][j] = ca_tn
+            wr_edits["wr_reason_sk"][j] = 1 + j % SIZES_N["reason"]
+            for s in src:
+                ws_edits["ws_sold_date_sk"][s] = dd(1998, 4, 15)
+                ws_edits["ws_sales_price"][s] = money(120)
+                ws_edits["ws_net_profit"][s] = money(150)
+                ws_edits["ws_web_page_sk"][s] = 1 + s % SIZES_N["web_page"]
+            planted_85 += 1
+        elif planted_49 < 6:
+            # q49: wr_return_amt > 10000 with sane ratios (returned
+            # quantity <= sold quantity) in November 1998.
+            wr_edits["wr_return_amt"][j] = money(12000)
+            wr_edits["wr_return_quantity"][j] = 10
+            for s in src:
+                ws_edits["ws_sold_date_sk"][s] = dd(1998, 11, 10)
+                ws_edits["ws_quantity"][s] = 20
+                ws_edits["ws_net_paid"][s] = money(24000)
+                ws_edits["ws_net_profit"][s] = money(200)
+            planted_49 += 1
+        else:
+            break
+    tables["web_sales"] = _apply_edits(tables["web_sales"], ws_edits)
+    tables["web_returns"] = _apply_edits(wr_tbl, wr_edits)
+    return tables
+
+
 def generate(out_dir: str = DEFAULT_DIR, force: bool = False) -> str:
     """Generate all 24 tables as parquet under ``out_dir`` (cached:
     re-generation is skipped when the marker file exists)."""
@@ -1464,6 +1809,7 @@ def generate(out_dir: str = DEFAULT_DIR, force: bool = False) -> str:
         }
     )
     assert set(tables) == set(TPCDS_SCHEMAS)
+    tables = plant_cohorts(tables)
     for name, t in tables.items():
         pq.write_table(t, os.path.join(out_dir, f"{name}.parquet"))
     with open(marker, "w") as f:
