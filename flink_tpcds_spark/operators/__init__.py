@@ -1,4 +1,5 @@
 from .joins import asof_join, interval_join, lookup_join
+from .match_recognize import match_recognize, match_v_shapes
 from .topn import dedup_first, dedup_last, top_n
 
 __all__ = [
@@ -8,4 +9,6 @@ __all__ = [
     "asof_join",
     "interval_join",
     "lookup_join",
+    "match_recognize",
+    "match_v_shapes",
 ]

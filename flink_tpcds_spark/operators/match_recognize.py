@@ -54,43 +54,53 @@ def match_v_shapes(
     maximal by construction, so a descent pairs with exactly the
     ascent that follows it.
     """
+    ocol = order_by[0]
     w = Window.partitionBy(partition_by).orderBy(*order_by)
     prev = F.lag(F.col(value)).over(w)
-    classified = df.withColumn(
+    classified = df.withColumn("_pos", F.row_number().over(w)).withColumn(
         "_dir",
         F.when(F.col(value) < prev, F.lit("D"))
         .when(F.col(value) > prev, F.lit("U"))
         .otherwise(F.lit("F")),  # flat or first row: breaks runs
     )
-    chg = F.when(
-        F.lag("_dir").over(w).isNull() | (F.lag("_dir").over(w) != F.col("_dir")),
-        F.lit(1),
-    ).otherwise(F.lit(0))
+    wp = Window.partitionBy(partition_by).orderBy("_pos")
+    classified = classified.withColumn(
+        "_chg",
+        F.when(
+            F.lag("_dir").over(wp).isNull()
+            | (F.lag("_dir").over(wp) != F.col("_dir")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
     runs = (
-        classified.withColumn("_run", F.sum(chg).over(w))
+        classified.withColumn("_run", F.sum("_chg").over(wp))
         .groupBy(partition_by, "_run")
         .agg(
-            F.first("_dir").alias("_dir"),
-            F.min(F.struct(*order_by, value)).alias("_lo"),
-            F.max(F.struct(*order_by, value)).alias("_hi"),
+            F.min("_dir").alias("_dir"),  # constant within a run
+            F.min("_pos").alias("_run_pos"),
+            F.min_by(ocol, "_pos").alias("_lo_o"),
+            F.min_by(value, "_pos").alias("_lo_v"),
+            F.max_by(ocol, "_pos").alias("_hi_o"),
+            F.max_by(value, "_pos").alias("_hi_v"),
             F.count(F.lit(1)).alias("_n"),
         )
     )
-    wr = Window.partitionBy(partition_by).orderBy("_run")
+    wr = Window.partitionBy(partition_by).orderBy("_run_pos")
     nxt = lambda c: F.lead(c).over(wr)  # noqa: E731
     return (
         runs.withColumn("_ndir", nxt("_dir"))
-        .withColumn("_nhi", nxt("_hi"))
+        .withColumn("_nhi_o", nxt("_hi_o"))
+        .withColumn("_nhi_v", nxt("_hi_v"))
         .withColumn("_nn", nxt("_n"))
         .filter((F.col("_dir") == "D") & (F.col("_ndir") == "U"))
         .select(
             F.col(partition_by),
-            F.col(f"_lo.{order_by[0]}").alias("start_" + order_by[0]),
-            F.col(f"_hi.{order_by[0]}").alias("bottom_" + order_by[0]),
-            F.col(f"_nhi.{order_by[0]}").alias("end_" + order_by[0]),
-            F.col(f"_lo.{value}").alias("start_value"),
-            F.col(f"_hi.{value}").alias("bottom_value"),
-            F.col(f"_nhi.{value}").alias("end_value"),
+            F.col("_lo_o").alias("start_" + ocol),
+            F.col("_hi_o").alias("bottom_" + ocol),
+            F.col("_nhi_o").alias("end_" + ocol),
+            F.col("_lo_v").alias("start_value"),
+            F.col("_hi_v").alias("bottom_value"),
+            F.col("_nhi_v").alias("end_value"),
             F.col("_n").alias("down_rows"),
             F.col("_nn").alias("up_rows"),
         )

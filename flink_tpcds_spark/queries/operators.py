@@ -985,3 +985,62 @@ def ops_stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gid", "l_returnflag", "l_linestatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# MATCH_RECOGNIZE analog (reference StreamExecMatch.scala:68 — SURVEY
+# §2.10): PATTERN (DOWN+ UP+) V-shape detection over per-user event
+# series, AFTER MATCH SKIP PAST LAST ROW. The DataFrame composition
+# (operators/match_recognize.py) is pure JVM window algebra, so the
+# identical run-length SQL runs on DuckDB as the oracle.
+# ---------------------------------------------------------------------------
+@_q(
+    "ops_match_recognize",
+    """
+    WITH c AS (
+      SELECT user_id, ts, value,
+             row_number() OVER w AS pos,
+             CASE WHEN value < lag(value) OVER w THEN 'D'
+                  WHEN value > lag(value) OVER w THEN 'U'
+                  ELSE 'F' END AS dir
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), g AS (
+      SELECT *, CASE WHEN lag(dir) OVER w2 IS NULL
+                       OR lag(dir) OVER w2 <> dir
+                     THEN 1 ELSE 0 END AS chg
+      FROM c WINDOW w2 AS (PARTITION BY user_id ORDER BY pos)
+    ), r AS (
+      SELECT *, SUM(chg) OVER w2 AS run
+      FROM g WINDOW w2 AS (PARTITION BY user_id ORDER BY pos)
+    ), runs AS (
+      SELECT user_id, run, min(dir) AS dir, min(pos) AS run_pos,
+             arg_min(ts, pos) AS lo_o, arg_min(value, pos) AS lo_v,
+             arg_max(ts, pos) AS hi_o, arg_max(value, pos) AS hi_v,
+             count(*) AS n
+      FROM r GROUP BY 1, 2
+    ), paired AS (
+      SELECT user_id, dir, lead(dir) OVER w3 AS ndir,
+             lo_o, lo_v, hi_o, hi_v, n,
+             lead(hi_o) OVER w3 AS nhi_o, lead(hi_v) OVER w3 AS nhi_v,
+             lead(n) OVER w3 AS nn
+      FROM runs WINDOW w3 AS (PARTITION BY user_id ORDER BY run_pos)
+    )
+    SELECT user_id, lo_o AS start_ts, hi_o AS bottom_ts, nhi_o AS end_ts,
+           lo_v AS start_value, hi_v AS bottom_value, nhi_v AS end_value,
+           n AS down_rows, nn AS up_rows
+    FROM paired WHERE dir = 'D' AND ndir = 'U'
+    ORDER BY user_id, start_ts
+    """,
+)
+def ops_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V-shape (DOWN+ UP+) pattern matches in each user's value
+    series — the reference's MATCH_RECOGNIZE flagship example,
+    re-expressed as run-length window algebra (no CEP NFA needed for
+    batch; the generic regex form is operators.match_recognize)."""
+    from ..operators import match_v_shapes
+
+    e = load_table(spark, sf_dir, "events")
+    return match_v_shapes(
+        e, "user_id", ["ts", "event_id"], "value"
+    ).orderBy("user_id", "start_ts")

@@ -93,3 +93,69 @@ def test_asof_join_tolerance(spark, sf_dir):
     # matches, 10 minutes nulls most of them out
     assert 0 < n_week <= n_loose
     assert n_10min < n_week
+
+
+def test_match_v_shapes_known_series(spark):
+    # user 1: 5 4 3 6 7 2 1 9 → two V matches: (5..3, 3..7) and (7..1, 1..9)
+    # user 2: monotonically rising → no D run → no match
+    rows = [(1, i, v) for i, v in enumerate([5.0, 4.0, 3.0, 6.0, 7.0, 2.0, 1.0, 9.0])]
+    rows += [(2, i, float(i)) for i in range(4)]
+    df = spark.createDataFrame(rows, "user_id int, ts int, value double")
+    from flink_tpcds_spark.operators import match_v_shapes
+
+    out = {
+        (r.user_id, r.start_ts, r.bottom_ts, r.end_ts, r.down_rows, r.up_rows)
+        for r in match_v_shapes(df, "user_id", ["ts"], "value").collect()
+    }
+    assert out == {(1, 1, 2, 4, 2, 2), (1, 5, 6, 7, 2, 1)}
+
+
+def test_match_recognize_generic_equals_composed(spark):
+    # The generic regex matcher (D+U+) must find exactly the composed
+    # form's matches (same spans, same row counts) on a random series.
+    import random
+
+    rnd = random.Random(7)
+    rows = [
+        (u, i, float(rnd.randint(0, 9)))
+        for u in range(5)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts int, value double")
+    from flink_tpcds_spark.operators import match_recognize, match_v_shapes
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    prev = F.lag("value").over(w)
+    generic = match_recognize(
+        df.withColumn("_p", prev),
+        "user_id",
+        ["ts"],
+        define={
+            "D": F.col("value") < F.col("_p"),
+            "U": F.col("value") > F.col("_p"),
+        },
+        pattern="D+U+",
+    )
+    g = {
+        (r.user_id, r.start_ts, r.end_ts, r.match_rows)
+        for r in generic.collect()
+    }
+    composed = {
+        # composed spans exclude nothing: D rows + U rows = match rows
+        (r.user_id, r.start_ts, r.end_ts, r.down_rows + r.up_rows)
+        for r in match_v_shapes(df, "user_id", ["ts"], "value").collect()
+    }
+    assert g == composed
+
+
+def test_match_recognize_rejects_multichar_symbol(spark):
+    df = spark.createDataFrame([(1, 1, 1.0)], "user_id int, ts int, value double")
+    from flink_tpcds_spark.operators import match_recognize
+    from pyspark.sql import functions as F
+
+    with pytest.raises(ValueError):
+        match_recognize(
+            df, "user_id", ["ts"], define={"DOWN": F.lit(True)}, pattern="D+"
+        )
