@@ -3,6 +3,7 @@ from .joins import (
     streaming_over_running_sum,
     streaming_semi_join,
 )
+from .sort import event_time_sorted
 from .source import event_stream
 from .windows import (
     sliding_window_counts,
@@ -14,6 +15,7 @@ from .windows import (
 
 __all__ = [
     "event_stream",
+    "event_time_sorted",
     "tumbling_window_agg",
     "sliding_window_counts",
     "session_window_agg",

@@ -394,3 +394,68 @@ def test_streaming_over_running_sum_matches_batch(spark, sf_dir):
         for r in out.collect()
     }
     assert got == expected
+
+
+def test_event_time_sorted_releases_watermarked_prefix(spark, sf_dir):
+    from flink_tpcds_spark.streaming import event_time_sorted
+
+    out = _run_to_memory(
+        spark,
+        event_time_sorted(event_stream(spark, sf_dir), delay="10 minutes"),
+        "t_evsort",
+    )
+    rows = out.collect()
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    wm = max(r.ts for r in batch) - __import__("datetime").timedelta(minutes=10)
+    expected = {(r.user_id, r.ts, r.event_id) for r in batch if r.ts <= wm}
+    got = {(r.user_id, r.ts, r.event_id) for r in rows}
+    # every released row is exactly once, covers the full prefix at or
+    # below the final watermark, and the inside-delay tail is retained
+    assert len(rows) == len(got)
+    assert got == expected
+    assert len(batch) > len(rows) > 0
+    # per-key release order is event-time order (append order per key)
+    from collections import defaultdict
+
+    seen = defaultdict(list)
+    for r in rows:
+        seen[r.user_id].append((r.ts, r.event_id))
+    for ks in seen.values():
+        assert ks == sorted(ks)
+
+
+def test_windowed_update_mode_is_early_fire(spark, sf_dir):
+    """Per-window early/late-fire trigger analog (reference
+    runtime/operators/window/triggers/ — EarlyTriggers fire partial
+    window results before close, late-fires refine within allowed
+    lateness). In Structured Streaming the same contract is update
+    output mode: every micro-batch emits the current value of every
+    touched window — including windows the watermark has NOT closed,
+    which append mode withholds — and re-emissions refine counts
+    upward. The final refinement of every window equals the batch
+    result."""
+    upd = _run_to_memory(
+        spark,
+        tumbling_window_agg(event_stream(spark, sf_dir)),
+        "t_early_fire",
+        mode="update",
+    )
+    batch = {
+        (r.window_start, r.event_type): r.cnt
+        for r in tumbling_window_agg(
+            load_table(spark, sf_dir, "events")
+        ).collect()
+    }
+    latest = {
+        (r.window_start, r.event_type): r.cnt
+        for r in upd.groupBy("window_start", "event_type")
+        .agg(F.max("cnt").alias("cnt"))
+        .collect()
+    }
+    # early fire: every window appears (even ones never closed by the
+    # final watermark), and its last refinement is the true total
+    assert latest == batch
