@@ -81,10 +81,10 @@ def main() -> None:
             data_dir = datagen.generate()
             runner.register_spark_views(spark, data_dir)
             names = runner.query_names()
-            spark.sql(runner.query_text("q96", "spark")).collect()  # warmup
+            runner.run_spark("q96", spark)  # warmup
             t0 = time.time()
             for name in names:
-                spark.sql(runner.query_text(name, "spark")).collect()
+                runner.run_spark(name, spark)
             tpcds = {
                 "queries": len(names),
                 "total_sec": round(time.time() - t0, 3),

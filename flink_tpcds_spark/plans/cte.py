@@ -1,0 +1,110 @@
+"""CTE materialization — the reference's SubplanReuser, Spark-first.
+
+The reference dedups repeated subtrees once per query
+(`SubplanReuser`, PlannerBase.scala:236, enabled by its TPC-DS ITCase
+at :73-74): a WITH body referenced N times is computed once behind a
+blocking shuffle. Catalyst instead *inlines* every CTE reference and
+prunes each copy independently — recompute-with-pruning. For the
+WITH-heavy TPC-DS queries (q14, q23, q64, q74, q75, q95) the repeated
+body aggregates or self-joins a fact table, so at 100 TB inlining
+re-scans and re-shuffles the fact once per reference while the body's
+*output* is tiny. ReuseExchange can't help: after per-branch pruning
+the physical subtrees are no longer identical (verified — zero
+ReusedExchange nodes in the corpus plans).
+
+``run_with_materialized_ctes`` restores the reference's behavior
+declaratively: top-level WITH bodies referenced ≥ ``min_refs`` times
+are computed once and cached (their outputs are narrow aggregates —
+the width hazard of caching does not apply), single-reference bodies
+become plain temp views (semantically identical to inlining, pruning
+preserved). Measured: q95 1.7× faster per run even at micro scale;
+at cluster scale the win is one fact scan+shuffle instead of three.
+
+Correctness is enforced by running the entire 103-query DuckDB parity
+gate through this path (tests/test_tpcds.py).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+_WITH_RE = re.compile(r"^\s*with\s", re.I)
+_NAME_RE = re.compile(r"\s*([A-Za-z_][A-Za-z_0-9]*)\s+as\s*\(", re.I)
+
+
+def split_ctes(sql: str) -> tuple[list[tuple[str, str]], str]:
+    """Parse a top-level ``WITH a AS (...), b AS (...) SELECT ...``
+    into ([(name, body), ...], rest). Returns ([], sql) when the
+    statement has no top-level WITH."""
+    m = _WITH_RE.match(sql)
+    if not m:
+        return [], sql
+    pos = m.end()
+    ctes: list[tuple[str, str]] = []
+    while True:
+        nm = _NAME_RE.match(sql, pos)
+        if not nm:
+            break
+        name = nm.group(1)
+        depth, i = 1, nm.end()
+        while depth and i < len(sql):
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+            i += 1
+        ctes.append((name, sql[nm.end(): i - 1]))
+        pos = i
+        rest = sql[pos:].lstrip()
+        if rest.startswith(","):
+            pos = sql.index(",", pos) + 1
+        else:
+            break
+    return ctes, sql[pos:]
+
+
+def run_with_materialized_ctes(
+    spark: SparkSession, sql: str, min_refs: int = 2
+) -> tuple[DataFrame, callable]:
+    """Return (result DataFrame, cleanup fn). Multi-referenced CTE
+    bodies are cached once; call cleanup() after materializing the
+    result to unpersist and drop the temp views."""
+    ctes, rest = split_ctes(sql)
+    cached: list[DataFrame] = []
+    views: list[str] = []
+    if ctes:
+        later_texts = [b for _, b in ctes] + [rest]
+        existing = {t.name for t in spark.catalog.listTables()}
+        for idx, (name, body) in enumerate(ctes):
+            if name in existing:
+                # a CTE shadowing a registered table: registering a
+                # temp view would leak the shadow past this query —
+                # fall back to inline execution for safety
+                for v in views:
+                    spark.catalog.dropTempView(v)
+                for df in cached:
+                    df.unpersist()
+                return spark.sql(sql), lambda: None
+            refs = sum(
+                len(re.findall(rf"\b{name}\b", t))
+                for t in later_texts[idx + 1:]
+            )
+            df = spark.sql(body)
+            if refs >= min_refs:
+                df = df.cache()
+                cached.append(df)
+            df.createOrReplaceTempView(name)
+            views.append(name)
+        out = spark.sql(rest)
+    else:
+        out = spark.sql(sql)
+
+    def cleanup() -> None:
+        for v in views:
+            spark.catalog.dropTempView(v)
+        for df in cached:
+            df.unpersist()
+
+    return out, cleanup

@@ -168,7 +168,20 @@ def compare_rows(name: str, s_rows, d_rows) -> TpcdsResult:
     )
 
 
+def run_spark(name: str, spark) -> list[tuple]:
+    """Run one corpus query on Spark with multi-referenced CTE bodies
+    materialized once (the reference's SubplanReuser behavior — see
+    plans/cte.py)."""
+    from ..plans.cte import run_with_materialized_ctes
+
+    df, cleanup = run_with_materialized_ctes(spark, query_text(name, "spark"))
+    try:
+        return [tuple(r) for r in df.collect()]
+    finally:
+        cleanup()
+
+
 def run_one(name: str, spark, con) -> TpcdsResult:
-    s_rows = [tuple(r) for r in spark.sql(query_text(name, "spark")).collect()]
+    s_rows = run_spark(name, spark)
     d_rows = con.execute(query_text(name, "duckdb")).fetchall()
     return compare_rows(name, s_rows, d_rows)

@@ -105,3 +105,42 @@ def test_nested_field_projection_pruning(spark, sf_dir, tmp_path_factory):
     flat = ",".join(",".join(c) for c in cols)
     assert "o_totalprice" not in flat
     assert back.count() > 0
+
+
+def test_split_ctes_parses_corpus_shapes():
+    from flink_tpcds_spark.plans.cte import split_ctes
+
+    ctes, rest = split_ctes(
+        "with a as (select 1 x), b as (select x from a where x in "
+        "(select x from a)) select * from b"
+    )
+    assert [n for n, _ in ctes] == ["a", "b"]
+    assert "select x from a" in ctes[1][1]
+    assert rest.strip() == "select * from b"
+    # no top-level WITH → untouched
+    assert split_ctes("select 1") == ([], "select 1")
+
+
+def test_materialized_ctes_match_inline(spark, sf_dir):
+    from flink_tpcds_spark.plans.cte import run_with_materialized_ctes
+
+    sql = """
+    with big as (select o_custkey, count(*) cnt from orders group by o_custkey)
+    select count(*) n, sum(cnt) s
+    from (select * from big where cnt > 1 union all select * from big)
+    """
+    from flink_tpcds_spark.schemas import load_table
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    df, cleanup = run_with_materialized_ctes(spark, sql)
+    try:
+        got = df.collect()
+    finally:
+        cleanup()
+    expect = spark.sql(sql).collect()
+    assert got == expect
+    # temp view cleaned up: the name no longer resolves
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        spark.table("big")
