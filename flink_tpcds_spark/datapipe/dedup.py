@@ -191,9 +191,21 @@ def minhash_near_dup_pairs(
     text_col: str = "text",
     threshold: float = 0.8,
     min_tokens: int = 3,
+    max_bucket_size: int | None = 5000,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, exact jaccard ≥ threshold)
     via MinHash-LSH candidate generation + exact verification.
+
+    ``max_bucket_size`` guards the band join against pathological
+    buckets: m docs colliding in one (band, bucket) yield m² candidate
+    pairs, so one adversarial low-entropy cluster can dominate the
+    whole job. Buckets above the cap are skipped for candidate
+    generation in THAT band only — colliding docs still pair through
+    their 15 other bands, so recall loss needs a cluster to blow the
+    cap in every band at once (i.e. near-identical docs, which exact
+    dedup upstream should have removed). The guard is one co-
+    partitioned count over the bands table — no extra shuffle. Set
+    ``None`` to disable.
 
     Returns columns: ``id_a, id_b, jaccard``.
     """
@@ -220,6 +232,14 @@ def minhash_near_dup_pairs(
             "id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket")
         )
     )
+    if max_bucket_size is not None:
+        ok_buckets = (
+            bands.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
+        bands = bands.join(ok_buckets, ["band", "bucket"])
     candidates = (
         bands.alias("x")
         .join(bands.alias("y"), ["band", "bucket"])

@@ -94,3 +94,26 @@ def test_ivf_ann_recall_floor(spark, sf_dir):
     recall = len(bf & ivf) / len(bf)
     # measured ~0.62 at 16 cells / nprobe 4; floor well below
     assert recall >= 0.35, f"IVF recall {recall:.3f} below floor"
+
+
+def test_minhash_bucket_guard(spark, sf_dir):
+    """max_bucket_size guards the band join against quadratic bucket
+    blowup; at a generous cap it must be a no-op, at cap 0 candidate
+    generation shuts off entirely."""
+    docs = load_table(spark, sf_dir, "documents")
+    from flink_tpcds_spark.datapipe.dedup import (
+        minhash_near_dup_pairs,
+        release_caches,
+    )
+
+    guarded = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_dup_pairs(docs, max_bucket_size=5000).collect()
+    }
+    unguarded = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_dup_pairs(docs, max_bucket_size=None).collect()
+    }
+    assert guarded == unguarded and len(guarded) > 0
+    assert minhash_near_dup_pairs(docs, max_bucket_size=0).count() == 0
+    release_caches()
