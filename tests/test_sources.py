@@ -131,3 +131,48 @@ def test_orc_format_roundtrip(spark, scratch_dir, sf_dir):
     assert "PushedFilters" in explain_text(
         back.filter(F.col("r_regionkey") > 2)
     )
+
+
+def test_avro_roundtrip(spark, sf_dir, tmp_path):
+    """Pure-python Avro OCF sink + source (reference flink-avro): a
+    multi-partition write must round-trip values, nulls and types
+    exactly, through both deflate and null codecs."""
+    from flink_tpcds_spark.sources.avro import read_avro, write_avro
+
+    df = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("price"),
+            "o_orderpriority",
+            (F.col("o_orderkey") % 2 == 0).alias("even"),
+            # exercise nulls in every type family
+            F.when(F.col("o_orderkey") % 7 != 0, F.col("o_custkey")).alias(
+                "custkey_or_null"
+            ),
+            F.when(
+                F.col("o_orderkey") % 5 != 0, F.col("o_orderstatus")
+            ).alias("status_or_null"),
+        )
+        .repartition(4)
+    )
+    for codec in ("deflate", "null"):
+        path = str(tmp_path / f"avro_{codec}")
+        write_avro(df, path, codec=codec)
+        import os
+
+        files = [f for f in os.listdir(path) if f.endswith(".avro")]
+        assert len(files) == 4  # one OCF file per partition
+        back = read_avro(spark, path)
+        assert back.schema == df.schema
+        assert {tuple(r) for r in back.collect()} == {
+            tuple(r) for r in df.collect()
+        }
+
+
+def test_avro_rejects_unsupported_type(spark, sf_dir, tmp_path):
+    from flink_tpcds_spark.sources.avro import write_avro
+
+    df = load_table(spark, sf_dir, "orders").select("o_orderdate")  # date
+    with pytest.raises(TypeError):
+        write_avro(df, str(tmp_path / "x"))
