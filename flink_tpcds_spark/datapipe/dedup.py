@@ -53,6 +53,12 @@ _LIVE_CACHES: list[DataFrame] = []
 
 
 def _register_cache(df: DataFrame) -> DataFrame:
+    # The cache is a correctness barrier as much as a perf one: without
+    # it Catalyst CSE inlines the quadratic shingle expression into the
+    # downstream filters (the HOF/CSE hazard). At 100 TB, MEMORY-only
+    # caching of a corpus-sized shingle table becomes a spill storm —
+    # swap to persist(StorageLevel.DISK_ONLY) or .localCheckpoint()
+    # there; the barrier property is what matters, not the medium.
     _LIVE_CACHES.append(df.cache())
     return df
 

@@ -1,0 +1,91 @@
+"""Append / retract / upsert stream sinks (reference
+flink-table-common sinks/{Append,Retract,Upsert}StreamTableSink.java —
+SURVEY §2.1).
+
+Flink models a continuously-updated table as a changelog the sink
+consumes: appends only (AppendStreamTableSink), (+/-) retraction pairs
+(RetractStreamTableSink), or keyed upserts (UpsertStreamTableSink).
+Structured Streaming's native analog is output mode (append/update/
+complete); these helpers materialize the two non-trivial contracts on
+top of ``foreachBatch``:
+
+- ``UpsertSink`` — keyed last-write-wins table: each update-mode
+  micro-batch merges into the maintained state; ``snapshot()`` is the
+  current table (what a Kafka-compacted-topic or JDBC-upsert sink
+  would hold).
+- ``RetractSink`` — a true changelog: each micro-batch diffs against
+  the previous state and appends (-old, +new) operations;
+  ``changelog()`` is the full (+/-) history and replaying it yields
+  exactly the upsert snapshot.
+
+Both run their merge logic inside ``foreachBatch`` on small *deltas*
+(update mode emits only changed keys per batch), the same incremental
+contract the reference's sinks receive. State lives driver-side as
+pandas — the sink end of a pipeline is the reference's own
+assumption for these interfaces (JDBC/HBase/ES writers); swap the
+pandas dict for the external store in production.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+class UpsertSink:
+    """Keyed last-write-wins materialization of an update-mode stream."""
+
+    def __init__(self, key_cols: list[str]):
+        self.key_cols = key_cols
+        self._rows: dict[tuple, tuple] = {}
+        self.columns: list[str] | None = None
+
+    def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        pdf = batch_df.toPandas()
+        if self.columns is None:
+            self.columns = list(pdf.columns)
+        ki = [self.columns.index(k) for k in self.key_cols]
+        for row in pdf.itertuples(index=False):
+            self._rows[tuple(row[i] for i in ki)] = tuple(row)
+
+    def snapshot(self) -> pd.DataFrame:
+        return pd.DataFrame(list(self._rows.values()), columns=self.columns)
+
+
+class RetractSink(UpsertSink):
+    """Changelog materialization: (+/-) operation per value change."""
+
+    def __init__(self, key_cols: list[str]):
+        super().__init__(key_cols)
+        self._log: list[tuple] = []
+
+    def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        pdf = batch_df.toPandas()
+        if self.columns is None:
+            self.columns = list(pdf.columns)
+        ki = [self.columns.index(k) for k in self.key_cols]
+        for row in pdf.itertuples(index=False):
+            row = tuple(row)
+            key = tuple(row[i] for i in ki)
+            old = self._rows.get(key)
+            if old == row:
+                continue
+            if old is not None:
+                self._log.append(("-", *old))  # retract the old value
+            self._log.append(("+", *row))
+            self._rows[key] = row
+
+    def changelog(self) -> pd.DataFrame:
+        return pd.DataFrame(self._log, columns=["op", *self.columns])
+
+    def replay(self) -> pd.DataFrame:
+        """Fold the changelog; must equal ``snapshot()``."""
+        state: dict[tuple, tuple] = {}
+        ki = [self.columns.index(k) for k in self.key_cols]
+        for op, *row in self._log:
+            key = tuple(row[i] for i in ki)
+            if op == "+":
+                state[key] = tuple(row)
+            elif state.get(key) == tuple(row):
+                del state[key]
+        return pd.DataFrame(list(state.values()), columns=self.columns)

@@ -459,3 +459,43 @@ def test_windowed_update_mode_is_early_fire(spark, sf_dir):
     # early fire: every window appears (even ones never closed by the
     # final watermark), and its last refinement is the true total
     assert latest == batch
+
+
+def test_retract_and_upsert_sinks(spark, sf_dir, tmp_path):
+    """RetractStreamTableSink / UpsertStreamTableSink contracts
+    (reference flink-table-common sinks): the upsert snapshot equals
+    the batch aggregate, the changelog contains real retractions
+    (value updates across micro-batches), and replaying the changelog
+    reproduces the snapshot exactly."""
+    from flink_tpcds_spark.streaming.sinks import RetractSink
+
+    batch = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "ev_files")
+    batch.repartition(4).write.parquet(src)
+    agg = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    sink = RetractSink(["event_type"])
+    q = (
+        agg.writeStream.foreachBatch(sink.foreach_batch)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    expected = {
+        (r.event_type, r.cnt)
+        for r in batch.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    snap = {tuple(r) for r in sink.snapshot().itertuples(index=False)}
+    assert snap == expected
+    log = sink.changelog()
+    assert (log.op == "-").sum() > 0  # counts grew across batches
+    replay = {tuple(r) for r in sink.replay().itertuples(index=False)}
+    assert replay == snap
