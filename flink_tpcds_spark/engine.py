@@ -33,6 +33,7 @@ class AnalyticsEngine:
         self.spark = spark or get_spark()
         register_scalar_functions(self.spark)
         self.tables: dict[str, DataFrame] = {}
+        self._cte_cleanups: list = []
         if sf_dir:
             self.register(sf_dir)
 
@@ -66,6 +67,22 @@ class AnalyticsEngine:
             self.spark.sql(
                 f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR ALL COLUMNS"
             )
+
+    def sql_materialized(self, query: str) -> DataFrame:
+        """``sql()`` with multi-referenced WITH bodies computed once —
+        the reference's SubplanReuser (PlannerBase.scala:236), which
+        Catalyst's inline-and-prune model lacks; see plans/cte.py.
+        Call :meth:`release_materialized` after consuming results."""
+        from .plans.cte import run_with_materialized_ctes
+
+        df, cleanup = run_with_materialized_ctes(self.spark, query)
+        self._cte_cleanups.append(cleanup)
+        return df
+
+    def release_materialized(self) -> None:
+        """Unpersist CTE caches created by :meth:`sql_materialized`."""
+        while self._cte_cleanups:
+            self._cte_cleanups.pop()()
 
     def explain(self, query: str) -> str:
         """Formatted physical plan for a SQL query (plan checks live

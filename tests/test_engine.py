@@ -97,3 +97,16 @@ def test_analyze_tables_feeds_cbo(engine):
     )
     assert stats.rowCount().isDefined()
     assert stats.rowCount().get() == 5
+
+
+def test_engine_sql_materialized(spark, sf_dir):
+    from flink_tpcds_spark.engine import AnalyticsEngine
+
+    eng = AnalyticsEngine(spark=spark, sf_dir=sf_dir)
+    sql = """
+    with t as (select o_custkey, count(*) c from orders group by o_custkey)
+    select (select count(*) from t) n1, (select sum(c) from t) s1
+    """
+    got = eng.sql_materialized(sql).collect()
+    eng.release_materialized()
+    assert got == eng.sql(sql).collect()
