@@ -1742,6 +1742,52 @@ def plant_cohorts(tables: dict) -> dict:
             break
     tables["web_sales"] = _apply_edits(tables["web_sales"], ws_edits)
     tables["web_returns"] = _apply_edits(wr_tbl, wr_edits)
+
+    # ---- q49 store + catalog channels: >10k November-1998 returns
+    # with sane ratios (the web channel got its witnesses above) ----
+    def _boost_returns(sales, rets, s_pfx, r_pfx, join, amt_col, skip):
+        s_date = _col(tables[sales], f"{s_pfx}_sold_date_sk")
+        s_keys = {
+            c: _col(tables[sales], f"{s_pfx}_{c}") for c in join
+        }
+        r_keys = {c: _col(tables[rets], f"{r_pfx}_{c}") for c in join}
+        lo, hi = dd(1998, 11, 1), dd(1998, 11, 30)
+        in_nov = {}
+        for i in range(len(s_date)):
+            d = s_date[i]
+            if d == d and lo <= d <= hi and i < 50000:
+                in_nov[tuple(k[i] for k in s_keys.values())] = i
+        s_ed: dict[str, dict] = {
+            f"{s_pfx}_quantity": {}, f"{s_pfx}_net_paid": {},
+            f"{s_pfx}_net_profit": {},
+        }
+        r_ed: dict[str, dict] = {amt_col: {}, f"{r_pfx}_return_quantity": {}}
+        hits = 0
+        for j in range(len(next(iter(r_keys.values())))):
+            if hits >= 5 or j in skip:
+                continue
+            key = tuple(k[j] for k in r_keys.values())
+            i = in_nov.get(key)
+            if i is None:
+                continue
+            r_ed[amt_col][j] = money(12000)
+            r_ed[f"{r_pfx}_return_quantity"][j] = 10
+            s_ed[f"{s_pfx}_quantity"][i] = 20
+            s_ed[f"{s_pfx}_net_paid"][i] = money(24000)
+            s_ed[f"{s_pfx}_net_profit"][i] = money(200)
+            hits += 1
+        tables[sales] = _apply_edits(tables[sales], s_ed)
+        tables[rets] = _apply_edits(tables[rets], r_ed)
+
+    _boost_returns(
+        "store_sales", "store_returns", "ss", "sr",
+        ["ticket_number", "item_sk"], "sr_return_amt",
+        {0, 1} | set(sr_ed["sr_returned_date_sk"]),
+    )
+    _boost_returns(
+        "catalog_sales", "catalog_returns", "cs", "cr",
+        ["order_number", "item_sk"], "cr_return_amount", used_cr,
+    )
     return tables
 
 
