@@ -209,9 +209,11 @@ def minhash_near_dup_pairs(
     generation in THAT band only — colliding docs still pair through
     their 15 other bands, so recall loss needs a cluster to blow the
     cap in every band at once (i.e. near-identical docs, which exact
-    dedup upstream should have removed). The guard is one co-
-    partitioned count over the bands table — no extra shuffle. Set
-    ``None`` to disable.
+    dedup upstream should have removed). The guard is a map-combined
+    count (shuffle volume = distinct buckets, not rows) feeding a
+    **broadcast anti-join** — over-cap buckets are outliers by
+    construction, so the broadcast set is tiny and the bands table is
+    never re-shuffled for the guard. Set ``None`` to disable.
 
     Returns columns: ``id_a, id_b, jaccard``.
     """
@@ -239,13 +241,17 @@ def minhash_near_dup_pairs(
         )
     )
     if max_bucket_size is not None:
-        ok_buckets = (
+        # Cache first: (id, band, bucket) is 3 ints × 16 rows/doc —
+        # tiny next to the signature UDF it shields from recompute
+        # (the guard branch + both self-join sides all read it).
+        bands = _register_cache(bands)
+        over_cap = (
             bands.groupBy("band", "bucket")
             .agg(F.count(F.lit(1)).alias("_bsz"))
-            .filter(F.col("_bsz") <= max_bucket_size)
-            .drop("_bsz")
+            .filter(F.col("_bsz") > max_bucket_size)
+            .select("band", "bucket")
         )
-        bands = bands.join(ok_buckets, ["band", "bucket"])
+        bands = bands.join(F.broadcast(over_cap), ["band", "bucket"], "left_anti")
     candidates = (
         bands.alias("x")
         .join(bands.alias("y"), ["band", "bucket"])
