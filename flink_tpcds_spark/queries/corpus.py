@@ -1,0 +1,172 @@
+"""TPC-DS corpus queries registered under the driver's hard gate.
+
+The 103-query corpus (vendored from the reference's
+``TpcDsBatchExecITCase.scala`` resource set) already passes a local
+Spark-vs-DuckDB parity gate (tpcds/runner.py). This module puts the
+same corpus under the *driver's* correctness gate: each entry runs
+the vendored SQL on Spark over the deterministic 24-table generator
+output, and its oracle is a **self-contained** DuckDB statement that
+binds every table via ``read_parquet('<abs path>')`` CTEs — so the
+driver's vanilla DuckDB connection (which only knows the TPC-H-ish
+sf tables) can execute it verbatim.
+
+Cross-engine hash stability is engineered, not hoped for:
+
+- output columns are renamed positionally to ``c00..cNN`` on BOTH
+  sides (unaliased aggregate names differ between engines);
+- every column that is floating/decimal on EITHER engine is
+  canonicalized to ``round(CAST(x AS DOUBLE), 4) + 0.0`` on BOTH
+  sides (4 digits = the reference comparator's precision,
+  TpcUtils.scala DecimalFormat "0.0000"; ``+ 0.0`` folds IEEE -0.0);
+- queries whose trailing ``ORDER BY … LIMIT n`` is tie-ambiguous
+  (the reference's ``isUncertain`` set, plus any query whose strict
+  form fails offline certification) are *limit-lifted*: the LIMIT is
+  removed, and a total order over all canonical output columns
+  (``NULLS FIRST`` pinned on both engines) re-applies it — two rows
+  that tie on every canonical column are interchangeable, so the
+  selected canonical multiset is engine-deterministic.
+
+Which queries use which form, the per-column canonicalization mask,
+and the final oracle text are produced offline by
+``scripts/gen_corpus_oracles.py``, which also *certifies* every
+registered query by running the exact driver comparison (column
+match + order-insensitive value hash, ``oracle.py``) against a
+vanilla DuckDB connection. Only certified queries are registered.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tpcds import datagen
+from ..tpcds.runner import query_text
+from ..tpcds.schema import TPCDS_SCHEMAS
+
+DATA_PLACEHOLDER = "__TPCDS_DATA__"
+
+_TRAILING_LIMIT_RE = re.compile(r"\blimit\s+(\d+)\s*$", re.I)
+
+
+def trailing_limit(sql: str) -> int | None:
+    m = _TRAILING_LIMIT_RE.search(sql.rstrip())
+    return int(m.group(1)) if m else None
+
+
+def strip_trailing_limit(sql: str) -> str:
+    return _TRAILING_LIMIT_RE.sub("", sql.rstrip()).rstrip()
+
+
+def canon_names(ncols: int) -> list[str]:
+    return [f"c{i:02d}" for i in range(ncols)]
+
+
+def canonicalize_df(df: DataFrame, mask: tuple[int, ...]) -> DataFrame:
+    """Positional rename to c00..cNN; masked columns → rounded double.
+
+    ``toDF`` renames positionally first: corpus queries can emit
+    duplicate column names (e.g. q76's ``channel``), which name-based
+    selection cannot address.
+    """
+    df = df.toDF(*canon_names(len(mask)))
+    cols = []
+    for name, floaty in zip(df.columns, mask):
+        c = F.col(name)
+        if floaty:
+            c = F.round(c.cast("double"), 4) + F.lit(0.0)
+        cols.append(c.alias(name))
+    return df.select(*cols)
+
+
+def table_bindings(data_dir: str = DATA_PLACEHOLDER) -> str:
+    """CTE prefix binding all 24 TPC-DS tables to their parquet files.
+
+    Unreferenced CTEs are pruned by DuckDB's planner, so binding the
+    full schema costs nothing and keeps the oracle builder uniform.
+    """
+    return ",\n  ".join(
+        f"{t} AS (SELECT * FROM read_parquet('{data_dir}/{t}.parquet'))"
+        for t in TPCDS_SCHEMAS
+    )
+
+
+def build_oracle(name: str, mask: tuple[int, ...], lift_limit: int | None) -> str:
+    """Self-contained DuckDB oracle for one corpus query (path uses
+    DATA_PLACEHOLDER; substitute before executing)."""
+    inner = query_text(name, "duckdb")
+    if lift_limit is not None:
+        inner = strip_trailing_limit(inner)
+    names = canon_names(len(mask))
+    sel = ", ".join(
+        f"(round(CAST({n} AS DOUBLE), 4) + 0.0) AS {n}" if m else n
+        for n, m in zip(names, mask)
+    )
+    alias = ", ".join(names)
+    sql = (
+        f"WITH {table_bindings()}\n"
+        f"SELECT {sel} FROM (\n{inner}\n) AS t({alias})"
+    )
+    if lift_limit is not None:
+        order = ", ".join(f"{n} NULLS FIRST" for n in names)
+        sql = (
+            f"SELECT * FROM (\n{sql}\n) AS lifted "
+            f"ORDER BY {order} LIMIT {lift_limit}"
+        )
+    return sql
+
+
+_VIEWS_READY: set[tuple[int, str]] = set()
+
+
+def ensure_views(spark: SparkSession, data_dir: str) -> None:
+    key = (id(spark), data_dir)
+    if key in _VIEWS_READY:
+        return
+    for t in TPCDS_SCHEMAS:
+        spark.read.parquet(f"{data_dir}/{t}.parquet").createOrReplaceTempView(t)
+    _VIEWS_READY.add(key)
+
+
+def _runner(name: str, mask: tuple[int, ...], lift_limit: int | None):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # sf_dir intentionally unused: the corpus runs on its own
+        # deterministic 24-table generator output (same data the
+        # oracle's read_parquet bindings point at).
+        data_dir = datagen.generate()
+        ensure_views(spark, data_dir)
+        txt = query_text(name, "spark")
+        if lift_limit is not None:
+            txt = strip_trailing_limit(txt)
+        df = canonicalize_df(spark.sql(txt), mask)
+        if lift_limit is not None:
+            df = df.orderBy(
+                *[F.col(c).asc_nulls_first() for c in df.columns]
+            ).limit(lift_limit)
+        return df
+
+    run.__name__ = f"corpus_{name}"
+    run.__doc__ = (
+        f"TPC-DS corpus {name} (vendored reference SQL) with "
+        f"canonicalized output; oracle is self-contained DuckDB."
+    )
+    return run
+
+
+def _build() -> tuple[dict, dict]:
+    try:
+        from ..tpcds.oracles import SPECS
+    except ImportError:  # oracles not generated yet
+        return {}, {}
+    queries: dict = {}
+    oracles: dict = {}
+    data_dir = datagen.generate()
+    for name, spec in SPECS.items():
+        key = name  # corpus names q1..q99 don't collide with suites
+        queries[key] = _runner(name, spec["mask"], spec["limit"])
+        oracles[key] = spec["sql"].replace(DATA_PLACEHOLDER, data_dir)
+    return queries, oracles
+
+
+QUERIES, ORACLES = _build()
