@@ -7,8 +7,12 @@ oracle where the semantics are SQL-expressible:
   lossless size-ratio block) — the LSH pipeline must reproduce the
   exact result because its banding (b=16, r=4) has ≈1 recall at the
   observed duplicate similarities (≥0.95).
-- ANN (LSH) and SimHash are hash-topology-dependent → rows-only here,
-  recall-tested against the exact variants in tests/test_datapipe.py.
+- ANN (LSH/IVF) and SimHash are hash-topology-dependent, so their
+  hard-gate entries emit oracle-assertable invariants instead of raw
+  output: mean recall@10 vs an in-query brute-force join (oracle =
+  the deterministic query count + literal TRUE), and per-exact-pair
+  Hamming bounds (oracle = the exact pair set + literal TRUE). Raw
+  outputs stay floor-tested in tests/test_datapipe.py.
 """
 
 from __future__ import annotations
@@ -134,12 +138,49 @@ def dp_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("dp_simhash")  # hash-topology output → rows-only check
+@_q(
+    "dp_simhash",
+    f"""
+    WITH {_SH_CTE}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, TRUE AS within_hamming
+    FROM sh a JOIN sh b
+      ON a.doc_id < b.doc_id
+     AND len(a.shingles) * 1.0 >= len(b.shingles) * 0.8
+     AND len(b.shingles) * 1.0 >= len(a.shingles) * 0.8
+    WHERE {_JACCARD} >= 0.8
+    ORDER BY id_a, id_b
+    """,
+)
 def dp_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash fingerprints (near-dup candidates by band
-    equality are tested in tests/test_datapipe.py)."""
+    """64-bit SimHash invariant under the hard gate: every EXACT
+    near-duplicate pair (Jaccard ≥ 0.8, the same exhaustive set the
+    minhash oracle computes) must land within Hamming distance 12 of
+    the 64-bit fingerprints (measured max on this data: 5). The
+    oracle re-derives the exact pair set in SQL and emits literal
+    TRUE — so both the pair set AND the Hamming bound are
+    hash-checked. Raw fingerprints are further band-tested in
+    tests/test_datapipe.py."""
     d = load_table(spark, sf_dir, "documents")
-    return simhash_fingerprints(d).orderBy("doc_id")
+    pairs = minhash_near_dup_pairs(d, threshold=0.8).select("id_a", "id_b")
+    fp = simhash_fingerprints(d)
+    return (
+        pairs.join(
+            fp.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("fa")),
+            "id_a",
+        )
+        .join(
+            fp.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("fb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))) <= F.lit(12)
+            ).alias("within_hamming"),
+        )
+        .orderBy("id_a", "id_b")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -175,12 +216,49 @@ def dp_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("dp_knn_lsh")  # approximate by design → rows-only check
+def _recall_invariant(approx: DataFrame, exact: DataFrame, floor: float) -> DataFrame:
+    """One-row recall@k summary an oracle can assert: the approximate
+    result is joined against the exact top-k; output = number of
+    queries (deterministic) + a boolean that mean recall cleared the
+    floor. The floor sits well under the measured value so the row
+    only flips on a real topology regression, never on noise."""
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    per_q = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    ).join(
+        hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")),
+        "query_id",
+        "left",
+    ).select(
+        (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact")).alias("recall")
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        (F.avg("recall") >= F.lit(floor)).alias("recall_ok"),
+    )
+
+
+_KNN_INVARIANT_ORACLE = """
+    SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id % 20 = 0
+    """
+
+
+@_q("dp_knn_lsh", _KNN_INVARIANT_ORACLE)
 def dp_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (8 hyperplanes): the 100 TB-scale path; recall
-    vs brute force asserted in tests."""
+    """LSH-bucketed ANN (16 tables × 6 hyperplanes): the 100 TB-scale
+    path. Hard-gate invariant: mean recall@10 vs the brute-force exact
+    top-k (computed in the same job) must clear 0.30 — measured 0.53
+    at sf0.01 — and the query count must match the oracle's filter
+    cardinality. Raw top-k output is floor-tested separately in
+    tests/test_datapipe.py."""
     e = load_table(spark, sf_dir, "embeddings")
-    return knn_lsh(e, F.col("vec_id") % 20 == 0, k=10).orderBy("query_id", "rn")
+    qf = F.col("vec_id") % 20 == 0
+    return _recall_invariant(
+        knn_lsh(e, qf, k=10).select("query_id", "neighbor_id"),
+        knn_bruteforce(e, qf, k=10).select("query_id", "neighbor_id"),
+        floor=0.30,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -351,14 +429,20 @@ def dp_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(e, threshold=0.4).orderBy("id_a", "id_b")
 
 
-@_q("dp_knn_ivf")  # approximate by design → rows-only check
+@_q("dp_knn_ivf", _KNN_INVARIANT_ORACLE)
 def dp_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF(16 cells, nprobe 4) ANN — the coarse-quantizer scale path
-    (FAISS IVF-Flat shape); recall floor-tested vs brute force."""
+    (FAISS IVF-Flat shape). Hard-gate invariant: mean recall@10 vs
+    brute force ≥ 0.35 (measured 0.62 at sf0.01) + query count."""
     from ..datapipe.similarity import knn_ivf
 
     e = load_table(spark, sf_dir, "embeddings")
-    return knn_ivf(e, F.col("vec_id") % 20 == 0, k=10).orderBy("query_id", "rn")
+    qf = F.col("vec_id") % 20 == 0
+    return _recall_invariant(
+        knn_ivf(e, qf, k=10).select("query_id", "neighbor_id"),
+        knn_bruteforce(e, qf, k=10).select("query_id", "neighbor_id"),
+        floor=0.35,
+    )
 
 
 @_q(
