@@ -62,11 +62,21 @@ def main() -> None:
     qs["dp_neardup_minhash"](spark, "/root/testdata/sf0.01").collect()
     release_caches()  # don't let the warmup's shingle cache ride along
 
+    # Steady-state timing: two measured runs per query, min reported.
+    # A single sample conflates the query with whatever transient the
+    # shared machine has at that second (GC, page cache, a sibling
+    # process); min-of-2 is the standard steady-state posture and
+    # BENCH_r03 showed exactly that failure mode (every query in an
+    # unchanged suite uniformly 2-3x slower than r02).
     times: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        qs[name](spark, sf_dir).collect()
-        times[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            release_caches()  # no cross-run reuse of operator caches
+            t0 = time.time()
+            qs[name](spark, sf_dir).collect()
+            best = min(best, time.time() - t0)
+        times[name] = round(best, 3)
 
     release_caches()  # evict shingle caches pinned by the near-dup ops
 
@@ -99,6 +109,7 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        "runs_per_query": 2,  # min-of-2 steady state
     }
     if tpcds is not None:
         out["tpcds_corpus"] = tpcds

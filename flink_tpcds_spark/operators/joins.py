@@ -18,7 +18,17 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType
 from pyspark.sql.window import Window
+
+
+def _seconds(col: Column, dtype) -> Column:
+    """Numeric-seconds view of a time column. TIMESTAMP_NTZ has no
+    direct double cast (Spark 4 / ANSI); route it through the session
+    timezone (pinned UTC in session.py) first."""
+    if isinstance(dtype, TimestampNTZType):
+        col = col.cast("timestamp_ltz")
+    return col.cast("double")
 
 
 def asof_join(
@@ -84,9 +94,11 @@ def asof_join(
 
     out = filled.filter(F.col("__side") == 1).drop("__side", "__t")
     if tolerance_seconds is not None:
-        age = F.col(left_time).cast("double") - F.col(
-            prefix + "__matched_t"
-        ).cast("double")
+        age = _seconds(
+            F.col(left_time), left.schema[left_time].dataType
+        ) - _seconds(
+            F.col(prefix + "__matched_t"), right.schema[right_time].dataType
+        )
         keep = age <= F.lit(float(tolerance_seconds))
         for c in right_cols:
             out = out.withColumn(

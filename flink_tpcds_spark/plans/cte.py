@@ -26,12 +26,40 @@ gate through this path (tests/test_tpcds.py).
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.storagelevel import StorageLevel
 
 _WITH_RE = re.compile(r"^\s*with\s", re.I)
 _NAME_RE = re.compile(r"\s*([A-Za-z_][A-Za-z_0-9]*)\s+as\s*\(", re.I)
+
+# ``DataFrame.cache()`` is MEMORY_AND_DISK (spills, never recomputes),
+# which is right for the narrow aggregate outputs these CTEs produce.
+# For clusters where even transient memory residency of a wide CTE is
+# unwanted, SPARK_GRAFT_CTE_STORAGE=DISK_ONLY bypasses the unified
+# memory pool entirely.
+_STORAGE = {
+    "MEMORY_AND_DISK": StorageLevel.MEMORY_AND_DISK,
+    "DISK_ONLY": StorageLevel.DISK_ONLY,
+    "MEMORY_ONLY": StorageLevel.MEMORY_ONLY,
+}
+
+_STRING_RE = re.compile(r"'(?:[^']|'')*'")
+
+
+def count_refs(name: str, texts: list[str]) -> int:
+    """Occurrences of ``name`` as a table reference in ``texts``.
+
+    String literals are blanked first, and a match must not be
+    preceded by ``.`` (qualified column ``alias.name``), a word char,
+    or a quote (quoted identifiers keep their own counting via the
+    raw token). Residual overcount (e.g. ``name`` used as a column
+    alias) only causes harmless extra caching — never a miss of a
+    genuinely multi-referenced body."""
+    pat = re.compile(rf"(?<![\w.\"`']){re.escape(name)}\b", re.I)
+    return sum(len(pat.findall(_STRING_RE.sub("''", t))) for t in texts)
 
 
 def split_ctes(sql: str) -> tuple[list[tuple[str, str]], str]:
@@ -87,13 +115,13 @@ def run_with_materialized_ctes(
                 for df in cached:
                     df.unpersist()
                 return spark.sql(sql), lambda: None
-            refs = sum(
-                len(re.findall(rf"\b{name}\b", t))
-                for t in later_texts[idx + 1:]
-            )
+            refs = count_refs(name, later_texts[idx + 1:])
             df = spark.sql(body)
             if refs >= min_refs:
-                df = df.cache()
+                level = _STORAGE[
+                    os.environ.get("SPARK_GRAFT_CTE_STORAGE", "MEMORY_AND_DISK")
+                ]
+                df = df.persist(level)
                 cached.append(df)
             df.createOrReplaceTempView(name)
             views.append(name)

@@ -6,35 +6,88 @@
 
 ``all_queries()`` / ``all_oracles()`` merge the suites for the driver
 contract in ``__spark_entry__.py``.
+
+Driver-window ordering
+----------------------
+The driver's correctness sweep covers the FIRST 50 entries of
+``all_queries()`` (verified: exactly 50 rows per CORRECTNESS file).
+Every suite has been driver-greened in rounds 1-3 except (a) the
+TPC-DS corpus (103 queries, registered via ``corpus.py`` with
+self-contained DuckDB oracles) and (b) the three approximate
+datapipe ops whose oracles became assertable invariants in round 4.
+So the window is packed as:
+
+1. the three invariant-fixed datapipe entries (one-round visit);
+2. a rotating 47-query slice of the corpus.
+
+The corpus rotation offset derives from the number of
+``CORRECTNESS_r*.json`` files at the repo root — one per completed
+round — so each round automatically advances the window by 47
+queries until the whole corpus has a driver-confirmed row
+(103/47 → full coverage in 3 rounds), with no per-round edit to
+forget. Everything after the first 50 entries keeps its stable
+suite order.
 """
 
 from __future__ import annotations
 
+import glob
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+#: Non-corpus queries that still need a first driver-confirmed row
+#: (round-4 invariant rewrites of the former ``no_oracle`` trio).
+_WINDOW_FRONT = ("dp_simhash", "dp_knn_lsh", "dp_knn_ivf")
+
+_WINDOW = 50
+
+
+def _completed_rounds() -> int:
+    return len(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")))
+
+
+def _corpus_offset(n_corpus: int, slice_len: int) -> int:
+    """Rotation offset for the corpus slice, keyed off completed
+    rounds (3 completed → round 4 is the first corpus round → offset
+    0; each later round advances by ``slice_len``, wrapping)."""
+    if n_corpus == 0:
+        return 0
+    rounds_in = max(0, _completed_rounds() - 3)
+    return (rounds_in * slice_len) % n_corpus
+
 
 def _modules():
-    from . import datapipe, events, operators, tpcds_style, tpch
+    from . import corpus, datapipe, events, operators, tpcds_style, tpch
 
-    # Order matters: the driver's correctness sweep covers the FIRST 50
-    # entries of all_queries() (round 1 verified exactly 50). Round 1
-    # already driver-greened the tpch/tpcds_style/operators families, so
-    # the streaming-events + datapipe suites go first this round, then
-    # the operator battery (its first entries include the round-2 fixes),
-    # then the already-verified suites.
-    return (events, datapipe, operators, tpch, tpcds_style)
+    return (events, datapipe, operators, tpch, tpcds_style, corpus)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from . import corpus
+
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in _modules():
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query keys: {sorted(overlap)}")
         merged.update(mod.QUERIES)
-    return merged
+
+    corpus_names = list(corpus.QUERIES)
+    slice_len = _WINDOW - len(_WINDOW_FRONT)
+    off = _corpus_offset(len(corpus_names), slice_len)
+    rotated = corpus_names[off:] + corpus_names[:off]
+    front = [n for n in _WINDOW_FRONT if n in merged]
+    front += rotated[:slice_len]
+
+    ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name in front:
+        ordered[name] = merged.pop(name)
+    ordered.update(merged)
+    return ordered
 
 
 def all_oracles() -> dict[str, str]:

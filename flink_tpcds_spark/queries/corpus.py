@@ -36,27 +36,14 @@ vanilla DuckDB connection. Only certified queries are registered.
 
 from __future__ import annotations
 
-import re
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tpcds import datagen
-from ..tpcds.runner import query_text
+from ..tpcds.runner import query_text, strip_trailing_limit, trailing_limit  # noqa: F401 — re-exported for gen_corpus_oracles.py
 from ..tpcds.schema import TPCDS_SCHEMAS
 
 DATA_PLACEHOLDER = "__TPCDS_DATA__"
-
-_TRAILING_LIMIT_RE = re.compile(r"\blimit\s+(\d+)\s*$", re.I)
-
-
-def trailing_limit(sql: str) -> int | None:
-    m = _TRAILING_LIMIT_RE.search(sql.rstrip())
-    return int(m.group(1)) if m else None
-
-
-def strip_trailing_limit(sql: str) -> str:
-    return _TRAILING_LIMIT_RE.sub("", sql.rstrip()).rstrip()
 
 
 def canon_names(ncols: int) -> list[str]:

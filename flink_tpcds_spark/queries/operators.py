@@ -602,7 +602,7 @@ def ops_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     wm = weighted_mean_udaf()
     e = load_table(spark, sf_dir, "events").withColumn(
-        "w", (F.col("ts").cast("double") % 100)
+        "w", (F.col("ts").cast("timestamp_ltz").cast("double") % 100)
     )
     return (
         e.groupBy("event_type")

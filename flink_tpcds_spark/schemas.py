@@ -142,15 +142,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"undeclared table {name!r}; declared: {sorted(ALL_TABLES)}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-        # outright (PARQUET_TYPE_ILLEGAL). Read nanos as long, then
-        # truncate to microseconds with *integer* division (ns values
-        # exceed 2^53, so float division would lose precision). The
-        # truncation matches DuckDB's ns→µs cast, keeping oracle parity.
+        # The driver's events.ts parquet type has varied across
+        # rounds: TIMESTAMP(NANOS) (which Spark 4 rejects outright,
+        # PARQUET_TYPE_ILLEGAL) and plain timestamp[us] with
+        # isAdjustedToUTC=false (which Spark 4 reads as
+        # TIMESTAMP_NTZ). Normalize both to session-tz TimestampType
+        # (tz pinned UTC in session.py, so the wall clock — and
+        # DuckDB oracle parity — is unchanged):
+        # - nanos: read as long (legacy conf), truncate to micros
+        #   with *integer* division (ns values exceed 2^53; float
+        #   division would lose precision), matching DuckDB's ns→µs;
+        # - micros NTZ: a plain cast.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if isinstance(df.schema["ts"].dataType, T.LongType):
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 

@@ -17,17 +17,26 @@ the Spark side expressed the engine's usual way:
 Supported types (both directions): long/int, double/float, string,
 boolean, binary, each nullable via the ``["null", T]`` union — the
 primitive surface the reference's AvroRowDeserializationSchema maps
-onto table rows. Decimals/timestamps should be cast by the caller
-(same contract as the CSV source).
+onto table rows — plus the Avro logical types the reference's
+``AvroSchemaConverter`` handles: ``decimal`` (bytes + two's-complement
+big-endian unscaled int, precision/scale from the Spark DecimalType),
+``timestamp-micros`` (TimestampType), ``local-timestamp-micros``
+(TimestampNTZType), and ``date`` (days since epoch).
 """
 
 from __future__ import annotations
 
+import calendar
+import datetime as _dt
 import io
 import json
 import os
 import struct
 import zlib
+from decimal import Decimal
+
+_EPOCH_DATE = _dt.date(1970, 1, 1)
+_EPOCH_DT = _dt.datetime(1970, 1, 1)
 
 MAGIC = b"Obj\x01"
 SYNC = bytes(range(16))  # deterministic sync marker
@@ -100,45 +109,137 @@ _DEC = {
 
 
 # ---------------------------------------------------------------------------
+# Logical types (Avro spec §"Logical Types")
+# ---------------------------------------------------------------------------
+def _branch(t):
+    """Non-null branch of a (possibly union) Avro type."""
+    if isinstance(t, list):
+        t = [x for x in t if x != "null"][0]
+    return t
+
+
+def _type_key(t) -> str:
+    """Canonical dispatch key: primitive name, or
+    ``decimal:<precision>:<scale>`` / a logical-type name."""
+    t = _branch(t)
+    if isinstance(t, dict):
+        lt = t.get("logicalType")
+        if lt == "decimal":
+            return f"decimal:{t['precision']}:{t['scale']}"
+        if lt in ("timestamp-micros", "local-timestamp-micros", "date"):
+            return lt
+        return t["type"]  # unknown logical type: fall back to base
+    return t
+
+
+def _micros(v: _dt.datetime) -> int:
+    # naive wall-clock treated as UTC (session tz is pinned UTC in
+    # session.py, so extraction and re-ingestion agree)
+    return calendar.timegm(v.timetuple()) * 1_000_000 + v.microsecond
+
+
+def _encoder(tkey: str):
+    if tkey.startswith("decimal:"):
+        _, _p, s = tkey.split(":")
+        scale = int(s)
+
+        def enc(v):
+            unscaled = int(Decimal(v).scaleb(scale).to_integral_value())
+            nbytes = max(1, (unscaled.bit_length() + 8) // 8)
+            return _enc_bytes(unscaled.to_bytes(nbytes, "big", signed=True))
+
+        return enc
+    if tkey in ("timestamp-micros", "local-timestamp-micros"):
+        return lambda v: _zigzag_encode(_micros(v))
+    if tkey == "date":
+        return lambda v: _zigzag_encode((v - _EPOCH_DATE).days)
+    return _ENC[tkey]
+
+
+def _decoder(tkey: str):
+    if tkey.startswith("decimal:"):
+        _, _p, s = tkey.split(":")
+        scale = int(s)
+
+        def dec(b):
+            raw = _dec_bytes(b)
+            return Decimal(int.from_bytes(raw, "big", signed=True)).scaleb(-scale)
+
+        return dec
+    if tkey in ("timestamp-micros", "local-timestamp-micros"):
+        return lambda b: _EPOCH_DT + _dt.timedelta(microseconds=_zigzag_decode(b))
+    if tkey == "date":
+        return lambda b: _EPOCH_DATE + _dt.timedelta(days=_zigzag_decode(b))
+    return _DEC[tkey]
+
+
+# ---------------------------------------------------------------------------
 # Schema mapping
 # ---------------------------------------------------------------------------
+def _avro_field_type(dt):
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.DecimalType):
+        return {
+            "type": "bytes",
+            "logicalType": "decimal",
+            "precision": dt.precision,
+            "scale": dt.scale,
+        }
+    if isinstance(dt, T.TimestampType):
+        return {"type": "long", "logicalType": "timestamp-micros"}
+    if isinstance(dt, T.TimestampNTZType):
+        return {"type": "long", "logicalType": "local-timestamp-micros"}
+    if isinstance(dt, T.DateType):
+        return {"type": "int", "logicalType": "date"}
+    t = dt.typeName()
+    if t not in _SPARK_TO_AVRO:
+        raise TypeError(
+            f"avro source/sink supports {sorted(_SPARK_TO_AVRO)} plus "
+            f"decimal/timestamp/timestamp_ntz/date, got {t!r} — cast first"
+        )
+    return _SPARK_TO_AVRO[t]
+
+
 def _avro_schema(spark_schema) -> dict:
-    fields = []
-    for f in spark_schema.fields:
-        t = f.dataType.typeName()
-        if t not in _SPARK_TO_AVRO:
-            raise TypeError(
-                f"avro source/sink supports {sorted(_SPARK_TO_AVRO)}, "
-                f"got {t!r} for column {f.name!r} — cast first"
-            )
-        fields.append({"name": f.name, "type": ["null", _SPARK_TO_AVRO[t]]})
+    fields = [
+        {"name": f.name, "type": ["null", _avro_field_type(f.dataType)]}
+        for f in spark_schema.fields
+    ]
     return {"type": "record", "name": "row", "fields": fields}
 
 
+def _ddl_type(tkey: str) -> str:
+    if tkey.startswith("decimal:"):
+        _, p, s = tkey.split(":")
+        return f"decimal({p},{s})"
+    return {
+        "timestamp-micros": "timestamp",
+        "local-timestamp-micros": "timestamp_ntz",
+        "date": "date",
+    }.get(tkey) or _AVRO_TO_SPARK[tkey]
+
+
 def _spark_schema_ddl(avro: dict) -> str:
-    cols = []
-    for f in avro["fields"]:
-        t = f["type"]
-        t = [x for x in t if x != "null"][0] if isinstance(t, list) else t
-        cols.append(f"`{f['name']}` {_AVRO_TO_SPARK[t]}")
-    return ", ".join(cols)
+    return ", ".join(
+        f"`{f['name']}` {_ddl_type(_type_key(f['type']))}"
+        for f in avro["fields"]
+    )
 
 
 # ---------------------------------------------------------------------------
 # File encode / decode
 # ---------------------------------------------------------------------------
 def _write_ocf(path: str, avro: dict, rows, codec: str = "deflate") -> None:
-    types = [
-        [x for x in f["type"] if x != "null"][0] for f in avro["fields"]
-    ]
+    encoders = [_encoder(_type_key(f["type"])) for f in avro["fields"]]
     body = bytearray()
     n = 0
     for row in rows:
-        for v, t in zip(row, types):
+        for v, enc in zip(row, encoders):
             if v is None:
                 body += b"\x00"  # union branch 0 = null
             else:
-                body += b"\x02" + _ENC[t](v)  # branch 1 = value
+                body += b"\x02" + enc(v)  # branch 1 = value
         n += 1
     payload = bytes(body)
     if codec == "deflate":
@@ -177,9 +278,7 @@ def _read_ocf(path: str) -> tuple[dict, list[tuple]]:
     sync = buf.read(16)
     avro = json.loads(meta["avro.schema"])
     codec = meta.get("avro.codec", b"null").decode()
-    types = [
-        [x for x in f["type"] if x != "null"][0] for f in avro["fields"]
-    ]
+    decoders = [_decoder(_type_key(f["type"])) for f in avro["fields"]]
     rows: list[tuple] = []
     while True:
         head = buf.read(1)
@@ -195,8 +294,8 @@ def _read_ocf(path: str) -> tuple[dict, list[tuple]]:
         for _ in range(n):
             rows.append(
                 tuple(
-                    None if _zigzag_decode(bb) == 0 else _DEC[t](bb)
-                    for t in types
+                    None if _zigzag_decode(bb) == 0 else dec(bb)
+                    for dec in decoders
                 )
             )
         if buf.read(16) != sync:
@@ -245,11 +344,11 @@ def read_avro(spark, path: str):
         min(len(files), 32)
     )
 
-    types = [
-        [x for x in f["type"] if x != "null"][0] for f in avro["fields"]
-    ]
+    types = [_type_key(f["type"]) for f in avro["fields"]]
     # nullable pandas dtypes: plain int64 can't hold None (it would
-    # silently float-ify and fail Arrow's safe cast back to long)
+    # silently float-ify and fail Arrow's safe cast back to long).
+    # Logical types stay object-dtype: Arrow converts Decimal /
+    # datetime / date objects to the DDL-declared Spark types.
     pd_dtype = {"long": "Int64", "int": "Int32", "boolean": "boolean"}
 
     def _decode(batches):

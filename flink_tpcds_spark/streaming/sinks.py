@@ -20,10 +20,17 @@ top of ``foreachBatch``:
 
 Both run their merge logic inside ``foreachBatch`` on small *deltas*
 (update mode emits only changed keys per batch), the same incremental
-contract the reference's sinks receive. State lives driver-side as
-pandas — the sink end of a pipeline is the reference's own
-assumption for these interfaces (JDBC/HBase/ES writers); swap the
-pandas dict for the external store in production.
+contract the reference's sinks receive.
+
+**Scale ledger — contract demo, not a 100 TB sink.** State lives
+driver-side as a Python dict: the right shape for validating the
+changelog contract (what these classes exist for, and what the tests
+replay/diff against) but a driver OOM at high key cardinality. A
+production deployment keeps the same ``foreachBatch`` skeleton and
+swaps the dict for the external keyed store (JDBC/HBase/ES — exactly
+the stores the reference's sink interfaces front). ``max_keys``
+enforces the boundary: exceeding it raises instead of silently
+eating driver memory.
 """
 
 from __future__ import annotations
@@ -35,10 +42,24 @@ from pyspark.sql import DataFrame
 class UpsertSink:
     """Keyed last-write-wins materialization of an update-mode stream."""
 
-    def __init__(self, key_cols: list[str]):
+    #: Driver-side key-cardinality bound (contract-demo posture; see
+    #: module docstring). Override per-instance for bigger tests.
+    DEFAULT_MAX_KEYS = 1_000_000
+
+    def __init__(self, key_cols: list[str], max_keys: int | None = None):
         self.key_cols = key_cols
+        self.max_keys = self.DEFAULT_MAX_KEYS if max_keys is None else max_keys
         self._rows: dict[tuple, tuple] = {}
         self.columns: list[str] | None = None
+
+    def _check_bound(self) -> None:
+        if len(self._rows) > self.max_keys:
+            raise RuntimeError(
+                f"{type(self).__name__} exceeded max_keys={self.max_keys}: "
+                "this sink holds its keyed state driver-side (contract "
+                "demo); route high-cardinality streams to an external "
+                "keyed store instead."
+            )
 
     def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         pdf = batch_df.toPandas()
@@ -47,6 +68,7 @@ class UpsertSink:
         ki = [self.columns.index(k) for k in self.key_cols]
         for row in pdf.itertuples(index=False):
             self._rows[tuple(row[i] for i in ki)] = tuple(row)
+        self._check_bound()
 
     def snapshot(self) -> pd.DataFrame:
         return pd.DataFrame(list(self._rows.values()), columns=self.columns)
@@ -55,8 +77,8 @@ class UpsertSink:
 class RetractSink(UpsertSink):
     """Changelog materialization: (+/-) operation per value change."""
 
-    def __init__(self, key_cols: list[str]):
-        super().__init__(key_cols)
+    def __init__(self, key_cols: list[str], max_keys: int | None = None):
+        super().__init__(key_cols, max_keys)
         self._log: list[tuple] = []
 
     def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -74,6 +96,7 @@ class RetractSink(UpsertSink):
                 self._log.append(("-", *old))  # retract the old value
             self._log.append(("+", *row))
             self._rows[key] = row
+        self._check_bound()
 
     def changelog(self) -> pd.DataFrame:
         return pd.DataFrame(self._log, columns=["op", *self.columns])

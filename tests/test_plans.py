@@ -144,3 +144,15 @@ def test_materialized_ctes_match_inline(spark, sf_dir):
 
     with _pytest.raises(Exception):
         spark.table("big")
+
+
+def test_cte_ref_counting_ignores_strings_and_qualified_cols():
+    from flink_tpcds_spark.plans.cte import count_refs
+
+    texts = [
+        "select * from wss join x on x.wss = 1",  # x.wss is a column
+        "select 'wss is not a ref', wss.a from wss",  # literal + real refs
+    ]
+    # real references: "from wss" (t1), "wss.a" + "from wss" (t2)
+    assert count_refs("wss", texts) == 3
+    assert count_refs("wss", ["select 1"]) == 0

@@ -170,9 +170,49 @@ def test_avro_roundtrip(spark, sf_dir, tmp_path):
         }
 
 
+def test_avro_logical_types_roundtrip(spark, sf_dir, tmp_path):
+    """Avro logical types (reference AvroSchemaConverter surface):
+    decimal (TPC-H money columns, exact — no double detour),
+    timestamp-micros, and date must round-trip values + nulls with
+    the exact Spark schema preserved."""
+    from flink_tpcds_spark.sources.avro import read_avro, write_avro
+
+    df = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_totalprice",  # decimal(15,2) as generated
+            (F.col("o_totalprice") % 1000).cast("decimal(7,2)").alias("price7"),
+            "o_orderdate",  # date
+            F.when(F.col("o_orderkey") % 3 != 0, F.col("o_totalprice")).alias(
+                "price_or_null"
+            ),
+        )
+        .limit(200)
+        .repartition(2)
+    )
+    ts = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts")
+        .limit(100)
+        .repartition(2)
+    )
+    for frame, tag in ((df, "orders"), (ts, "events")):
+        path = str(tmp_path / f"avro_logical_{tag}")
+        write_avro(frame, path)
+        back = read_avro(spark, path)
+        assert back.schema == frame.schema
+        assert {tuple(r) for r in back.collect()} == {
+            tuple(r) for r in frame.collect()
+        }
+
+
 def test_avro_rejects_unsupported_type(spark, sf_dir, tmp_path):
     from flink_tpcds_spark.sources.avro import write_avro
 
-    df = load_table(spark, sf_dir, "orders").select("o_orderdate")  # date
+    df = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.split("text", " ").alias("words"))  # array<string>
+    )
     with pytest.raises(TypeError):
         write_avro(df, str(tmp_path / "x"))

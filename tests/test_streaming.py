@@ -499,3 +499,27 @@ def test_retract_and_upsert_sinks(spark, sf_dir, tmp_path):
     assert (log.op == "-").sum() > 0  # counts grew across batches
     replay = {tuple(r) for r in sink.replay().itertuples(index=False)}
     assert replay == snap
+
+
+def test_sink_max_keys_guard():
+    """The driver-side sink state is explicitly bounded: exceeding
+    max_keys raises instead of silently growing (scale ledger —
+    these sinks are changelog-contract demos, not 100 TB sinks)."""
+    import pandas as pd
+
+    from flink_tpcds_spark.streaming.sinks import UpsertSink
+
+    sink = UpsertSink(["k"], max_keys=10)
+    small = pd.DataFrame({"k": range(10), "v": range(10)})
+    big = pd.DataFrame({"k": range(20), "v": range(20)})
+
+    class _FakeBatch:
+        def __init__(self, pdf):
+            self._pdf = pdf
+
+        def toPandas(self):
+            return self._pdf
+
+    sink.foreach_batch(_FakeBatch(small), 0)  # at the bound: fine
+    with pytest.raises(RuntimeError, match="max_keys"):
+        sink.foreach_batch(_FakeBatch(big), 1)

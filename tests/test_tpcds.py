@@ -6,7 +6,10 @@ TpcDsBatchExecITCase.scala:104-135): every query file under
 ``flink_tpcds_spark/tpcds/queries/`` runs on Spark SQL and on DuckDB
 over the same generated parquet; rows compare as sorted multisets with
 the reference's 4-decimal numeric posture (TpcUtils.scala). The eight
-queries the reference marks ``isUncertain`` compare on row count only.
+queries the reference marks ``isUncertain`` get a *stronger* check
+than the reference's: row count vs the LIMITed oracle plus membership
+of every Spark row in the un-LIMITed oracle multiset (value-checked,
+tie-selection tolerant).
 
 Data is generated deterministically on first use (cached under
 ``tests/data/tpcds/`` by a marker file) — see tpcds/datagen.py.
@@ -33,3 +36,20 @@ def test_tpcds_query(tpcds_env, name):
     spark, con = tpcds_env
     res = runner.run_one(name, spark, con)
     assert res.ok, f"{name}: {res.detail} (rows {res.spark_rows}/{res.duck_rows})"
+
+
+def test_subset_check_semantics():
+    """Unit semantics of the uncertain-query comparator: tie swaps
+    pass, wrong values fail, multiplicity is respected."""
+    sc = runner.subset_check
+    unlimited = [(1, "a"), (2, "b"), (2, "c"), (3, "d")]
+    # engine picked a different-but-valid tie row: ok
+    assert sc("qx", [(1, "a"), (2, "c")], [(1, "a"), (2, "b")], unlimited).ok
+    # value not present anywhere in the superset: fail
+    assert not sc("qx", [(1, "a"), (9, "z")], [(1, "a"), (2, "b")], unlimited).ok
+    # count mismatch vs the LIMITed oracle: fail
+    assert not sc("qx", [(1, "a")], [(1, "a"), (2, "b")], unlimited).ok
+    # multiplicity: superset holds one (3,'d'); claiming two fails
+    assert not sc("qx", [(3, "d"), (3, "d")], [(3, "d"), (2, "b")], unlimited).ok
+    # near-equal float survives via the tolerance pass
+    assert sc("qx", [(1.00001, "a")], [(1.0, "a")], [(1.0, "a")]).ok
