@@ -384,3 +384,71 @@ def simhash_fingerprints(
         ) * F.lit(val).cast("long")
         fp = contrib if fp is None else fp + contrib
     return votes.select(F.col("id").alias(id_col), fp.alias("simhash"))
+
+
+def near_dup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
+    """Connected components over a near-duplicate pair list →
+    cluster assignment + canonical-document election (the step real
+    dedup pipelines run AFTER pair detection: keep one doc per
+    duplicate cluster).
+
+    Algorithm: iterative min-label propagation — every node starts
+    labeled with its own id; each round takes the min of its own and
+    its neighbors' labels; converges in O(component diameter) rounds.
+    This is the standard shared-nothing connected-components shape
+    (one self-equi-join + groupBy per round, labels persisted between
+    rounds, driver sees only a convergence scalar). Duplicate-cluster
+    graphs have tiny diameters (docs near-identical to a common
+    ancestor), so the loop is 2-3 rounds in practice; pathological
+    chain graphs would want the large-star/small-star variant, which
+    halves rounds but shuffles the same data per round.
+
+    Returns (doc_id, cluster_id = min doc_id in component,
+    is_canonical = doc_id == cluster_id) for every doc in ≥1 pair.
+    """
+    fwd = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    edges = fwd.union(
+        fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
+    labels = edges.select("u").distinct().withColumn("label", F.col("u")).persist()
+    labels.count()  # materialize before the loop mutates lineage
+    for _ in range(max_iters):
+        nb_min = (
+            edges.join(
+                labels.select(F.col("u").alias("v"), "label"), "v"
+            )
+            .groupBy("u")
+            .agg(F.min("label").alias("nb_label"))
+        )
+        new_labels = (
+            labels.join(nb_min, "u", "left")
+            .select(
+                "u",
+                F.least(
+                    F.col("label"), F.coalesce("nb_label", "label")
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.join(
+                labels.select("u", F.col("label").alias("old")), "u"
+            )
+            .filter(F.col("label") < F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    out = labels.select(
+        F.col("u").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("u") == F.col("label")).alias("is_canonical"),
+    )
+    edges.unpersist()
+    # final labels stay persisted (they back the returned frame);
+    # release_caches() evicts them after materialization
+    _LIVE_CACHES.append(labels)
+    return out

@@ -39,9 +39,20 @@ from pyspark.sql import DataFrame, SparkSession
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-#: Non-corpus queries that still need a first driver-confirmed row
-#: (round-4 invariant rewrites of the former ``no_oracle`` trio).
-_WINDOW_FRONT = ("dp_simhash", "dp_knn_lsh", "dp_knn_ivf")
+#: Non-corpus queries that still need a first driver-confirmed row:
+#: the round-4 invariant rewrites of the former ``no_oracle`` trio
+#: plus the round-4 curation layer. Keep this tuple STABLE across
+#: rounds (the corpus rotation stride is 50 - len(front); changing
+#: the length mid-rotation would skip corpus indices).
+_WINDOW_FRONT = (
+    "dp_simhash",
+    "dp_knn_lsh",
+    "dp_knn_ivf",
+    "dp_dedup_clusters",
+    "dp_sequence_pack",
+    "dp_stratified_sample",
+    "dp_decontaminate",
+)
 
 _WINDOW = 50
 

@@ -469,3 +469,133 @@ def dp_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return sample_frames(to_binary_table(d), frame_size=64, stride=2).orderBy("doc_id", "frame_idx")
+
+
+# ---------------------------------------------------------------------------
+# Curation layer: cluster election, packing, sampling, decontamination
+# ---------------------------------------------------------------------------
+_PAIRS_SQL = f"""
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b
+        ON a.doc_id < b.doc_id
+       AND len(a.shingles) * 1.0 >= len(b.shingles) * 0.8
+       AND len(b.shingles) * 1.0 >= len(a.shingles) * 0.8
+      WHERE {_JACCARD} >= 0.8
+    )
+"""
+
+
+@_q(
+    "dp_dedup_clusters",
+    f"""
+    WITH RECURSIVE {_SH_CTE}, {_PAIRS_SQL},
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach (u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    SELECT u AS doc_id,
+           LEAST(u, MIN(v)) AS cluster_id,
+           (u = LEAST(u, MIN(v))) AS is_canonical
+    FROM reach
+    GROUP BY u
+    ORDER BY doc_id
+    """,
+)
+def dp_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster formation + canonical-doc election: connected
+    components (iterative min-label propagation) over the minhash
+    pair list. Oracle = recursive transitive closure over the EXACT
+    Jaccard pair set — both the pair detection and the component
+    labels are value-checked."""
+    from ..datapipe.dedup import near_dup_clusters
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(d, threshold=0.8).select("id_a", "id_b")
+    return near_dup_clusters(pairs).orderBy("doc_id")
+
+
+@_q(
+    "dp_sequence_pack",
+    f"""
+    WITH t AS (
+      SELECT source, doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT source, doc_id, n_tokens,
+           CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+                  PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ), 0) / 256.0) AS BIGINT) AS pack_id
+    FROM t
+    ORDER BY source, doc_id
+    """,
+)
+def dp_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (256 tokens/pack, shard-local
+    by source): deterministic single-pass greedy packing via one
+    windowed cumulative sum — see datapipe/curate.py."""
+    from ..datapipe.curate import sequence_pack
+
+    d = load_table(spark, sf_dir, "documents")
+    return sequence_pack(d, budget=256).orderBy("source", "doc_id")
+
+
+@_q(
+    "dp_stratified_sample",
+    """
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE upper(substr(md5(text), 1, 1))
+          <= CASE WHEN lang = 'en' THEN '1' ELSE '3' END
+    ORDER BY doc_id
+    """,
+)
+def dp_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-prefix stratified sampling: downsample the
+    over-represented stratum (en at 2/16) vs the rest (4/16), zero
+    RNG state, reproducible on any engine (datapipe/curate.py)."""
+    from ..datapipe.curate import stratified_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        stratified_sample(d, rates_hex={"en": "1"}, default_hex="3")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+@_q(
+    "dp_decontaminate",
+    f"""
+    WITH {_SH_CTE}
+    SELECT t.doc_id AS doc_id,
+           CAST(COUNT(DISTINCT t.s) AS BIGINT) AS n_shared_shingles
+    FROM (SELECT sh.doc_id, UNNEST(sh.shingles) AS s
+          FROM sh JOIN documents d USING (doc_id)
+          WHERE d.source NOT IN ('src0', 'src1')) t
+    JOIN (SELECT DISTINCT UNNEST(sh.shingles) AS s
+          FROM sh JOIN documents d USING (doc_id)
+          WHERE d.source IN ('src0', 'src1')) h
+      ON t.s = h.s
+    GROUP BY t.doc_id
+    ORDER BY doc_id
+    """,
+)
+def dp_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/held-out n-gram decontamination: count 3-gram shingles
+    each train doc (source not in src0/src1) shares with the held-out
+    split — the benchmark-overlap check run before training
+    (datapipe/curate.py)."""
+    from ..datapipe.curate import decontaminate
+
+    d = load_table(spark, sf_dir, "documents")
+    return decontaminate(d, F.col("source").isin("src0", "src1")).orderBy(
+        "doc_id"
+    )

@@ -117,3 +117,97 @@ def test_minhash_bucket_guard(spark, sf_dir):
     assert guarded == unguarded and len(guarded) > 0
     assert minhash_near_dup_pairs(docs, max_bucket_size=0).count() == 0
     release_caches()
+
+
+def test_connected_components_chain_and_cliques(spark):
+    """near_dup_clusters on a known graph: a 5-node chain (worst-case
+    diameter for min-label propagation), a 3-clique, and an isolated
+    pair must each collapse to min-id labels with one canonical."""
+    from flink_tpcds_spark.datapipe.dedup import near_dup_clusters, release_caches
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4-5, clique {10,11,12}, pair {20,21}
+        [(1, 2), (2, 3), (3, 4), (4, 5),
+         (10, 11), (10, 12), (11, 12),
+         (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {
+        (r.doc_id, r.cluster_id, r.is_canonical)
+        for r in near_dup_clusters(pairs).collect()
+    }
+    want = (
+        {(i, 1, i == 1) for i in (1, 2, 3, 4, 5)}
+        | {(i, 10, i == 10) for i in (10, 11, 12)}
+        | {(i, 20, i == 20) for i in (20, 21)}
+    )
+    assert got == want
+    release_caches()
+
+
+def test_sequence_pack_budget_invariant(spark, sf_dir):
+    """Every pack closes at/after the budget: for non-final packs the
+    cumulative tokens before the pack's last doc are < (pack_id+1) *
+    budget and the pack total reaches the budget; pack ids are dense
+    per shard starting at 0."""
+    from flink_tpcds_spark.datapipe.curate import sequence_pack
+
+    budget = 256
+    d = load_table(spark, sf_dir, "documents")
+    rows = sequence_pack(d, budget=budget).orderBy("source", "doc_id").collect()
+    by_shard: dict[str, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.source, []).append(r)
+    for shard, rs in by_shard.items():
+        packs: dict[int, int] = {}
+        cum = 0
+        for r in rs:
+            # pack assignment must be exactly floor(cum_before/budget)
+            assert r.pack_id == cum // budget, (shard, r.doc_id)
+            cum += r.n_tokens
+            packs[r.pack_id] = packs.get(r.pack_id, 0) + r.n_tokens
+        ids = sorted(packs)
+        assert ids == list(range(len(ids)))  # dense from 0
+        for pid in ids[:-1]:
+            assert packs[pid] >= 1  # never an empty non-final pack
+
+
+def test_stratified_sample_rates_and_determinism(spark, sf_dir):
+    """The md5-prefix sample is deterministic across invocations and
+    the per-stratum rates land near expectation (2/16 en, 4/16 rest
+    — wide tolerance, it's 500 docs)."""
+    from flink_tpcds_spark.datapipe.curate import stratified_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    s1 = {r.doc_id for r in stratified_sample(d, {"en": "1"}, "3").collect()}
+    s2 = {r.doc_id for r in stratified_sample(d, {"en": "1"}, "3").collect()}
+    assert s1 == s2 and len(s1) > 0
+    n_en = d.filter("lang = 'en'").count()
+    n_rest = d.count() - n_en
+    got_en = (
+        stratified_sample(d, {"en": "1"}, "3").filter("lang = 'en'").count()
+    )
+    got_rest = len(s1) - got_en
+    assert abs(got_en / n_en - 2 / 16) < 0.10
+    assert abs(got_rest / n_rest - 4 / 16) < 0.10
+
+
+def test_decontaminate_planted_overlap(spark):
+    """A train doc sharing an exact 3-gram with the held-out split is
+    flagged with the right shingle count; disjoint docs are absent."""
+    from flink_tpcds_spark.datapipe.curate import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps", "train"),
+            (2, "completely different words here now", "train"),
+            (3, "a quick brown fox appears", "eval"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        (r.doc_id, r.n_shared_shingles)
+        for r in decontaminate(docs, F.col("source") == "eval").collect()
+    }
+    # shared 3-grams: "quick brown fox" only (doc1 vs doc3)
+    assert got == {(1, 1)}
