@@ -156,3 +156,45 @@ def test_cte_ref_counting_ignores_strings_and_qualified_cols():
     # real references: "from wss" (t1), "wss.a" + "from wss" (t2)
     assert count_refs("wss", texts) == 3
     assert count_refs("wss", ["select 1"]) == 0
+
+
+def test_stratified_sample_is_shuffle_free(spark, sf_dir):
+    """The md5-prefix sample must stay a pure scan→filter map — zero
+    exchanges at any corpus size."""
+    from flink_tpcds_spark.datapipe.curate import stratified_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    text = explain_text(stratified_sample(d, {"en": "1"}, "3"))
+    assert "Exchange" not in text
+    assert "PushedFilters" in text  # scan survives as a real file scan
+
+
+def test_sequence_pack_single_shard_exchange(spark, sf_dir):
+    """Packing is shard-local: exactly one hash exchange (on the
+    shard key) and no global single-partition window."""
+    from flink_tpcds_spark.datapipe.curate import sequence_pack
+
+    import re
+
+    d = load_table(spark, sf_dir, "documents")
+    text = explain_text(sequence_pack(d, budget=256))
+    # formatted mode lists nodes as "(N) Exchange" with the
+    # hashpartitioning arguments on a separate line
+    assert len(re.findall(r"\(\d+\) Exchange", text)) == 1
+    assert "hashpartitioning(source" in text
+    assert "SinglePartition" not in text
+
+
+def test_decontaminate_dedups_holdout_before_join(spark, sf_dir):
+    """The held-out side must reach the shingle join as a distinct
+    vocabulary (aggregate below the join), not a raw exploded corpus."""
+    from flink_tpcds_spark.datapipe.curate import decontaminate
+
+    d = load_table(spark, sf_dir, "documents")
+    text = explain_text(
+        decontaminate(d, F.col("source").isin("src0", "src1"))
+    )
+    # partial + final HashAggregate pairs for the distinct and the
+    # count-distinct, and an equi-join on the shingle key
+    assert "HashAggregate" in text
+    assert "SortMergeJoin" in text or "BroadcastHashJoin" in text or "ShuffledHashJoin" in text
