@@ -1044,3 +1044,56 @@ def ops_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return match_v_shapes(
         e, "user_id", ["ts", "event_id"], "value"
     ).orderBy("user_id", "start_ts")
+
+
+@_q(
+    "ops_approx_percentile",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           TRUE AS p50_ok,
+           TRUE AS p95_ok
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def ops_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentile (reference PercentileAggFunction family;
+    Spark ships the same GK/KLL-style sketch as percentile_approx).
+
+    Like ops_approx_count_distinct, the sketch output itself is
+    approximate, so the hash-checkable output is the deterministic
+    group count plus booleans asserting the rank of each estimate:
+    the p50 estimate must cover rank 0.45-0.55 of its group, the p95
+    estimate rank 0.90-1.0. The oracle emits the counts + literal
+    TRUE; a wrong sketch (shifted ranks) flips the booleans."""
+    e = load_table(spark, sf_dir, "events")
+    ap = e.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.95], 10000).alias("ap")
+    )
+    ranks = (
+        e.join(ap, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(
+                    (F.col("value") <= F.element_at("ap", 1)).cast("long")
+                )
+                / F.count(F.lit(1))
+            ).alias("r50"),
+            (
+                F.sum(
+                    (F.col("value") <= F.element_at("ap", 2)).cast("long")
+                )
+                / F.count(F.lit(1))
+            ).alias("r95"),
+        )
+    )
+    return ranks.select(
+        "event_type",
+        "n",
+        F.col("r50").between(0.45, 0.55).alias("p50_ok"),
+        F.col("r95").between(0.90, 1.0).alias("p95_ok"),
+    ).orderBy("event_type")
