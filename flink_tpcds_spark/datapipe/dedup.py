@@ -442,6 +442,18 @@ def near_dup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Exhausting max_iters means the labels are NOT a fixpoint —
+        # returning them silently would hand back wrong cluster ids
+        # (and an oracle mismatch with no hint why). Duplicate-cluster
+        # graphs converge in 2-3 rounds; hitting this indicates a
+        # pathological chain graph → raise so the caller can switch to
+        # a large-star/small-star variant or raise max_iters.
+        edges.unpersist()
+        labels.unpersist()
+        raise RuntimeError(
+            f"near_dup_clusters did not converge in {max_iters} rounds"
+        )
     out = labels.select(
         F.col("u").alias("doc_id"),
         F.col("label").alias("cluster_id"),

@@ -57,7 +57,13 @@ class AnalyticsEngine:
         """Compute CBO statistics (ANALYZE TABLE ... FOR ALL COLUMNS)
         so join reorder has cardinalities — the reference enables join
         reorder in its benchmark posture (TpcDsBatchExecITCase:71-72);
-        Spark's CBO needs stats to act on it."""
+        Spark's CBO needs stats to act on it.
+
+        This is the "analyze once per data load" hook: run it after
+        :meth:`register` on a fresh load, not per query. For the
+        TPC-DS corpus the catalog-table variant
+        (``tpcds.runner.register_catalog_tables``) is preferred — it
+        avoids the temp-view CACHE requirement entirely."""
         for name in names or list(self.tables):
             # temp views must be cached before ANALYZE FOR COLUMNS
             # (UNSUPPORTED_FEATURE.ANALYZE_UNCACHED_TEMP_VIEW); on a

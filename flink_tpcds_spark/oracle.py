@@ -83,13 +83,57 @@ class CompareResult:
     detail: str = ""
 
 
-def compare(name: str, spark_df, oracle_con, oracle_sql: str) -> CompareResult:
-    """Run both sides and compare (row count, column names, value hash)."""
+def pandas_rows(pdf) -> list[tuple]:
+    """Rows of a pandas fetch as plain-Python tuples.
+
+    Emulates a driver that fetches the oracle via ``fetch_df``: numpy
+    scalars become Python scalars (so an int64 column renders ``123``
+    but a float64-coerced one renders ``123.0`` — the exact
+    divergence certification must catch), and the missing-value
+    sentinels pandas substitutes for SQL NULL (NaN, NaT) map back to
+    None, since NULL-bearing float/date columns are a
+    driver-proven-green class (round 4) — the driver demonstrably
+    does NOT diverge on them.
+    """
+    import numpy as np
+
+    rows = []
+    for raw in pdf.to_numpy(dtype=object).tolist():
+        vals = []
+        for v in raw:
+            if isinstance(v, np.ndarray):
+                v = v.tolist()
+            elif v is None or v != v:  # NaN/NaT are not self-equal
+                v = None
+            vals.append(v)
+        rows.append(tuple(vals))
+    return rows
+
+
+def compare(
+    name: str,
+    spark_df,
+    oracle_con,
+    oracle_sql: str,
+    fetch: str = "native",
+) -> CompareResult:
+    """Run both sides and compare (row count, column names, value hash).
+
+    ``fetch`` selects how the oracle result is materialized:
+    ``"native"`` mirrors the driver's ``fetchall()`` path;
+    ``"pandas"`` emulates a ``fetch_df``-based driver (dtype
+    coercions like HUGEINT → float64 become visible to the hash).
+    Certification runs both so a renderer-level coercion can never
+    again pass offline and fail the driver.
+    """
     s_rows = [tuple(r) for r in spark_df.collect()]
     s_cols = list(spark_df.columns)
     o_res = oracle_con.execute(oracle_sql)
     o_cols = [d[0] for d in o_res.description]
-    o_rows = [tuple(r) for r in o_res.fetchall()]
+    if fetch == "pandas":
+        o_rows = pandas_rows(o_res.fetch_df())
+    else:
+        o_rows = [tuple(r) for r in o_res.fetchall()]
 
     cols_match = sorted(s_cols) == sorted(o_cols)
     h_s = value_hash(s_cols, s_rows)

@@ -18,6 +18,22 @@ Cross-engine hash stability is engineered, not hoped for:
   canonicalized to ``round(CAST(x AS DOUBLE), 4) + 0.0`` on BOTH
   sides (4 digits = the reference comparator's precision,
   TpcUtils.scala DecimalFormat "0.0000"; ``+ 0.0`` folds IEEE -0.0);
+- integer columns DuckDB types as HUGEINT (``sum(INTEGER)`` etc.)
+  are ``CAST(.. AS BIGINT)`` on both sides: HUGEINT survives neither
+  a pandas fetch (``fetch_df`` coerces INT128 → float64, rendering
+  ``123.0`` vs Spark's ``123`` — the exact round-4 driver red rows)
+  nor an Arrow fetch (decimal128 → ``Decimal``). Values are int
+  sums at certification scale, nowhere near 2^63;
+- integer columns that CONTAIN NULLs at certification scale are
+  folded into the float-round mask instead: a nullable int64 column
+  also degrades to float64 under a pandas fetch, while NULL-bearing
+  DOUBLE columns are a driver-proven-green class (round-4 q2/q13/
+  q17), so both engines render such columns as rounded doubles;
+- DATE columns are cast to their ISO-8601 VARCHAR form on both
+  sides: a pandas fetch turns DATE into datetime64 (``1998-03-24
+  00:00:00`` vs native ``1998-03-24``), and no driver-green row has
+  ever contained a DATE output, so the type is canonicalized away
+  (ISO strings also sort identically to the dates they encode);
 - queries whose trailing ``ORDER BY … LIMIT n`` is tie-ambiguous
   (the reference's ``isUncertain`` set, plus any query whose strict
   form fails offline certification) are *limit-lifted*: the LIMIT is
@@ -50,8 +66,16 @@ def canon_names(ncols: int) -> list[str]:
     return [f"c{i:02d}" for i in range(ncols)]
 
 
+#: Mask kinds (per output column position):
+KIND_PASS = 0  #: pass through unchanged
+KIND_FLOAT = 1  #: round(CAST(x AS DOUBLE), 4) + 0.0 on both sides
+KIND_BIGINT = 2  #: CAST(x AS BIGINT) on both sides (DuckDB HUGEINT)
+KIND_DATESTR = 3  #: CAST(x AS VARCHAR/string) — ISO form, both sides
+
+
 def canonicalize_df(df: DataFrame, mask: tuple[int, ...]) -> DataFrame:
-    """Positional rename to c00..cNN; masked columns → rounded double.
+    """Positional rename to c00..cNN; masked columns → rounded double
+    (kind 1) or bigint (kind 2).
 
     ``toDF`` renames positionally first: corpus queries can emit
     duplicate column names (e.g. q76's ``channel``), which name-based
@@ -59,10 +83,14 @@ def canonicalize_df(df: DataFrame, mask: tuple[int, ...]) -> DataFrame:
     """
     df = df.toDF(*canon_names(len(mask)))
     cols = []
-    for name, floaty in zip(df.columns, mask):
+    for name, kind in zip(df.columns, mask):
         c = F.col(name)
-        if floaty:
+        if kind == KIND_FLOAT:
             c = F.round(c.cast("double"), 4) + F.lit(0.0)
+        elif kind == KIND_BIGINT:
+            c = c.cast("bigint")
+        elif kind == KIND_DATESTR:
+            c = c.cast("string")
         cols.append(c.alias(name))
     return df.select(*cols)
 
@@ -86,10 +114,17 @@ def build_oracle(name: str, mask: tuple[int, ...], lift_limit: int | None) -> st
     if lift_limit is not None:
         inner = strip_trailing_limit(inner)
     names = canon_names(len(mask))
-    sel = ", ".join(
-        f"(round(CAST({n} AS DOUBLE), 4) + 0.0) AS {n}" if m else n
-        for n, m in zip(names, mask)
-    )
+
+    def _canon(n: str, kind: int) -> str:
+        if kind == KIND_FLOAT:
+            return f"(round(CAST({n} AS DOUBLE), 4) + 0.0) AS {n}"
+        if kind == KIND_BIGINT:
+            return f"CAST({n} AS BIGINT) AS {n}"
+        if kind == KIND_DATESTR:
+            return f"CAST({n} AS VARCHAR) AS {n}"
+        return n
+
+    sel = ", ".join(_canon(n, m) for n, m in zip(names, mask))
     alias = ", ".join(names)
     sql = (
         f"WITH {table_bindings()}\n"

@@ -99,6 +99,38 @@ def register_spark_views(spark, data_dir: str) -> None:
         spark.read.parquet(os.path.join(data_dir, f"{t}.parquet")).createOrReplaceTempView(t)
 
 
+def register_catalog_tables(
+    spark, data_dir: str, names: list[str] | None = None, analyze: bool = True
+) -> None:
+    """Once-per-load catalog registration — the cluster posture.
+
+    Registers the corpus tables as EXTERNAL parquet catalog tables
+    (no data copied) and, with ``analyze=True``, runs
+    ``ANALYZE TABLE ... COMPUTE STATISTICS FOR ALL COLUMNS`` so
+    Spark's CBO join-reorder has cardinalities, mirroring the
+    reference's join-reorder-ON benchmark posture
+    (TpcDsBatchExecITCase.scala:71-72). ``scripts/bench_cbo.py``
+    measured the effect at −7.4 % on the corpus suite (13–21 % on the
+    WITH-heavy tail). At 100 TB this is the "analyze once per data
+    load" step — stats cost one scan per load and then amortize over
+    every query; the per-round driver gate keeps using temp views
+    (``register_spark_views``) because re-ANALYZE per round would
+    dominate sf0.01 runtimes.
+    """
+    from .schema import TPCDS_SCHEMAS
+
+    for t in names or list(TPCDS_SCHEMAS):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        spark.sql(
+            f"CREATE TABLE {t} USING parquet "
+            f"LOCATION '{os.path.join(data_dir, t + '.parquet')}'"
+        )
+        if analyze:
+            spark.sql(
+                f"ANALYZE TABLE {t} COMPUTE STATISTICS FOR ALL COLUMNS"
+            )
+
+
 def duckdb_conn(data_dir: str):
     import duckdb
 

@@ -2,16 +2,30 @@
 
 For every corpus query this script:
 
-1. computes the canonicalization mask — the union of "is float/decimal"
-   over the Spark analysis schema and the DuckDB DESCRIBE types, so
-   both engines round exactly the same columns;
+1. computes the canonicalization mask:
+   - float-round (kind 1): any column that is float/decimal on EITHER
+     engine, PLUS any integer column that contains NULLs at
+     certification scale (a nullable int64 degrades to float64 under
+     a pandas driver fetch; NULL-bearing DOUBLE columns are a
+     driver-proven-green class, round 4);
+   - bigint-cast (kind 2): NULL-free integer columns DuckDB types as
+     HUGEINT (``fetch_df`` coerces INT128 → float64 — the round-4
+     driver red rows q14a/q21/q29/q35);
+   - date-to-string (kind 3): DATE columns (``fetch_df`` coerces DATE
+     → datetime64, rendering a midnight timestamp; ISO strings are
+     fetch-mode-stable and sort identically);
 2. builds the self-contained DuckDB oracle (read_parquet CTE bindings,
-   positional c00.. rename, 4-digit rounding — queries/corpus.py);
+   positional c00.. rename, 4-digit rounding — queries/corpus.py) and
+   STRUCTURALLY asserts the canonicalized oracle output contains no
+   HUGEINT column;
 3. CERTIFIES it: runs the Spark side through the exact runtime code
    path and the oracle on a *vanilla* DuckDB connection (no pinned
    null order — the driver's connection is vanilla too), comparing
    with the driver's own comparison (oracle.compare: column names +
-   order-insensitive value hash);
+   order-insensitive value hash) under BOTH oracle fetch modes —
+   native ``fetchall()`` AND a ``fetch_df`` emulation — so a
+   renderer-level dtype coercion can never again pass certification
+   offline and fail the driver;
 4. uncertain queries (reference isUncertain) and any query whose
    strict form fails certification are retried in limit-lifted form
    (LIMIT re-applied over a total order on canonical columns);
@@ -47,6 +61,7 @@ OUT = os.path.join(REPO, "flink_tpcds_spark", "tpcds", "oracles.py")
 
 _FLOATY_DUCK = ("DECIMAL", "DOUBLE", "FLOAT", "REAL")
 _FLOATY_SPARK = ("double", "float", "decimal")
+_INTY_DUCK = ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT")
 
 
 def duck_types(con, name: str) -> list[str]:
@@ -57,6 +72,30 @@ def duck_types(con, name: str) -> list[str]:
     return [r[1] for r in con.execute(f"DESCRIBE {sql}").fetchall()]
 
 
+def duck_null_counts(con, name: str, ncols: int) -> list[int]:
+    """Per-column NULL count over the UN-limited query output (a
+    superset of both strict and lifted forms — conservative)."""
+    inner = corpus.strip_trailing_limit(query_text(name, "duckdb"))
+    names = corpus.canon_names(ncols)
+    sel = ", ".join(f"count(*) - count({n})" for n in names)
+    sql = (
+        f"WITH {corpus.table_bindings(datagen.generate())}\n"
+        f"SELECT {sel} FROM (\n{inner}\n) AS t({', '.join(names)})"
+    )
+    return [int(x) for x in con.execute(sql).fetchall()[0]]
+
+
+def assert_no_fragile_types(con, name: str, mask, lift_limit) -> None:
+    """Structural guard: the canonicalized oracle must not emit
+    HUGEINT or DATE — neither survives a non-native fetch mode."""
+    o_sql = corpus.build_oracle(name, mask, lift_limit).replace(
+        corpus.DATA_PLACEHOLDER, datagen.generate()
+    )
+    types = [r[1] for r in con.execute(f"DESCRIBE {o_sql}").fetchall()]
+    bad = [t for t in types if "HUGEINT" in t.upper() or t.upper() == "DATE"]
+    assert not bad, f"{name}: canonicalized oracle still emits {bad}"
+
+
 def spark_types(spark, name: str) -> list[str]:
     return [
         f.dataType.simpleString()
@@ -65,16 +104,21 @@ def spark_types(spark, name: str) -> list[str]:
 
 
 def certify(spark, name: str, mask, lift_limit) -> tuple[bool, str]:
+    """Certify under BOTH oracle fetch modes (fetchall + fetch_df)."""
     o_sql = corpus.build_oracle(name, mask, lift_limit).replace(
         corpus.DATA_PLACEHOLDER, datagen.generate()
     )
     runner = corpus._runner(name, mask, lift_limit)
-    con = duckdb.connect()  # vanilla, like the driver's
-    try:
-        res = oracle_mod.compare(name, runner(spark, ""), con, o_sql)
-    finally:
-        con.close()
-    return res.ok, res.detail
+    df = runner(spark, "")
+    for fetch in ("native", "pandas"):
+        con = duckdb.connect()  # vanilla, like the driver's
+        try:
+            res = oracle_mod.compare(name, df, con, o_sql, fetch=fetch)
+        finally:
+            con.close()
+        if not res.ok:
+            return False, f"[{fetch}] {res.detail}"
+    return True, ""
 
 
 def main() -> None:
@@ -91,16 +135,25 @@ def main() -> None:
         con = duckdb.connect()
         try:
             dt = duck_types(con, name)
+            nulls = duck_null_counts(con, name, len(dt))
         finally:
             con.close()
         assert len(st) == len(dt), f"{name}: col count {len(st)} vs {len(dt)}"
-        mask = tuple(
-            int(
-                s.startswith(_FLOATY_SPARK)
-                or d.upper().startswith(_FLOATY_DUCK)
-            )
-            for s, d in zip(st, dt)
-        )
+        mask = []
+        for s, d, n in zip(st, dt, nulls):
+            du = d.upper()
+            if s.startswith(_FLOATY_SPARK) or du.startswith(_FLOATY_DUCK):
+                mask.append(corpus.KIND_FLOAT)
+            elif du.startswith(_INTY_DUCK) and n > 0:
+                # nullable int: degrades to float64 under pandas fetch
+                mask.append(corpus.KIND_FLOAT)
+            elif "HUGEINT" in du:
+                mask.append(corpus.KIND_BIGINT)
+            elif du == "DATE":
+                mask.append(corpus.KIND_DATESTR)
+            else:
+                mask.append(corpus.KIND_PASS)
+        mask = tuple(mask)
         limit = corpus.trailing_limit(txt)
         forms: list[int | None] = []
         if name in UNCERTAIN and limit is not None:
@@ -116,6 +169,11 @@ def main() -> None:
                 used = form
                 break
         if ok:
+            con = duckdb.connect()
+            try:
+                assert_no_fragile_types(con, name, mask, used)
+            finally:
+                con.close()
             specs[name] = {
                 "mask": mask,
                 "limit": used,
