@@ -117,3 +117,101 @@ def decontaminate(
         .groupBy(id_col)
         .agg(F.count_distinct("s").cast("bigint").alias("n_shared_shingles"))
     )
+
+
+def domain_mix_weights(
+    df: DataFrame,
+    alpha: float = 0.5,
+    domain_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled domain mixing weights — the sampling-weight
+    computation behind multi-source training mixes (alpha < 1 upweights
+    small domains, the multilingual-sampling rule of Conneau & Lample):
+    ``w_d = tokens_d^alpha / sum_d tokens_d^alpha``.
+
+    Determinism: per-row doubles are exact, but the normalizing SUM
+    over domains is order-sensitive in IEEE — so the powered sizes go
+    through the decimal bridge (functions/deterministic.py): cast to
+    DECIMAL(18,6) before summing makes the total associative and
+    engine-independent, and the final weight is rounded at 6 digits.
+
+    Scale shape: one groupBy on the domain key (map-side combined) to
+    domain granularity — thousands of rows at worst — then a broadcast
+    cross-join of the 1-row total. No global window, no driver collect.
+    """
+    from ..functions.deterministic import DEFAULT_SCALE
+
+    n_tok = F.size(tokens(F.col(text_col))).cast("bigint")
+    per_dom = (
+        df.select(F.col(domain_col).alias("domain"), n_tok.alias("n"))
+        .groupBy("domain")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("n_tokens"),
+        )
+        .withColumn(
+            "powed",
+            # alpha=0.5 → sqrt, which IEEE 754 requires to be
+            # correctly rounded (bit-identical on every engine);
+            # Math.pow(x, 0.5) carries no such guarantee.
+            (
+                F.sqrt(F.col("n_tokens").cast("double"))
+                if alpha == 0.5
+                else F.pow(
+                    F.col("n_tokens").cast("double"), F.lit(float(alpha))
+                )
+            ).cast(f"decimal(18,{DEFAULT_SCALE})"),
+        )
+    )
+    total = per_dom.agg(F.sum("powed").alias("powed_total"))
+    return (
+        per_dom.crossJoin(F.broadcast(total))
+        .withColumn(
+            "mix_weight",
+            F.round(
+                F.col("powed").cast("double")
+                / F.col("powed_total").cast("double"),
+                6,
+            ),
+        )
+        .select("domain", "n_docs", "n_tokens", "mix_weight")
+    )
+
+
+def vocab_top_k(
+    df: DataFrame, k: int = 25, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-level top-k vocabulary with coverage — the token-
+    frequency head every tokenizer-training / corpus-QA pass reports.
+    Ties break lexicographically so rank is total and deterministic.
+
+    Returns (rank, token, n_occurrences, coverage) where coverage is
+    the exact int/int double fraction of all token occurrences.
+
+    Scale shape: explode → map-side-combined groupBy(token); the
+    global top-k is ``orderBy(...).limit(k)`` — Spark's distributed
+    TakeOrdered, per-partition heaps then a k-row merge, NOT a global
+    sort — and ranking happens on the k surviving rows only. The
+    corpus total rides the same aggregate as a broadcast 1-row join.
+    """
+    toks = tokens(F.col(text_col))
+    counts = (
+        df.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("n_occurrences"))
+    )
+    total = counts.agg(F.sum("n_occurrences").cast("bigint").alias("total"))
+    top = (
+        counts.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(k)
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .withColumn(
+            "coverage",
+            F.col("n_occurrences").cast("double") / F.col("total"),
+        )
+        .select("rank", "token", "n_occurrences", "coverage")
+    )

@@ -139,3 +139,88 @@ def rolling_fingerprint(col: Column, mod: int = (1 << 31) - 1) -> Column:
             acc * F.lit(1000003).cast("long") + F.pmod(F.xxhash64(tok), p), p
         ),
     )
+
+
+# PII patterns, shared verbatim with the DuckDB oracles: the subset of
+# regex syntax with identical semantics in Java (Spark) and RE2
+# (DuckDB) — char classes, bounded repeats, \b, \d, alternation-free.
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\+\d{1,2}-\d{3}-\d{3}-\d{4}"
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction — the pre-training scrub every corpus pipeline
+    runs: emails → ``<EMAIL>``, phone numbers → ``<PHONE>``, IPv4
+    addresses → ``<IP>``, with per-document match counts kept for
+    audit. Order matters (emails before IPs would otherwise leave a
+    dotted remainder ambiguous): phone → email → ip.
+
+    Scale shape: pure per-row regexp_replace/extract_all chains —
+    JVM-side, whole-stage codegen, ZERO shuffle at any corpus size.
+    """
+    c = F.col(text_col)
+    out = df.withColumns(
+        {
+            "pii_n_emails": F.size(
+                F.regexp_extract_all(c, F.lit(PII_EMAIL_RE), 0)
+            ).cast("bigint"),
+            "pii_n_phones": F.size(
+                F.regexp_extract_all(c, F.lit(PII_PHONE_RE), 0)
+            ).cast("bigint"),
+            "pii_n_ips": F.size(
+                F.regexp_extract_all(c, F.lit(PII_IPV4_RE), 0)
+            ).cast("bigint"),
+        }
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(c, PII_PHONE_RE, "<PHONE>"),
+            PII_EMAIL_RE,
+            "<EMAIL>",
+        ),
+        PII_IPV4_RE,
+        "<IP>",
+    )
+    return out.withColumn("text_scrubbed", scrubbed)
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signal: the fraction of a document's
+    2-grams taken by its single most-frequent 2-gram (high → boiler-
+    plate/spam; the "top n-gram fraction" rule of Rae et al. 2021).
+
+    Returns (id, n_bigrams, top_bigram_n, top_bigram_ratio) for docs
+    with ≥1 bigram. Ratio is an exact int/int double division — no
+    rounding needed for cross-engine hashing.
+
+    Scale shape: explode → two-level aggregation, both with map-side
+    partial aggregation on (id, gram) then (id); one shuffle pair,
+    no windows, no skew risk beyond a single pathological document
+    (bounded by its own length).
+    """
+    toks = tokens(F.col(text_col))
+    grams = F.expr(
+        f"transform(sequence(1, size(__toks) - 1), "
+        f"i -> concat(__toks[i - 1], ' ', __toks[i]))"
+    )
+    per_gram = (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .filter(F.size("__toks") >= 2)
+        .select(id_col, F.explode(grams).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        per_gram.groupBy(id_col)
+        .agg(
+            F.sum("n").cast("bigint").alias("n_bigrams"),
+            F.max("n").cast("bigint").alias("top_bigram_n"),
+        )
+        .withColumn(
+            "top_bigram_ratio",
+            (F.col("top_bigram_n").cast("double") / F.col("n_bigrams")),
+        )
+    )

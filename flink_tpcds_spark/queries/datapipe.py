@@ -599,3 +599,164 @@ def dp_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(d, F.col("source").isin("src0", "src1")).orderBy(
         "doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 curation additions: PII scrub, repetition filter signal,
+# domain mixing weights, vocabulary head. (reference has no curation
+# layer; these are the standard corpus-prep steps, Spark-first.)
+# ---------------------------------------------------------------------------
+
+# Deterministic PII footer (same construction on both engines) so the
+# scrub has real matches to redact in the synthetic corpus.
+_PII_FOOTER_SQL = (
+    "text || ' contact doc' || CAST(doc_id AS VARCHAR) || '@example.com'"
+    " || ' from +1-555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')"
+    " || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'"
+)
+
+
+@_q(
+    "dp_pii_scrub",
+    f"""
+    WITH w AS (SELECT doc_id, {_PII_FOOTER_SQL} AS text FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{{2,}}')) AS BIGINT)
+             AS pii_n_emails,
+           CAST(len(regexp_extract_all(text,
+             '\\+\\d{{1,2}}-\\d{{3}}-\\d{{3}}-\\d{{4}}')) AS BIGINT)
+             AS pii_n_phones,
+           CAST(len(regexp_extract_all(text,
+             '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS BIGINT)
+             AS pii_n_ips,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+             '\\+\\d{{1,2}}-\\d{{3}}-\\d{{3}}-\\d{{4}}', '<PHONE>', 'g'),
+             '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{{2,}}', '<EMAIL>', 'g'),
+             '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g'))
+             AS scrub_md5
+    FROM w
+    ORDER BY doc_id
+    """,
+)
+def dp_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails/phones/IPv4 → placeholders) with audit
+    counts; the scrubbed text is hash-compared so the oracle checks
+    the REDACTED CONTENT, not just the counts. A deterministic PII
+    footer is appended first (the synthetic corpus contains none).
+    Zero-shuffle map chain — datapipe/text.py:scrub_pii."""
+    from ..datapipe.text import scrub_pii
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "text", F.expr(_PII_FOOTER_SQL.replace("VARCHAR", "STRING"))
+    )
+    return (
+        scrub_pii(d)
+        .select(
+            "doc_id",
+            "pii_n_emails",
+            "pii_n_phones",
+            "pii_n_ips",
+            F.md5("text_scrubbed").alias("scrub_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_q(
+    "dp_rep_ngram",
+    f"""
+    WITH g AS (
+      SELECT doc_id,
+             unnest([array_to_string(toks[i:i+1], ' ')
+                     for i in range(1, len(toks))]) AS gram
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+      WHERE len(toks) >= 2
+    ),
+    pg AS (SELECT doc_id, gram, count(*) AS n FROM g GROUP BY doc_id, gram)
+    SELECT doc_id,
+           CAST(sum(n) AS BIGINT) AS n_bigrams,
+           CAST(max(n) AS BIGINT) AS top_bigram_n,
+           CAST(max(n) AS DOUBLE) / CAST(sum(n) AS BIGINT) AS top_bigram_ratio
+    FROM pg
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def dp_rep_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2-gram repetition fraction per document (the Gopher
+    "fraction of characters in most common n-gram" filter family) —
+    datapipe/text.py:repetition_stats."""
+    from ..datapipe.text import repetition_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    return repetition_stats(d).orderBy("doc_id")
+
+
+@_q(
+    "dp_domain_mix",
+    f"""
+    WITH per AS (
+      SELECT source AS domain,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+      FROM (SELECT source, {_TOKS} AS toks FROM documents)
+      GROUP BY source
+    ),
+    p AS (
+      SELECT domain, n_docs, n_tokens,
+             CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(18,6)) AS powed
+      FROM per
+    ),
+    t AS (SELECT CAST(sum(powed) AS DECIMAL(38,6)) AS ptot FROM p)
+    SELECT domain, n_docs, n_tokens,
+           round(CAST(powed AS DOUBLE) / CAST(ptot AS DOUBLE), 6)
+             AS mix_weight
+    FROM p, t
+    ORDER BY domain
+    """,
+)
+def dp_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha=0.5) domain mixing weights over
+    per-source token counts; decimal-bridged normalization so the
+    weight is engine- and partitioning-independent —
+    datapipe/curate.py:domain_mix_weights."""
+    from ..datapipe.curate import domain_mix_weights
+
+    d = load_table(spark, sf_dir, "documents")
+    return domain_mix_weights(d, alpha=0.5).orderBy("domain")
+
+
+@_q(
+    "dp_vocab_topk",
+    f"""
+    WITH tok AS (
+      SELECT unnest({_TOKS}) AS token FROM documents
+    ),
+    c AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences
+      FROM tok GROUP BY token
+    ),
+    t AS (SELECT CAST(sum(n_occurrences) AS BIGINT) AS total FROM c)
+    SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, token)
+                AS BIGINT) AS tok_rank,
+           token, n_occurrences,
+           CAST(n_occurrences AS DOUBLE) / total AS coverage
+    FROM c, t
+    ORDER BY tok_rank
+    LIMIT 25
+    """,
+)
+def dp_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-25 tokens by occurrence count with
+    exact coverage fractions (distributed TakeOrdered top-k, not a
+    global sort) — datapipe/curate.py:vocab_top_k."""
+    from ..datapipe.curate import vocab_top_k
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        vocab_top_k(d, k=25)
+        .withColumnRenamed("rank", "tok_rank")
+        .orderBy("tok_rank")
+    )

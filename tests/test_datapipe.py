@@ -211,3 +211,77 @@ def test_decontaminate_planted_overlap(spark):
     }
     # shared 3-grams: "quick brown fox" only (doc1 vs doc3)
     assert got == {(1, 1)}
+
+
+def test_pii_scrub_redacts_planted_pii(spark):
+    from flink_tpcds_spark.datapipe.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@corp.example.org or +1-555-123-4567"),
+            (2, "server at 192.168.0.1 and 10.0.255.7, no mail"),
+            (3, "clean text with version 1.2 and price 3.4"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in scrub_pii(df).collect()}
+    assert (rows[1].pii_n_emails, rows[1].pii_n_phones, rows[1].pii_n_ips) == (1, 1, 0)
+    assert "<EMAIL>" in rows[1].text_scrubbed
+    assert "<PHONE>" in rows[1].text_scrubbed
+    assert "jane" not in rows[1].text_scrubbed
+    assert rows[2].pii_n_ips == 2
+    assert rows[2].text_scrubbed.count("<IP>") == 2
+    # version/price numbers must NOT be eaten by the IP pattern
+    assert (rows[3].pii_n_emails, rows[3].pii_n_phones, rows[3].pii_n_ips) == (0, 0, 0)
+    assert rows[3].text_scrubbed.endswith("1.2 and price 3.4")
+
+
+def test_repetition_stats_flags_boilerplate(spark):
+    from flink_tpcds_spark.datapipe.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "buy now buy now buy now buy now"),  # bigram 'buy now' dominates
+            (2, "one two three four five six"),  # all bigrams unique
+            (3, "x"),  # < 2 tokens: excluded
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].top_bigram_n == 4  # 'buy now' ×4 of 7 bigrams
+    assert rows[1].top_bigram_ratio > 0.5
+    assert rows[2].top_bigram_n == 1
+    assert rows[2].top_bigram_ratio == 1 / 5
+
+
+def test_domain_mix_weights_sum_and_temperature(spark):
+    from flink_tpcds_spark.datapipe.curate import domain_mix_weights
+
+    df = spark.createDataFrame(
+        [("big", "w " * 400), ("small", "w " * 100)],
+        "source string, text string",
+    )
+    rows = {r.domain: r for r in domain_mix_weights(df).collect()}
+    assert abs(sum(r.mix_weight for r in rows.values()) - 1.0) < 1e-5
+    # alpha=0.5 upweights the small domain vs its proportional share
+    assert rows["small"].mix_weight > 100 / 500
+    assert rows["big"].mix_weight < 400 / 500
+    # sqrt ratio exactly: sqrt(400):sqrt(100) = 2:1
+    assert abs(rows["big"].mix_weight - 2 / 3) < 1e-5
+
+
+def test_vocab_topk_rank_and_coverage(spark):
+    from flink_tpcds_spark.datapipe.curate import vocab_top_k
+
+    df = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b zz")],
+        "doc_id long, text string",
+    )
+    rows = vocab_top_k(df, k=3).collect()
+    assert [(r.rank, r.token, r.n_occurrences) for r in rows] == [
+        (1, "a", 4),
+        (2, "b", 3),
+        (3, "c", 1),  # tie with 'zz' broken lexicographically
+    ]
+    assert abs(rows[0].coverage - 4 / 9) < 1e-12

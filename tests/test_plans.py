@@ -198,3 +198,51 @@ def test_decontaminate_dedups_holdout_before_join(spark, sf_dir):
     # count-distinct, and an equi-join on the shingle key
     assert "HashAggregate" in text
     assert "SortMergeJoin" in text or "BroadcastHashJoin" in text or "ShuffledHashJoin" in text
+
+
+def test_pii_scrub_is_shuffle_free(spark, sf_dir):
+    """PII redaction is a pure per-row regexp map — zero exchanges,
+    codegen'd, at any corpus size."""
+    from flink_tpcds_spark.datapipe.text import scrub_pii
+
+    d = load_table(spark, sf_dir, "documents")
+    text = explain_text(scrub_pii(d))
+    assert "Exchange" not in text
+    assert "codegen id" in text
+
+
+def test_domain_mix_broadcasts_total(spark, sf_dir):
+    """The normalizing total must reach the per-domain rows as a
+    broadcast of a 1-row aggregate — no global window, no driver
+    collect, and only domain-key hash exchanges."""
+    from flink_tpcds_spark.datapipe.curate import domain_mix_weights
+
+    d = load_table(spark, sf_dir, "documents")
+    text = explain_text(domain_mix_weights(d))
+    assert "BroadcastNestedLoopJoin" in text or "BroadcastExchange" in text
+    assert "Window" not in text
+    assert "hashpartitioning(domain" in text or "hashpartitioning(source" in text
+
+
+def test_vocab_topk_uses_take_ordered(spark, sf_dir):
+    """Global top-k must be Spark's distributed TakeOrdered (per-
+    partition heaps + k-row merge), never a full global sort of the
+    vocabulary."""
+    from flink_tpcds_spark.datapipe.curate import vocab_top_k
+
+    d = load_table(spark, sf_dir, "documents")
+    text = explain_text(vocab_top_k(d, k=25))
+    assert "TakeOrderedAndProject" in text
+    # the only Sort allowed is inside the 25-row window ranking
+    assert "rangepartitioning" not in text
+
+
+def test_rep_ngram_partial_aggregation(spark, sf_dir):
+    """Both aggregation levels (doc×gram, then doc) must carry
+    map-side partial aggregates so the explode never shuffles raw."""
+    from flink_tpcds_spark.datapipe.text import repetition_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    text = explain_text(repetition_stats(d))
+    assert text.count("partial_count") >= 1
+    assert "Generate" in text  # the explode is JVM-side, not a UDF
