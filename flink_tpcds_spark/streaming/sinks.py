@@ -22,7 +22,7 @@ Both run their merge logic inside ``foreachBatch`` on small *deltas*
 (update mode emits only changed keys per batch), the same incremental
 contract the reference's sinks receive.
 
-**Scale ledger — contract demo, not a 100 TB sink.** State lives
+**Scale ledger.** ``UpsertSink``/``RetractSink`` keep state
 driver-side as a Python dict: the right shape for validating the
 changelog contract (what these classes exist for, and what the tests
 replay/diff against) but a driver OOM at high key cardinality. A
@@ -30,7 +30,10 @@ production deployment keeps the same ``foreachBatch`` skeleton and
 swaps the dict for the external keyed store (JDBC/HBase/ES — exactly
 the stores the reference's sink interfaces front). ``max_keys``
 enforces the boundary: exceeding it raises instead of silently
-eating driver memory.
+eating driver memory. ``ParquetUpsertSink`` (round 5) IS the scale
+path: the changelog lives in the filesystem, every write and the
+snapshot/compaction reads are executor-side, and nothing scales with
+key cardinality on the driver.
 """
 
 from __future__ import annotations
@@ -112,3 +115,86 @@ class RetractSink(UpsertSink):
             elif state.get(key) == tuple(row):
                 del state[key]
         return pd.DataFrame(list(state.values()), columns=self.columns)
+
+
+class ParquetUpsertSink:
+    """Distributed keyed-upsert sink — the 100 TB shape of
+    :class:`UpsertSink` (no driver-side state at all).
+
+    Each update-mode micro-batch APPENDS its delta, stamped with the
+    micro-batch id, to a parquet changelog directory: the write is
+    executor-side and the driver never materializes a row — the
+    compacted-Kafka-topic / CDC-table layout the reference's
+    UpsertStreamTableSink fronts (UpsertStreamTableSink.java:
+    setKeyFields/setIsAppendOnly contract).
+
+    ``snapshot(spark)`` reconstructs the current table distributedly:
+    keep-last-per-key over batch id (one hash shuffle on the key,
+    rank-1 window per key group — the same WindowGroupLimit shape as
+    batch dedup-keep-last). ``compact(spark)`` rewrites history down
+    to the snapshot, bounding storage exactly like topic compaction.
+
+    Contract requirement: within one micro-batch a key appears at
+    most once (true for update-mode aggregation output, which emits
+    each changed key's final value once per batch).
+
+    The directory swap in ``compact`` uses local-filesystem renames;
+    a cluster deployment would swap via its object-store commit
+    protocol (or write a manifest) — the read/merge topology is
+    unchanged.
+    """
+
+    BATCH_COL = "__batch_id"
+
+    def __init__(self, path: str, key_cols: list[str]):
+        self.path = path
+        self.key_cols = key_cols
+
+    def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        (
+            batch_df.withColumn(self.BATCH_COL, F.lit(int(batch_id)))
+            .write.mode("append")
+            .parquet(self.path)
+        )
+
+    def changelog(self, spark) -> DataFrame:
+        return spark.read.parquet(self.path)
+
+    def snapshot(self, spark) -> DataFrame:
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        log = self.changelog(spark)
+        w = Window.partitionBy(*self.key_cols).orderBy(
+            F.desc(self.BATCH_COL)
+        )
+        return (
+            log.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", self.BATCH_COL)
+        )
+
+    def compact(self, spark) -> None:
+        """Rewrite the changelog to its snapshot (log compaction).
+        Keeps each surviving row's original batch stamp so later
+        batches still win after compaction."""
+        import shutil
+
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        log = self.changelog(spark)
+        w = Window.partitionBy(*self.key_cols).orderBy(
+            F.desc(self.BATCH_COL)
+        )
+        latest = (
+            log.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        tmp = self.path + ".compacting"
+        latest.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(self.path)
+        shutil.move(tmp, self.path)

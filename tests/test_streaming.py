@@ -523,3 +523,55 @@ def test_sink_max_keys_guard():
     sink.foreach_batch(_FakeBatch(small), 0)  # at the bound: fine
     with pytest.raises(RuntimeError, match="max_keys"):
         sink.foreach_batch(_FakeBatch(big), 1)
+
+
+def test_parquet_upsert_sink_distributed(spark, sf_dir, tmp_path):
+    """ParquetUpsertSink: the distributed upsert contract — snapshot
+    equals the batch aggregate (last-write-wins over batch ids),
+    survives log compaction, and later batches still win after
+    compaction. No driver-side state anywhere."""
+    from flink_tpcds_spark.streaming.sinks import ParquetUpsertSink
+
+    batch = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "pu_src")
+    batch.repartition(4).write.parquet(src)
+    agg = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    sink = ParquetUpsertSink(str(tmp_path / "pu_log"), ["event_type"])
+    q = (
+        agg.writeStream.foreachBatch(sink.foreach_batch)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    expected = {
+        (r.event_type, r.cnt)
+        for r in batch.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    snap = {tuple(r) for r in sink.snapshot(spark).collect()}
+    assert snap == expected
+    # the changelog holds real history (more rows than keys)
+    n_log = sink.changelog(spark).count()
+    assert n_log > len(expected)
+
+    # compaction: history shrinks to exactly the snapshot…
+    sink.compact(spark)
+    assert sink.changelog(spark).count() == len(expected)
+    assert {tuple(r) for r in sink.snapshot(spark).collect()} == expected
+    # …and a later batch still wins over compacted rows
+    some_key = next(iter(expected))[0]
+    late = spark.createDataFrame(
+        [(some_key, 10_000)], "event_type string, cnt bigint"
+    )
+    sink.foreach_batch(late, batch_id=999)
+    snap2 = dict(sink.snapshot(spark).collect())
+    assert snap2[some_key] == 10_000
