@@ -18,6 +18,7 @@ from __future__ import annotations
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from flink_tpcds_spark.oracle import value_hash
 from flink_tpcds_spark.schemas import load_table
@@ -88,3 +89,72 @@ def test_random_aggregates_match_duckdb(lineitem_view, oracle_con, pred):
     assert value_hash(s.columns, s_rows) == value_hash(o_cols, o_rows), (
         f"divergence on: {pred!r}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Property tests for the curation text operators (round 5): invariants
+# that must hold on ARBITRARY text, not just the synthetic corpus.
+# ---------------------------------------------------------------------------
+
+_texts = st.lists(
+    st.text(
+        alphabet=st.characters(
+            whitelist_categories=("Lu", "Ll", "Nd", "Po", "Zs"),
+            whitelist_characters="@.+-_",
+        ),
+        max_size=120,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_texts)
+def test_pii_scrub_idempotent_and_clean(spark, texts):
+    """Scrubbing is idempotent (scrub(scrub(x)) == scrub(x)) and the
+    scrubbed text never matches any PII pattern again — on arbitrary
+    unicode-ish input, not just the corpus."""
+    from flink_tpcds_spark.datapipe.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    once = scrub_pii(df).select(
+        "doc_id", F.col("text_scrubbed").alias("text")
+    )
+    twice = scrub_pii(once)
+    rows = twice.collect()
+    for r in rows:
+        assert r.text_scrubbed == r.text  # idempotent
+        assert (r.pii_n_emails, r.pii_n_phones, r.pii_n_ips) == (0, 0, 0)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_texts)
+def test_repetition_ratio_bounds(spark, texts):
+    """top_bigram_ratio ∈ (0, 1]; counts are consistent
+    (top ≤ total, total = n_tokens − 1 per emitted doc)."""
+    from flink_tpcds_spark.datapipe.text import repetition_stats, tokens
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    ntok = {
+        r.doc_id: r.n
+        for r in df.select(
+            "doc_id", F.size(tokens(F.col("text"))).alias("n")
+        ).collect()
+    }
+    for r in repetition_stats(df).collect():
+        assert 0 < r.top_bigram_ratio <= 1.0
+        assert r.top_bigram_n <= r.n_bigrams
+        assert r.n_bigrams == ntok[r.doc_id] - 1

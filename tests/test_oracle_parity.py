@@ -136,3 +136,52 @@ def test_corpus_oracle_both_fetch_modes(name, spark, oracle_con, sf_dir):
             )
     finally:
         df.unpersist()
+
+
+def test_window_rotation_is_status_aware(tmp_path, monkeypatch):
+    """The driver window must (1) pin red-but-seen queries first,
+    (2) drain never-seen corpus queries next, (3) rotate greens out —
+    driven purely by the CORRECTNESS_r*.json files at the repo root
+    (round 4's rotation silently froze by globbing the wrong dir)."""
+    import json
+
+    import flink_tpcds_spark.queries as q
+
+    corpus_names = [n for n in _QUERIES if n.startswith("q")]
+    some_green = corpus_names[:30]
+    some_red = corpus_names[30:34]
+    rows = {}
+    for n in some_green:
+        rows[n] = {"rows_match": True, "schema_match": True,
+                   "hash_match": True, "err": None}
+    for n in some_red:
+        rows[n] = {"rows_match": True, "schema_match": True,
+                   "hash_match": False, "err": None}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(rows))
+    monkeypatch.setattr(q, "_REPO", str(tmp_path))
+
+    window = list(q.all_queries())[:50]
+    # red queries pinned at the very front, in stable order
+    assert window[: len(some_red)] == some_red
+    # greens rotated out of the window entirely
+    assert not (set(window) & set(some_green))
+    # the rest of the window is never-seen entries only
+    assert all(n not in rows for n in window[len(some_red):])
+
+
+def test_window_rotation_green_beats_old_red(tmp_path, monkeypatch):
+    """A query red in round N but green in round N+1 must NOT stay
+    pinned — any green row anywhere clears it."""
+    import json
+
+    import flink_tpcds_spark.queries as q
+
+    name = next(n for n in _QUERIES if n.startswith("q"))
+    red = {name: {"rows_match": True, "schema_match": True,
+                  "hash_match": False, "err": None}}
+    green = {name: {"rows_match": True, "schema_match": True,
+                    "hash_match": True, "err": None}}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(red))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps(green))
+    monkeypatch.setattr(q, "_REPO", str(tmp_path))
+    assert name not in list(q.all_queries())[:50]
