@@ -144,3 +144,43 @@ def lookup_join(
     contract), keeping the probe side shuffle-free — which is the
     whole point of the reference's LookupJoin at scale."""
     return stream.join(F.broadcast(lookup), on, how)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi-join: explode hot keys across ``salt``
+    buckets so no single reducer owns a whole hot key.
+
+    The left (large, skewed) side gets a uniform random-free salt
+    derived from a row hash; the right side is replicated ``salt``
+    times with every salt value, and the join key becomes
+    (keys..., salt). Result rows are identical to the unsalted join —
+    only the partitioning changes: a key holding 30 % of the rows now
+    spreads over ``salt`` reducers.
+
+    When to use: AQE's skew-join handling (on session-wide) already
+    splits oversized *partitions* at runtime, which covers most skew;
+    explicit salting remains the tool when a single KEY (not
+    partition) exceeds executor memory in a sort-merge join, or when
+    AQE is unavailable (streaming joins). The salt column derives
+    from ``xxhash64`` of the whole left row — deterministic, no RNG
+    state, reproducible across retries (a ``rand()`` salt breaks
+    task-retry idempotence).
+
+    Cost: right side is replicated ``salt``× — use for fact⋈fact
+    skew where the right side is far smaller than the hot key's row
+    count but too big to broadcast outright.
+    """
+    salt_col = F.pmod(
+        F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt)
+    ).cast("int")
+    lhs = left.withColumn("__salt", salt_col)
+    rhs = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i).cast("int") for i in range(salt)]))
+    )
+    return lhs.join(rhs, [*on, "__salt"], how).drop("__salt")

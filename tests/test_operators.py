@@ -159,3 +159,46 @@ def test_match_recognize_rejects_multichar_symbol(spark):
         match_recognize(
             df, "user_id", ["ts"], define={"DOWN": F.lit(True)}, pattern="D+"
         )
+
+
+def test_salted_join_equals_plain_join(spark):
+    """salted_join must be result-identical to the plain equi-join on
+    a pathologically skewed key (one key = 90% of rows), while
+    spreading that key across salt buckets."""
+    import pyspark.sql.functions as F
+
+    from flink_tpcds_spark.operators.joins import salted_join
+
+    left = spark.range(0, 2000).select(
+        F.when(F.col("id") < 1800, F.lit(1)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    right = spark.createDataFrame(
+        [(1, "hot"), (1801, "a"), (1802, "b"), (99999, "absent")],
+        "k long, name string",
+    )
+    plain = left.join(right, ["k"]).select("k", "v", "name")
+    salted = salted_join(left, right, ["k"], salt=8).select("k", "v", "name")
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    # left_outer preserves unmatched left rows exactly once
+    plain_lo = left.join(right, ["k"], "left").select("k", "v", "name")
+    salted_lo = salted_join(left, right, ["k"], salt=8, how="left").select(
+        "k", "v", "name"
+    )
+    assert sorted(map(tuple, salted_lo.collect()), key=str) == sorted(
+        map(tuple, plain_lo.collect()), key=str
+    )
+    # the hot key really is spread across multiple salt buckets
+    n_buckets = (
+        left.withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(8)),
+        )
+        .filter(F.col("k") == 1)
+        .select("__salt")
+        .distinct()
+        .count()
+    )
+    assert n_buckets == 8
