@@ -119,6 +119,154 @@ def decontaminate(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into fixed token-budget training chunks
+    with ``overlap`` tokens of context carried between consecutive
+    chunks (the standard long-document → context-window preparation
+    step). Chunk ``i`` covers tokens ``[i*stride+1, i*stride+chunk]``
+    (1-based, stride = chunk_tokens − overlap); the final chunk is
+    the last start position that still contributes at least one
+    non-overlap token, so no chunk is a suffix of its predecessor.
+
+    Returns (id, chunk_id, chunk_text, n_chunk_tokens), one row per
+    chunk, dropping empty documents.
+
+    Scale shape: tokenize → arithmetic → ``explode`` — a pure
+    map-side operator with zero shuffle at any corpus size; output
+    cardinality is ~n_tokens/stride rows per document, bounded and
+    streamed through the scan partition that produced the document.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    base = (
+        df.select(F.col(id_col), F.col(text_col))
+        .withColumn("__toks", tokens(F.col(text_col)))
+        .withColumn("__n", F.size("__toks").cast("bigint"))
+        .filter(F.col("__n") >= 1)
+        # integer ceil((n - overlap) / stride), floored at 1 chunk
+        .withColumn(
+            "__chunks",
+            F.greatest(
+                F.lit(1).cast("bigint"),
+                F.expr(f"(__n - {overlap} + {stride - 1}) div {stride}"),
+            ),
+        )
+    )
+    i = F.col("chunk_id")
+    start = (i * stride + 1).cast("int")
+    chunk = F.slice(F.col("__toks"), start, chunk_tokens)
+    return (
+        base.select(
+            F.col(id_col),
+            F.col("__toks"),
+            F.col("__n"),
+            F.explode(
+                F.sequence(F.lit(0).cast("bigint"), F.col("__chunks") - 1)
+            ).alias("chunk_id"),
+        )
+        .select(
+            F.col(id_col),
+            i.alias("chunk_id"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+            F.least(
+                F.lit(chunk_tokens).cast("bigint"), F.col("__n") - i * stride
+            ).alias("n_chunk_tokens"),
+        )
+    )
+
+
+def reservoir_per_group(
+    df: DataFrame,
+    k: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic per-group cap: keep at most ``k`` documents per
+    group, selected by ``md5(text)`` order (ties by id) — a
+    reservoir-sample analog with zero RNG state, so any engine (and
+    any re-run) elects the same survivors. This is the "no single
+    domain dominates the mix" cap applied before mixing weights.
+
+    Scale shape: one shuffle on the group key; the ``row_number() ≤ k``
+    filter is Spark's WindowGroupLimit pushdown (plan-asserted), so
+    each map task keeps a k-row heap per group and the exchange moves
+    only candidate survivors, never the full group.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(text_col)).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= k)
+        .select(group_col, id_col, "rk")
+    )
+
+
+def shard_assignments(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic training-shard id per document:
+    ``md5(id)[:8] as uint32 mod n_shards``. md5 is engine- and
+    run-stable (unlike Spark's ``hash()``/``xxhash64`` which other
+    engines don't reproduce), so a re-run — or a different engine —
+    assigns every document to the same shard; that stability is what
+    makes incremental re-shards and cross-system audits possible.
+
+    Pure map, zero shuffle; the writer (``write_training_shards``)
+    adds the single repartition that materializes shard locality.
+    """
+    hex8 = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+    shard = (F.conv(hex8, 16, 10).cast("bigint") % n_shards).alias("shard")
+    return df.withColumn("shard", shard)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize a training-ready sharded corpus: assign
+    deterministic shards, co-locate each shard in one task
+    (``repartition(n_shards, shard)``), write
+    ``shard=<i>/part-*.parquet`` via Hive-style ``partitionBy``, and
+    return the manifest (shard → docs, bytes) the training loader
+    reads instead of listing files.
+
+    Scale shape: exactly one shuffle (the shard repartition);
+    ``sortWithinPartitions(id)`` costs no extra exchange and makes
+    every output file internally ordered, so loaders get
+    deterministic sample order without a global sort. The manifest
+    rides the same shard key as a map-side-combined groupBy.
+    """
+    sharded = shard_assignments(df, n_shards, id_col)
+    (
+        sharded.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions(id_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    return (
+        sharded.groupBy("shard")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("n_text_bytes"),
+        )
+        .orderBy("shard")
+    )
+
+
 def domain_mix_weights(
     df: DataFrame,
     alpha: float = 0.5,

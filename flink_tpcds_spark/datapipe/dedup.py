@@ -464,3 +464,122 @@ def near_dup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
     # release_caches() evicts them after materialization
     _LIVE_CACHES.append(labels)
     return out
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    k: int = 3,
+    min_docs: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level boilerplate detector: the k-gram phrases that
+    occur in at least ``min_docs`` distinct documents (navigation
+    chrome, license headers, templated footers — the C4/RefinedWeb
+    cleanup target). Returns (gram, n_docs).
+
+    Scale shape: explode distinct per-doc grams → map-side-combined
+    ``groupBy(gram)`` count — one shuffle keyed on the gram. The
+    ≥min_docs filter cuts the output to the (tiny) boilerplate
+    vocabulary before anything downstream touches it.
+    """
+    base = (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+        .filter(F.size("__toks") >= k)
+    )
+    return (
+        base.select(
+            F.col(id_col),
+            F.explode(shingles_of_tokens(F.col("__toks"), k)).alias("gram"),
+        )
+        .groupBy("gram")
+        .agg(F.count_distinct(id_col).cast("bigint").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def remove_boilerplate_ngrams(
+    df: DataFrame,
+    k: int = 3,
+    min_docs: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style boilerplate removal: drop every token covered by an
+    occurrence of a boilerplate k-gram (a k-gram present in
+    ≥``min_docs`` distinct documents), and report per-document
+    accounting plus the md5 of the cleaned text so the result is
+    value-checkable without shipping full texts.
+
+    Returns (id, n_tokens, n_dropped, clean_md5) for every document
+    with ≥k tokens; ``clean_md5`` hashes the space-joined surviving
+    tokens in original order.
+
+    Scale shape (three keyed exchanges, none quadratic):
+    1. positional k-gram explode → groupBy(gram) builds the
+       boilerplate vocabulary (map-side combined);
+    2. the vocabulary — tiny after the ≥min_docs cut — broadcasts
+       back onto the positional gram stream; covered token positions
+       aggregate per document (groupBy id);
+    3. a left join re-attaches the dropped-position set to each doc,
+       and a higher-order ``filter`` lambda masks tokens JVM-side —
+       no Python, no per-row UDF, no re-tokenization.
+    """
+    base = (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+        .filter(F.size("__toks") >= k)
+    )
+    base = _register_cache(base.persist())
+    # (id, pos, gram) for every k-gram occurrence, pos 1-based
+    pos_grams = base.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__toks") - (k - 1)),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.concat_ws(
+                        " ",
+                        *[
+                            F.element_at(F.col("__toks"), i + off)
+                            for off in range(k)
+                        ],
+                    ).alias("gram"),
+                ),
+            )
+        ).alias("pg"),
+    ).select(id_col, F.col("pg.pos").alias("pos"), F.col("pg.gram").alias("gram"))
+    block = (
+        pos_grams.groupBy("gram")
+        .agg(F.count_distinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("gram")
+    )
+    dropped = (
+        pos_grams.join(F.broadcast(block), "gram")
+        .select(id_col, F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("tp"))
+        .groupBy(id_col)
+        .agg(F.collect_set("tp").alias("__dropped"))
+    )
+    no_drop = F.array().cast("array<int>")
+    cleaned = (
+        base.join(dropped, id_col, "left")
+        .withColumn("__dropped", F.coalesce("__dropped", no_drop))
+        .select(
+            F.col(id_col),
+            F.size("__toks").cast("bigint").alias("n_tokens"),
+            F.size("__dropped").cast("bigint").alias("n_dropped"),
+            F.md5(
+                F.array_join(
+                    F.filter(
+                        "__toks",
+                        lambda x, i: ~F.array_contains(
+                            F.col("__dropped"), (i + 1).cast("int")
+                        ),
+                    ),
+                    " ",
+                )
+            ).alias("clean_md5"),
+        )
+    )
+    return cleaned

@@ -760,3 +760,134 @@ def dp_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("rank", "tok_rank")
         .orderBy("tok_rank")
     )
+
+
+@_q(
+    "dp_chunking",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    c AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             greatest(1, (len(toks) - 8 + 55) // 56) AS n_chunks
+      FROM t WHERE len(toks) >= 1
+    ),
+    e AS (
+      SELECT doc_id, unnest(range(0, n_chunks)) AS chunk_id, toks, n
+      FROM c
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           array_to_string(toks[chunk_id*56+1 : chunk_id*56+64], ' ')
+             AS chunk_text,
+           CAST(least(64, n - chunk_id*56) AS BIGINT) AS n_chunk_tokens
+    FROM e
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def dp_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed token-budget document chunking (64-token chunks, 8-token
+    overlap) — the long-document → context-window preparation step;
+    zero-shuffle map + explode — datapipe/curate.py:chunk_documents."""
+    from ..datapipe.curate import chunk_documents
+
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_tokens=64, overlap=8).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+@_q(
+    "dp_reservoir_group",
+    """
+    SELECT source, doc_id, rk FROM (
+      SELECT source, doc_id,
+             CAST(row_number() OVER (
+               PARTITION BY source ORDER BY md5(text), doc_id
+             ) AS BIGINT) AS rk
+      FROM documents
+    ) WHERE rk <= 10
+    ORDER BY source, rk
+    """,
+)
+def dp_reservoir_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source cap (k=10) via md5-ordered
+    row_number — the "no domain dominates" reservoir analog; rank≤k
+    runs as WindowGroupLimit (plan-asserted) —
+    datapipe/curate.py:reservoir_per_group."""
+    from ..datapipe.curate import reservoir_per_group
+
+    d = load_table(spark, sf_dir, "documents")
+    return reservoir_per_group(d, k=10).orderBy("source", "rk")
+
+
+@_q(
+    "dp_shards",
+    """
+    SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                % 16 AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(text)) AS BIGINT) AS n_text_bytes
+    FROM documents
+    GROUP BY 1
+    ORDER BY shard
+    """,
+)
+def dp_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-based training-shard assignment (16 shards)
+    with per-shard manifest stats; the writer path
+    (write_training_shards) adds the single shard repartition —
+    datapipe/curate.py:shard_assignments."""
+    from ..datapipe.curate import shard_assignments
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        shard_assignments(d, n_shards=16)
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("n_text_bytes"),
+        )
+        .orderBy("shard")
+    )
+
+
+@_q(
+    "dp_boilerplate",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    base AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 3),
+    pg AS (SELECT doc_id, unnest(range(1, n - 1)) AS pos, toks, n FROM base),
+    grams AS (
+      SELECT doc_id, pos, array_to_string(toks[pos:pos+2], ' ') AS gram
+      FROM pg
+    ),
+    block AS (
+      SELECT gram FROM grams GROUP BY gram
+      HAVING COUNT(DISTINCT doc_id) >= 5
+    ),
+    covpos AS (
+      SELECT DISTINCT g.doc_id, g.pos + j AS tp
+      FROM grams g JOIN block USING (gram),
+           (SELECT unnest(range(0, 3)) AS j)
+    ),
+    cov AS (
+      SELECT doc_id, count(*) AS n_dropped, list(tp) AS dropped
+      FROM covpos GROUP BY doc_id
+    )
+    SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tokens,
+           CAST(COALESCE(c.n_dropped, 0) AS BIGINT) AS n_dropped,
+           md5(array_to_string(
+             [b.toks[i] for i in range(1, b.n + 1)
+              if not list_contains(COALESCE(c.dropped, []), i)], ' '
+           )) AS clean_md5
+    FROM base b LEFT JOIN cov c USING (doc_id)
+    ORDER BY b.doc_id
+    """,
+)
+def dp_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate removal: tokens covered by any 3-gram
+    occurring in ≥5 distinct docs are dropped; per-doc accounting +
+    cleaned-text md5 — datapipe/dedup.py:remove_boilerplate_ngrams."""
+    from ..datapipe.dedup import remove_boilerplate_ngrams
+
+    d = load_table(spark, sf_dir, "documents")
+    return remove_boilerplate_ngrams(d, k=3, min_docs=5).orderBy("doc_id")

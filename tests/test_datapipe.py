@@ -285,3 +285,100 @@ def test_vocab_topk_rank_and_coverage(spark):
         (3, "c", 1),  # tie with 'zz' broken lexicographically
     ]
     assert abs(rows[0].coverage - 4 / 9) < 1e-12
+
+
+def test_chunk_documents_reconstructs_and_overlaps(spark, sf_dir):
+    """Chunks tile each document: consecutive chunks share exactly
+    `overlap` tokens (except a short final chunk), and stripping the
+    overlap reconstructs the token stream."""
+    from flink_tpcds_spark.datapipe.curate import chunk_documents
+    from flink_tpcds_spark.datapipe.text import tokens as tok_expr
+
+    d = load_table(spark, sf_dir, "documents")
+    chunk, overlap = 16, 4
+    stride = chunk - overlap
+    got = (
+        chunk_documents(d, chunk, overlap)
+        .orderBy("doc_id", "chunk_id")
+        .collect()
+    )
+    originals = {
+        r["doc_id"]: r["t"]
+        for r in d.select("doc_id", tok_expr(F.col("text")).alias("t")).collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {k for k, v in originals.items() if v}
+    for doc_id, rows in by_doc.items():
+        toks = originals[doc_id]
+        rebuilt: list[str] = []
+        for r in rows:
+            ctoks = r["chunk_text"].split(" ") if r["chunk_text"] else []
+            assert len(ctoks) == r["n_chunk_tokens"] <= chunk
+            start = r["chunk_id"] * stride
+            # every chunk is literally the token slice at its offset
+            assert ctoks == toks[start : start + chunk]
+            rebuilt.extend(ctoks if not rebuilt else ctoks[overlap:])
+        assert rebuilt == toks
+        # no chunk is pure overlap: each contributes ≥1 new token
+        assert all(
+            r["n_chunk_tokens"] > overlap or r["chunk_id"] == 0 for r in rows
+        )
+
+
+def test_write_training_shards_roundtrip(spark, sf_dir, tmp_path):
+    """The shard writer materializes shard=<i>/ dirs whose union
+    round-trips the corpus, with the manifest matching per-dir
+    counts."""
+    from flink_tpcds_spark.datapipe.curate import write_training_shards
+
+    d = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "shards")
+    manifest = write_training_shards(d, path, n_shards=4).collect()
+    assert [m["shard"] for m in manifest] == sorted(
+        {m["shard"] for m in manifest}
+    )
+    assert sum(m["n_docs"] for m in manifest) == d.count()
+    back = spark.read.parquet(path)
+    assert back.count() == d.count()
+    assert set(back.select("doc_id").toPandas()["doc_id"]) == set(
+        d.select("doc_id").toPandas()["doc_id"]
+    )
+    per_dir = {
+        r["shard"]: r["n"]
+        for r in back.groupBy("shard").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_dir == {m["shard"]: m["n_docs"] for m in manifest}
+
+
+def test_boilerplate_removal_planted(spark):
+    """A planted boilerplate phrase shared by many docs is stripped;
+    unique content survives untouched."""
+    from flink_tpcds_spark.datapipe.dedup import remove_boilerplate_ngrams
+
+    rows = [(i, f"unique{i} alpha beta all rights reserved now") for i in range(6)]
+    rows.append((99, "totally different content here today ok"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in remove_boilerplate_ngrams(df, k=3, min_docs=5).collect()
+    }
+    # "alpha beta all" .. "rights reserved now" appear in 6 docs ->
+    # positions 2-7 dropped; only the unique first token survives
+    import hashlib as _h
+
+    for i in range(6):
+        assert out[i]["n_tokens"] == 7
+        assert out[i]["n_dropped"] == 6
+        assert (
+            out[i]["clean_md5"]
+            == _h.md5(f"unique{i}".encode()).hexdigest()
+        )
+    assert out[99]["n_dropped"] == 0
+    import hashlib
+
+    assert (
+        out[99]["clean_md5"]
+        == hashlib.md5(b"totally different content here today ok").hexdigest()
+    )

@@ -246,3 +246,57 @@ def test_rep_ngram_partial_aggregation(spark, sf_dir):
     text = explain_text(repetition_stats(d))
     assert text.count("partial_count") >= 1
     assert "Generate" in text  # the explode is JVM-side, not a UDF
+
+
+def test_chunk_documents_is_shuffle_free(spark, sf_dir):
+    """Chunking is tokenize → arithmetic → explode: a pure map-side
+    pipeline with zero exchanges at any corpus size."""
+    from flink_tpcds_spark.datapipe.curate import chunk_documents
+
+    d = load_table(spark, sf_dir, "documents")
+    text = explain_text(chunk_documents(d, 64, 8))
+    assert "Exchange" not in text
+    assert "Generate" in text  # the explode
+
+
+def test_reservoir_per_group_uses_window_group_limit(spark, sf_dir):
+    """rank ≤ k must run as WindowGroupLimit (per-task k-row heaps),
+    not a full per-group sort followed by a filter."""
+    from flink_tpcds_spark.datapipe.curate import reservoir_per_group
+
+    d = load_table(spark, sf_dir, "documents")
+    text = explain_text(reservoir_per_group(d, 10))
+    assert "WindowGroupLimit" in text
+    assert "SinglePartition" not in text
+
+
+def test_shard_assignments_shuffle_free_and_manifest_one_exchange(
+    spark, sf_dir
+):
+    """Assignment is a pure map; the manifest aggregate adds exactly
+    one hash exchange on the shard key (map-side combined)."""
+    import re
+
+    from flink_tpcds_spark.datapipe.curate import shard_assignments
+
+    d = load_table(spark, sf_dir, "documents")
+    assign = shard_assignments(d, 16)
+    assert "Exchange" not in explain_text(assign)
+    manifest = (
+        assign.groupBy("shard").count()
+    )
+    text = explain_text(manifest)
+    assert len(re.findall(r"\(\d+\) Exchange", text)) == 1
+    assert "partial_count" in text or "HashAggregate" in text
+
+
+def test_boilerplate_blocklist_broadcasts(spark, sf_dir):
+    """The ≥min_docs gram vocabulary must come back onto the
+    positional gram stream as a broadcast, and the gram count must be
+    map-side combined (partial aggregate below its exchange)."""
+    from flink_tpcds_spark.datapipe.dedup import remove_boilerplate_ngrams
+
+    d = load_table(spark, sf_dir, "documents")
+    text = explain_text(remove_boilerplate_ngrams(d, 3, 5))
+    assert "BroadcastHashJoin" in text
+    assert "partial_count" in text
