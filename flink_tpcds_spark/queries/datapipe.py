@@ -891,3 +891,105 @@ def dp_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return remove_boilerplate_ngrams(d, k=3, min_docs=5).orderBy("doc_id")
+
+
+@_q(
+    "dp_curation_pipeline",
+    f"""
+    WITH RECURSIVE
+    t AS (
+      SELECT doc_id, text, source, {_TOKS} AS toks FROM documents
+    ),
+    q AS (
+      SELECT doc_id, text, toks,
+             (source IN ('src0', 'src1')) AS holdout,
+             (len(toks) >= 10
+              AND list_sum(list_transform(toks, x -> length(x))) * 1.0
+                  / greatest(len(toks), 1) >= 2.0
+              AND list_sum(list_transform(toks, x -> length(x))) * 1.0
+                  / greatest(len(toks), 1) <= 12.0
+              AND len(regexp_extract_all(text, '[0-9]')) * 1.0
+                  / greatest(length(text), 1) <= 0.3) AS is_quality
+      FROM t
+    ),
+    tq AS (
+      SELECT doc_id, toks,
+             row_number() OVER (
+               PARTITION BY md5(text) ORDER BY doc_id
+             ) AS rk
+      FROM q WHERE NOT holdout AND is_quality
+    ),
+    ek AS (SELECT doc_id, toks FROM tq WHERE rk = 1),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, len(toks) - 1)]) AS shingles
+      FROM ek WHERE len(toks) >= 3
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b
+        ON a.doc_id < b.doc_id
+       AND len(a.shingles) * 1.0 >= len(b.shingles) * 0.8
+       AND len(b.shingles) * 1.0 >= len(a.shingles) * 0.8
+      WHERE {_JACCARD} >= 0.8
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach (u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    neardrop AS (
+      SELECT u AS doc_id FROM reach
+      GROUP BY u HAVING u <> LEAST(u, MIN(v))
+    ),
+    surv AS (
+      SELECT doc_id, toks FROM ek
+      WHERE doc_id NOT IN (SELECT doc_id FROM neardrop)
+    ),
+    hvocab AS (
+      SELECT DISTINCT
+             UNNEST(list_distinct([array_to_string(toks[i:i+2], ' ')
+                                   for i in range(1, len(toks) - 1)])) AS s
+      FROM q WHERE holdout AND len(toks) >= 3
+    ),
+    svocab AS (
+      SELECT doc_id,
+             UNNEST(list_distinct([array_to_string(toks[i:i+2], ' ')
+                                   for i in range(1, len(toks) - 1)])) AS s
+      FROM surv WHERE len(toks) >= 3
+    ),
+    cont AS (
+      SELECT doc_id FROM svocab JOIN hvocab USING (s)
+      GROUP BY doc_id HAVING COUNT(DISTINCT s) >= 1
+    )
+    SELECT q.doc_id,
+           CASE WHEN q.holdout THEN 'holdout'
+                WHEN NOT q.is_quality THEN 'low_quality'
+                WHEN tq.rk > 1 THEN 'exact_dup'
+                WHEN q.doc_id IN (SELECT doc_id FROM neardrop)
+                  THEN 'near_dup'
+                WHEN q.doc_id IN (SELECT doc_id FROM cont)
+                  THEN 'contaminated'
+                ELSE 'kept' END AS status
+    FROM q LEFT JOIN tq ON q.doc_id = tq.doc_id
+    ORDER BY q.doc_id
+    """,
+)
+def dp_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full staged curation pipeline — quality gate → exact dedup →
+    MinHash near-dup cluster election → holdout decontamination —
+    emitting the per-document audit ledger. Oracle = the whole chain
+    in one recursive-CTE DuckDB query (exact Jaccard pairs +
+    transitive closure) — datapipe/pipeline.py:curation_ledger."""
+    from ..datapipe.pipeline import curation_ledger
+
+    d = load_table(spark, sf_dir, "documents")
+    return curation_ledger(
+        d, F.col("source").isin("src0", "src1")
+    ).orderBy("doc_id")

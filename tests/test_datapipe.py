@@ -382,3 +382,56 @@ def test_boilerplate_removal_planted(spark):
         out[99]["clean_md5"]
         == hashlib.md5(b"totally different content here today ok").hexdigest()
     )
+
+
+def test_curation_ledger_all_statuses(spark):
+    """Planted corpus exercising every pipeline stage exactly once;
+    statuses are assigned by first-failing-stage priority."""
+    from flink_tpcds_spark.datapipe.pipeline import (
+        curation_ledger,
+        curation_report,
+    )
+
+    # digit-free tokens: the quality gate caps digit_ratio at 0.3
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    toks = [f"t{alpha[i % 26]}{alpha[i // 26]}" for i in range(40)]
+    long = " ".join(toks)
+    near = " ".join(toks[:39]) + " other"
+    rows = [
+        (1, long, "train"),          # kept (canonical of its near-dup pair)
+        (2, long, "train"),          # exact_dup of 1
+        (3, near, "train"),          # near_dup of 1 (jaccard ~0.93)
+        (4, "short text", "train"),  # low_quality (2 tokens < 10)
+        (5, "eval " + " ".join(f"ev{i}" for i in range(20)), "eval"),  # holdout
+        (6, "bridge " + " ".join(f"ev{i}" for i in range(12)), "train"),
+        # 6 shares ev-shingles with holdout 5 -> contaminated
+        (7, " ".join(f"solo{i}" for i in range(15)), "train"),  # kept
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    ledger = {
+        r["doc_id"]: r["status"]
+        for r in curation_ledger(df, F.col("source") == "eval").collect()
+    }
+    assert ledger == {
+        1: "kept",
+        2: "exact_dup",
+        3: "near_dup",
+        4: "low_quality",
+        5: "holdout",
+        6: "contaminated",
+        7: "kept",
+    }
+    report = {
+        r["status"]: r["n_docs"]
+        for r in curation_report(
+            curation_ledger(df, F.col("source") == "eval")
+        ).collect()
+    }
+    assert report == {
+        "kept": 2,
+        "exact_dup": 1,
+        "near_dup": 1,
+        "low_quality": 1,
+        "holdout": 1,
+        "contaminated": 1,
+    }
