@@ -158,3 +158,118 @@ def test_repetition_ratio_bounds(spark, texts):
         assert 0 < r.top_bigram_ratio <= 1.0
         assert r.top_bigram_n <= r.n_bigrams
         assert r.n_bigrams == ntok[r.doc_id] - 1
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=_texts,
+    chunk=st.integers(4, 32),
+    overlap=st.integers(0, 3),
+)
+def test_chunk_documents_tiles_arbitrary_text(spark, texts, chunk, overlap):
+    """On arbitrary unicode-ish input: chunks exactly tile the token
+    stream (reconstruction via overlap-stripping), every chunk is the
+    literal token slice at its offset, and chunk counts match the
+    closed-form ceil((n-overlap)/stride)."""
+    from flink_tpcds_spark.datapipe.curate import chunk_documents
+    from flink_tpcds_spark.datapipe.text import tokens as tok_expr
+
+    stride = chunk - overlap
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    originals = {
+        r.doc_id: r.t
+        for r in df.select(
+            "doc_id", tok_expr(F.col("text")).alias("t")
+        ).collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in chunk_documents(df, chunk, overlap).collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {i for i, t in originals.items() if t}
+    for doc_id, rows in by_doc.items():
+        toks = originals[doc_id]
+        rows.sort(key=lambda r: r.chunk_id)
+        n = len(toks)
+        want_chunks = max(1, -((n - overlap) // -stride))  # ceil div
+        assert [r.chunk_id for r in rows] == list(range(want_chunks))
+        rebuilt: list[str] = []
+        for r in rows:
+            ctoks = r.chunk_text.split(" ") if r.chunk_text else []
+            assert ctoks == toks[r.chunk_id * stride : r.chunk_id * stride + chunk]
+            rebuilt.extend(ctoks if not rebuilt else ctoks[overlap:])
+        assert rebuilt == toks
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_texts, min_docs=st.integers(2, 4))
+def test_boilerplate_removal_invariants(spark, texts, min_docs):
+    """On arbitrary input: dropped counts are consistent (0 ≤ dropped
+    ≤ n_tokens), docs with no boilerplate hash to their original
+    token stream, and a second pass over already-cleaned counts never
+    drops more than the first (the blocklist only shrinks)."""
+    import hashlib
+
+    from flink_tpcds_spark.datapipe.dedup import remove_boilerplate_ngrams
+    from flink_tpcds_spark.datapipe.text import tokens as tok_expr
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    originals = {
+        r.doc_id: r.t
+        for r in df.select(
+            "doc_id", tok_expr(F.col("text")).alias("t")
+        ).collect()
+    }
+    out = remove_boilerplate_ngrams(df, k=3, min_docs=min_docs).collect()
+    assert {r.doc_id for r in out} == {
+        i for i, t in originals.items() if len(t) >= 3
+    }
+    for r in out:
+        assert 0 <= r.n_dropped <= r.n_tokens
+        assert r.n_tokens == len(originals[r.doc_id])
+        if r.n_dropped == 0:
+            want = hashlib.md5(
+                " ".join(originals[r.doc_id]).encode()
+            ).hexdigest()
+            assert r.clean_md5 == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_texts, holdout_mod=st.integers(2, 4))
+def test_curation_ledger_is_a_partition(spark, texts, holdout_mod):
+    """The ledger covers every input doc exactly once with a valid
+    status, holdout flags are honored verbatim, and `kept` docs have
+    unique texts among themselves (no surviving exact dup)."""
+    from flink_tpcds_spark.datapipe.pipeline import curation_ledger
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    ledger = curation_ledger(df, F.col("doc_id") % holdout_mod == 0).collect()
+    assert len(ledger) == len(texts)
+    statuses = {
+        "holdout", "low_quality", "exact_dup", "near_dup",
+        "contaminated", "kept",
+    }
+    by_id = {r.doc_id: r.status for r in ledger}
+    assert set(by_id) == set(range(len(texts)))
+    assert set(by_id.values()) <= statuses
+    for i in range(len(texts)):
+        assert (by_id[i] == "holdout") == (i % holdout_mod == 0)
+    kept_texts = [texts[i] for i, s in by_id.items() if s == "kept"]
+    assert len(kept_texts) == len(set(kept_texts))
