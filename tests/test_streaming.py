@@ -575,3 +575,69 @@ def test_parquet_upsert_sink_distributed(spark, sf_dir, tmp_path):
     sink.foreach_batch(late, batch_id=999)
     snap2 = dict(sink.snapshot(spark).collect())
     assert snap2[some_key] == 10_000
+
+
+def test_streaming_neardup_matches_batch(spark, sf_dir, tmp_path):
+    """Replaying the corpus through the streaming near-dup index (3
+    micro-batches) must detect exactly the batch operator's pair set
+    — cross-batch pairs via the parquet index, intra-batch pairs via
+    the self-join — with identical exact-Jaccard values."""
+    from flink_tpcds_spark.datapipe.dedup import (
+        minhash_near_dup_pairs,
+        release_caches,
+    )
+    from flink_tpcds_spark.streaming.neardup import StreamingNearDupIndex
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    cut1, cut2 = n // 3, 2 * n // 3
+    idx = StreamingNearDupIndex(str(tmp_path / "nd_index"))
+    for lo, hi, bid in ((0, cut1, 0), (cut1, cut2, 1), (cut2, n, 2)):
+        chunk = docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        )
+        idx.foreach_batch(chunk, bid)
+    got = {
+        (r.id_a, r.id_b): r.jaccard for r in idx.pairs(spark).collect()
+    }
+    want = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_near_dup_pairs(docs, threshold=0.8).collect()
+    }
+    release_caches()
+    assert got.keys() == want.keys() and len(got) > 0
+    for k, j in want.items():
+        assert abs(got[k] - j) < 1e-12
+
+
+def test_streaming_neardup_via_file_stream(spark, sf_dir, tmp_path):
+    """The index driven by a real file-source stream (availableNow,
+    one file per trigger) finds the same pairs as one big batch."""
+    from flink_tpcds_spark.datapipe.dedup import (
+        minhash_near_dup_pairs,
+        release_caches,
+    )
+    from flink_tpcds_spark.streaming.neardup import StreamingNearDupIndex
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "nd_src")
+    docs.repartition(3).write.parquet(src)
+    idx = StreamingNearDupIndex(str(tmp_path / "nd_idx2"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(idx.foreach_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {(r.id_a, r.id_b) for r in idx.pairs(spark).collect()}
+    want = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_dup_pairs(docs, threshold=0.8).collect()
+    }
+    release_caches()
+    assert got == want and len(got) > 0
