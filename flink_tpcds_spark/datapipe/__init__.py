@@ -28,7 +28,7 @@ from .dedup import (
     simhash_fingerprints,
 )
 from .pipeline import curation_ledger, curation_report
-from .similarity import knn_bruteforce, knn_lsh
+from .similarity import knn_bruteforce, knn_lsh, knn_pq, pq_encode
 from .text import add_quality_columns, langid, token_stats
 
 __all__ = [
@@ -42,6 +42,8 @@ __all__ = [
     "simhash_fingerprints",
     "knn_bruteforce",
     "knn_lsh",
+    "knn_pq",
+    "pq_encode",
     "add_quality_columns",
     "langid",
     "token_stats",

@@ -993,3 +993,23 @@ def dp_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_ledger(
         d, F.col("source").isin("src0", "src1")
     ).orderBy("doc_id")
+
+
+@_q("dp_knn_pq", _KNN_INVARIANT_ORACLE)
+def dp_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (8 subspaces × 256 codes = 8-byte
+    vectors, 32× compression; asymmetric-distance search over the
+    code table). Hard-gate invariant: mean recall@10 vs brute force
+    (same job) must clear 0.35 — measured 0.66 at sf0.01, 0.60 at
+    sf0.001 — with the oracle pinning the query cardinality. Raw
+    top-k, codebook determinism and code ranges are floor-tested in
+    tests/test_datapipe.py — similarity.py:knn_pq."""
+    from ..datapipe.similarity import knn_pq
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qf = F.col("vec_id") % 20 == 0
+    return _recall_invariant(
+        knn_pq(e, qf, k=10).select("query_id", "neighbor_id"),
+        knn_bruteforce(e, qf, k=10).select("query_id", "neighbor_id"),
+        floor=0.35,
+    )
