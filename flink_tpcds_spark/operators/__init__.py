@@ -1,5 +1,9 @@
 from .joins import asof_join, interval_join, lookup_join
-from .match_recognize import match_recognize, match_v_shapes
+from .match_recognize import (
+    match_recognize,
+    match_recognize_bounded,
+    match_v_shapes,
+)
 from .topn import dedup_first, dedup_last, top_n
 
 __all__ = [
@@ -10,5 +14,6 @@ __all__ = [
     "interval_join",
     "lookup_join",
     "match_recognize",
+    "match_recognize_bounded",
     "match_v_shapes",
 ]

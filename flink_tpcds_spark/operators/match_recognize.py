@@ -173,3 +173,142 @@ def match_recognize(
         return pd.DataFrame(rows, columns=cols)
 
     return classified.groupBy(partition_by).applyInPandas(_match, schema=schema)
+
+
+def match_recognize_bounded(
+    df: DataFrame,
+    partition_by: str,
+    order_by: list[str],
+    define: dict[str, Column],
+    pattern: str,
+    max_match_rows: int = 256,
+) -> DataFrame:
+    """Bounded-memory form of :func:`match_recognize` — the 100 TB
+    path for the generic matcher.
+
+    :func:`match_recognize` materializes each partition key's rows in
+    ONE Arrow group (the same per-key-state assumption the
+    reference's NFA makes — fine for bounded keys, wrong for a key
+    with billions of rows). This variant streams each task's rows
+    through a carry buffer instead: rows arrive ordered
+    (``repartitionByRange`` + ``sortWithinPartitions``), and the
+    matcher keeps only a window of undecided symbols per key.
+
+    Correctness contract: results are IDENTICAL to the unbounded
+    matcher whenever every true match spans fewer than
+    ``max_match_rows`` rows (equivalence-tested). The buffer logic:
+
+    - a match wholly clear of the last ``max_match_rows`` of the
+      buffer can neither extend nor change with future input (no
+      match may exceed the cap) → accepted and the prefix advanced;
+    - a match touching that lookahead zone is deferred to the next
+      flush (it may still grow);
+    - with no match found, every start with a full cap-window of
+      lookahead is provably dead → the buffer trims to the last
+      ``max_match_rows − 1`` symbols;
+    - a match that reaches the cap raises rather than silently
+      truncating (matching the fail-loud posture of
+      dedup.near_dup_clusters' convergence guard).
+
+    SKIP PAST LAST ROW semantics, greedy regex, same output schema as
+    :func:`match_recognize`.
+    """
+    for s in define:
+        if len(s) != 1 or not s.isalpha():
+            raise ValueError(f"symbols must be single letters, got {s!r}")
+    if max_match_rows < 2:
+        raise ValueError("max_match_rows must be >= 2")
+    sym = None
+    for s, cond in define.items():
+        sym = F.when(cond, F.lit(s)) if sym is None else sym.when(cond, F.lit(s))
+    sym = sym.otherwise(F.lit("."))
+    ocol = order_by[0]
+    classified = (
+        df.select(
+            F.col(partition_by), *[F.col(c) for c in order_by], sym.alias("_sym")
+        )
+        .repartitionByRange(F.col(partition_by))
+        .sortWithinPartitions(partition_by, *order_by)
+    )
+    rx = _re.compile(pattern)
+    cap = max_match_rows
+    schema = (
+        f"{partition_by} {classified.schema[partition_by].dataType.simpleString()}, "
+        "match_seq bigint, "
+        f"start_{ocol} {classified.schema[ocol].dataType.simpleString()}, "
+        f"end_{ocol} {classified.schema[ocol].dataType.simpleString()}, "
+        "match_rows bigint, symbols string"
+    )
+    cols = [
+        partition_by, "match_seq", f"start_{ocol}", f"end_{ocol}",
+        "match_rows", "symbols",
+    ]
+
+    def gen(batches):
+        import pandas as pd
+
+        key = None
+        buf_sym = ""
+        buf_ord: list = []
+        seq = 0
+
+        def scan(final: bool):
+            """Accept decidable matches; trim the buffer; return rows."""
+            nonlocal buf_sym, buf_ord, seq
+            out = []
+            pos = 0
+            keep_from = None
+            while True:
+                m = rx.search(buf_sym, pos)
+                if m is None or m.end() == m.start():
+                    # starts with a full cap-window of lookahead are dead
+                    keep_from = (
+                        len(buf_sym) if final
+                        else max(pos, len(buf_sym) - (cap - 1))
+                    )
+                    break
+                if m.end() - m.start() >= cap:
+                    raise RuntimeError(
+                        f"match spans >= max_match_rows ({cap}) rows — "
+                        "raise the cap above the pattern's true maximum"
+                    )
+                if not final and m.end() > len(buf_sym) - cap:
+                    # may still grow with future rows: defer
+                    keep_from = m.start()
+                    break
+                seq += 1
+                out.append(
+                    (
+                        key, seq,
+                        buf_ord[m.start()], buf_ord[m.end() - 1],
+                        m.end() - m.start(), m.group(0),
+                    )
+                )
+                pos = m.end()
+            buf_sym = buf_sym[keep_from:]
+            buf_ord = buf_ord[keep_from:]
+            return out
+
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            if len(pdf):
+                keys = pdf[partition_by].to_numpy()
+                change = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+                bounds = [0, *change.tolist(), len(pdf)]
+                for b0, b1 in zip(bounds[:-1], bounds[1:]):
+                    k = keys[b0]
+                    if key is not None and k != key:
+                        rows.extend(scan(final=True))
+                        buf_sym, buf_ord = "", []
+                        seq = 0
+                    key = k
+                    buf_sym += "".join(pdf["_sym"].iloc[b0:b1])
+                    buf_ord.extend(pdf[ocol].iloc[b0:b1].tolist())
+                rows.extend(scan(final=False))
+            yield pd.DataFrame(rows, columns=cols)
+        if key is not None:
+            yield pd.DataFrame(scan(final=True), columns=cols)
+
+    return classified.mapInPandas(gen, schema)

@@ -202,3 +202,69 @@ def test_salted_join_equals_plain_join(spark):
         .count()
     )
     assert n_buckets == 8
+
+
+def test_match_recognize_bounded_equals_unbounded(spark):
+    """The bounded-memory matcher must produce byte-identical matches
+    to the whole-partition matcher on a random series — including
+    with tiny Arrow batches forcing many carry-buffer flushes."""
+    import random
+
+    from flink_tpcds_spark.operators.match_recognize import (
+        match_recognize,
+        match_recognize_bounded,
+    )
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    rnd = random.Random(11)
+    rows = [
+        (u, i, float(rnd.randint(0, 9)))
+        for u in range(5)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts int, value double")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    src = df.withColumn("_p", F.lag("value").over(w))
+    define = {
+        "D": F.col("value") < F.col("_p"),
+        "U": F.col("value") > F.col("_p"),
+    }
+    want = {
+        tuple(r)
+        for r in match_recognize(
+            src, "user_id", ["ts"], define, "D+U+"
+        ).collect()
+    }
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "37")
+        got = {
+            tuple(r)
+            for r in match_recognize_bounded(
+                src, "user_id", ["ts"], define, "D+U+", max_match_rows=16
+            ).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert got == want and len(got) > 0
+
+
+def test_match_recognize_bounded_cap_raises(spark):
+    """A match that reaches max_match_rows must fail loudly, not
+    silently truncate."""
+    import pytest as _pytest
+
+    from flink_tpcds_spark.operators.match_recognize import (
+        match_recognize_bounded,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(1, i, 1.0) for i in range(50)]
+    df = spark.createDataFrame(rows, "user_id int, ts int, value double")
+    bounded = match_recognize_bounded(
+        df, "user_id", ["ts"],
+        define={"A": F.lit(True)}, pattern="A+", max_match_rows=8,
+    )
+    with _pytest.raises(Exception, match="max_match_rows"):
+        bounded.collect()
