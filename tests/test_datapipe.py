@@ -467,3 +467,27 @@ def test_pq_ann_recall_floor_and_determinism(spark, sf_dir):
     assert c1 == c2
     assert all(0 <= c < 256 for v in c1.values() for c in v)
     assert all(len(v) == 8 for v in c1.values())
+
+
+def test_new_ops_handle_empty_input(spark):
+    """Empty corpus: chunking, reservoir, shards, boilerplate and the
+    pipeline ledger all return empty results with the right schema
+    instead of raising."""
+    from flink_tpcds_spark.datapipe.curate import (
+        chunk_documents,
+        reservoir_per_group,
+        shard_assignments,
+    )
+    from flink_tpcds_spark.datapipe.dedup import remove_boilerplate_ngrams
+    from flink_tpcds_spark.datapipe.pipeline import curation_ledger
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, source string"
+    )
+    assert chunk_documents(empty).count() == 0
+    assert reservoir_per_group(empty, 5, group_col="source").count() == 0
+    assert shard_assignments(empty, 4).count() == 0
+    assert remove_boilerplate_ngrams(empty).count() == 0
+    ledger = curation_ledger(empty, F.col("source") == "x")
+    assert ledger.columns == ["doc_id", "status"]
+    assert ledger.count() == 0

@@ -300,3 +300,16 @@ def test_boilerplate_blocklist_broadcasts(spark, sf_dir):
     text = explain_text(remove_boilerplate_ngrams(d, 3, 5))
     assert "BroadcastHashJoin" in text
     assert "partial_count" in text
+
+
+def test_no_cartesian_product_in_any_datapipe_query(spark, sf_dir):
+    """Scale tripwire: no dp_* query may plan a CartesianProduct —
+    every pair-producing operator must go through banding/blocking/
+    broadcast, never an all-pairs shuffle product. (1-row broadcast
+    cross joins — BroadcastNestedLoopJoin — are fine and expected.)"""
+    from flink_tpcds_spark.queries import datapipe as dpq
+
+    for name, fn in sorted(dpq.QUERIES.items()):
+        df = fn(spark, sf_dir)
+        text = explain_text(df)
+        assert "CartesianProduct" not in text, f"{name} plans a cartesian"
