@@ -20,7 +20,12 @@ wherever possible; Python only appears as Arrow-batched ``mapInPandas``
 for the multimodal decode path.
 """
 
-from .curate import chunk_documents, reservoir_per_group, write_training_shards
+from .curate import (
+    bpe_merge_candidates,
+    chunk_documents,
+    reservoir_per_group,
+    write_training_shards,
+)
 from .dedup import (
     exact_dedup_stats,
     minhash_near_dup_pairs,
@@ -32,6 +37,7 @@ from .similarity import knn_bruteforce, knn_lsh, knn_pq, pq_encode
 from .text import add_quality_columns, langid, token_stats
 
 __all__ = [
+    "bpe_merge_candidates",
     "chunk_documents",
     "curation_ledger",
     "curation_report",

@@ -363,3 +363,52 @@ def vocab_top_k(
         )
         .select("rank", "token", "n_occurrences", "coverage")
     )
+
+
+def bpe_merge_candidates(
+    df: DataFrame,
+    top_n: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """First-iteration BPE merge statistics: the frequency of every
+    adjacent character pair inside corpus words, weighted by word
+    occurrence — the quantity byte-pair-encoding tokenizer training
+    maximizes when electing its next merge. Returns the ``top_n``
+    pairs as (merge_rank, pair, n_occurrences); ties break
+    lexicographically so the ranking is total and engine-stable.
+
+    Scale shape: explode → groupBy(word) count (map-side combined,
+    one shuffle on the word key — the vocabulary, not the corpus) →
+    per-word char-pair explode via JVM higher-order functions (no
+    Python) → groupBy(pair) weighted sum — a second shuffle whose key
+    space is ≤ alphabet². The global top-n is a distributed
+    TakeOrdered (per-partition heaps), not a global sort, mirroring
+    ``vocab_top_k``.
+
+    Driver registration (``dp_bpe_merges``) is queued for round 6 —
+    the round-5 correctness window is reserved for the TPC-DS drain.
+    """
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("n_word"))
+        .filter(F.length("word") >= 2)
+    )
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        F.col("n_word"),
+    )
+    counts = (
+        pairs.groupBy("pair")
+        .agg(F.sum("n_word").cast("bigint").alias("n_occurrences"))
+    )
+    top = counts.orderBy(F.desc("n_occurrences"), F.asc("pair")).limit(top_n)
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("pair"))
+    return top.withColumn(
+        "merge_rank", F.row_number().over(w).cast("bigint")
+    ).select("merge_rank", "pair", "n_occurrences")

@@ -491,3 +491,29 @@ def test_new_ops_handle_empty_input(spark):
     ledger = curation_ledger(empty, F.col("source") == "x")
     assert ledger.columns == ["doc_id", "status"]
     assert ledger.count() == 0
+
+
+def test_bpe_merge_candidates_match_reference_impl(spark, sf_dir):
+    """The distributed BPE pair counts must equal a plain-Python
+    reference count over the same tokenization, including the
+    (count DESC, pair ASC) ranking."""
+    import re
+    from collections import Counter
+
+    from flink_tpcds_spark.datapipe.curate import bpe_merge_candidates
+
+    d = load_table(spark, sf_dir, "documents").limit(200)
+    texts = [r.text for r in d.select("text").collect()]
+    ref = Counter()
+    for t in texts:
+        for w in re.findall("[a-z0-9]+", t.lower()):
+            for i in range(len(w) - 1):
+                ref[w[i : i + 2]] += 1
+    want = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [
+        (r.pair, r.n_occurrences)
+        for r in bpe_merge_candidates(d, top_n=20).orderBy("merge_rank").collect()
+    ]
+    assert got == want
+    ranks = [r.merge_rank for r in bpe_merge_candidates(d, top_n=20).collect()]
+    assert sorted(ranks) == list(range(1, len(got) + 1))
