@@ -8,7 +8,11 @@ whole-stage codegen) and registers SQL-callable versions via Spark 4
 SQL UDFs so ``spark.sql`` text can use the Blink names too.
 
 Gap list (SURVEY §2.9): SPLIT_INDEX, KEYVALUE, IS_ALPHA, IS_DIGIT,
-IS_DECIMAL, HASH_CODE.
+IS_DECIMAL, HASH_CODE, and the Blink named bit ops BITAND/BITOR/
+BITXOR/BITNOT (Spark exposes them only as operators). PRINT (a
+side-effecting debug function) and the PROCTIME/ROWTIME window
+auxiliaries are N/A by design: Spark has no processing-time attribute
+— event-time watermarks cover the semantics (SURVEY §2.5).
 """
 
 from __future__ import annotations
@@ -48,6 +52,26 @@ def hash_code(col: Column) -> Column:
     return F.hash(col)
 
 
+def bitand(a: Column, b: Column) -> Column:
+    """Blink BITAND(a, b) — named form of the & operator."""
+    return a.bitwiseAND(b)
+
+
+def bitor(a: Column, b: Column) -> Column:
+    """Blink BITOR(a, b) — named form of the | operator."""
+    return a.bitwiseOR(b)
+
+
+def bitxor(a: Column, b: Column) -> Column:
+    """Blink BITXOR(a, b) — named form of the ^ operator."""
+    return a.bitwiseXOR(b)
+
+
+def bitnot(a: Column) -> Column:
+    """Blink BITNOT(a) — two's-complement negation, ~a = -a - 1."""
+    return -a - F.lit(1)
+
+
 # SQL-callable registrations (Spark 4 SQL UDFs: stay JVM-side, no Python
 # round trip — equivalent to the reference's codegen'd scalar calls).
 _SQL_UDFS = [
@@ -65,6 +89,14 @@ _SQL_UDFS = [
        RETURNS BOOLEAN RETURN s RLIKE '^[+-]?([0-9]+(\\\\.[0-9]*)?|\\\\.[0-9]+)$'""",
     """CREATE OR REPLACE TEMPORARY FUNCTION hash_code(s STRING)
        RETURNS INT RETURN hash(s)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION bitand(a BIGINT, b BIGINT)
+       RETURNS BIGINT RETURN a & b""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION bitor(a BIGINT, b BIGINT)
+       RETURNS BIGINT RETURN a | b""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION bitxor(a BIGINT, b BIGINT)
+       RETURNS BIGINT RETURN a ^ b""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION bitnot(a BIGINT)
+       RETURNS BIGINT RETURN -a - 1""",
 ]
 
 

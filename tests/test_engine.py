@@ -110,3 +110,40 @@ def test_engine_sql_materialized(spark, sf_dir):
     got = eng.sql_materialized(sql).collect()
     eng.release_materialized()
     assert got == eng.sql(sql).collect()
+
+
+def test_blink_bit_functions(spark):
+    """Named Blink bit ops agree with Python integer semantics, both
+    as Column helpers and as SQL-registered functions."""
+    from pyspark.sql import functions as F
+
+    from flink_tpcds_spark.functions.scalar import (
+        bitand,
+        bitnot,
+        bitor,
+        bitxor,
+        register_scalar_functions,
+    )
+
+    df = spark.createDataFrame(
+        [(12, 10), (-7, 3), (0, 0), (255, 129)], "a long, b long"
+    )
+    rows = df.select(
+        "a", "b",
+        bitand(F.col("a"), F.col("b")).alias("ba"),
+        bitor(F.col("a"), F.col("b")).alias("bo"),
+        bitxor(F.col("a"), F.col("b")).alias("bx"),
+        bitnot(F.col("a")).alias("bn"),
+    ).collect()
+    for r in rows:
+        assert r.ba == r.a & r.b
+        assert r.bo == r.a | r.b
+        assert r.bx == r.a ^ r.b
+        assert r.bn == ~r.a
+    register_scalar_functions(spark)
+    df.createOrReplaceTempView("bits_t")
+    got = spark.sql(
+        "SELECT bitand(a,b), bitor(a,b), bitxor(a,b), bitnot(a) FROM bits_t"
+    ).collect()
+    for (r, g) in zip(rows, got):
+        assert tuple(g) == (r.a & r.b, r.a | r.b, r.a ^ r.b, ~r.a)
