@@ -267,6 +267,87 @@ def write_training_shards(
     )
 
 
+def global_shuffle(
+    df: DataFrame,
+    seed: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every document
+    gets a pseudo-random sort key ``md5(seed || '|' || id)``, a shard
+    (the key's first hex digit → 16 shards), and a position within
+    its shard (row_number over the key). Changing ``seed`` produces an
+    independent permutation; re-running with the same seed reproduces
+    it bit-for-bit on any engine — the property epoch shuffles and
+    resumable training loaders need, and what ``ORDER BY rand()``
+    can never give.
+
+    Scale shape: NO global sort. The md5 key hash-distributes rows
+    uniformly across the 16 shards, each shard's ordering is an
+    independent window (one shuffle on the shard key), and the loader
+    reads shards in order — equivalent to a blocked global
+    permutation. A single ``orderBy(key)`` would range-partition the
+    whole corpus just to enumerate it; the shard decomposition keeps
+    every partition executor-sized at any corpus size.
+    """
+    key = F.md5(
+        F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string"))
+    )
+    out = df.select(F.col(id_col)).withColumn("shuffle_key", key)
+    shard = F.conv(F.substring("shuffle_key", 1, 1), 16, 10).cast("int")
+    w = Window.partitionBy("shard").orderBy("shuffle_key", id_col)
+    return (
+        out.withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .select(id_col, "shard", "pos", "shuffle_key")
+    )
+
+
+def contamination_fraction(
+    df: DataFrame,
+    holdout: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document contamination *score*: the fraction of a train
+    document's distinct k-gram shingles that also occur anywhere in
+    the held-out split. ``decontaminate`` reports only contaminated
+    docs; this emits EVERY train doc (zero rows included) with an
+    exact ``n_shared / n_shingles`` double — the signal a curation
+    policy thresholds instead of hard-dropping.
+
+    Scale shape: like ``decontaminate`` — held-out side reduced to
+    its distinct shingle vocabulary before the equi-join; the train
+    side explodes per-doc *distinct* shingles so join volume is
+    bounded by vocabulary incidence, not corpus length. Two shuffles
+    (join + per-doc agg), no windows.
+    """
+    toks = tokens(F.col(text_col))
+    sh = F.array_distinct(shingles_of_tokens(F.col("__toks"), k))
+    base = df.withColumn("__toks", toks).filter(F.size("__toks") >= k)
+    train = base.filter(~holdout).select(
+        F.col(id_col), F.explode(sh).alias("s")
+    )
+    held = base.filter(holdout).select(F.explode(sh).alias("s")).distinct()
+    shared = (
+        train.join(held, "s")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    totals = train.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles")
+    )
+    return totals.join(shared, id_col, "left").select(
+        id_col,
+        "n_shingles",
+        F.coalesce("n_shared", F.lit(0).cast("bigint")).alias("n_shared"),
+        (
+            F.coalesce("n_shared", F.lit(0)).cast("double")
+            / F.col("n_shingles")
+        ).alias("contamination"),
+    )
+
+
 def domain_mix_weights(
     df: DataFrame,
     alpha: float = 0.5,

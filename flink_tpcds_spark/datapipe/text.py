@@ -115,6 +115,48 @@ def langid(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("pred_lang", pred)
 
 
+# Hand-set logistic weights for the quality classifier — the shape of
+# a fastText/linear quality model (Brown et al. 2020 §A; CCNet) with
+# the feature scale of add_quality_columns. Documented constants, not
+# trained: the operator contract is the scoring pipeline, and fixed
+# weights keep it deterministic and oracle-checkable.
+QUALITY_CLF_WEIGHTS: dict[str, float] = {
+    "log_len": 0.25,        # ln(1 + n_tokens): longer docs mildly favored
+    "avg_token_len": 0.10,  # prose-like word shape
+    "stopword_ratio": 4.0,  # strong natural-language signal
+    "punct_ratio": 2.0,     # sentence structure
+    "digit_ratio": -6.0,    # tables/logs penalty
+}
+QUALITY_CLF_BIAS = -2.0
+
+
+def quality_classifier(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Linear quality classifier: logistic score over the
+    ``add_quality_columns`` features with fixed documented weights —
+    the distilled-classifier scoring pass every corpus pipeline runs
+    (GPT-3's quality LR, CCNet's fastText filter), expressed as pure
+    JVM column algebra. Score is rounded to 4 digits so the rendered
+    value is engine-stable; ``clf_keep`` thresholds at 0.5.
+
+    Zero shuffle: a map-only expression chain over the feature
+    columns, whole-stage codegen end to end.
+    """
+    q = add_quality_columns(df, text_col)
+    w = QUALITY_CLF_WEIGHTS
+    z = (
+        F.lit(QUALITY_CLF_BIAS)
+        + F.lit(w["log_len"]) * F.log(F.lit(1.0) + F.col("q_n_tokens"))
+        + F.lit(w["avg_token_len"]) * F.coalesce("q_avg_token_len", F.lit(0.0))
+        + F.lit(w["stopword_ratio"]) * F.col("q_stopword_ratio")
+        + F.lit(w["punct_ratio"]) * F.col("q_punct_ratio")
+        + F.lit(w["digit_ratio"]) * F.col("q_digit_ratio")
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4)
+    return q.withColumn("clf_score", score).withColumn(
+        "clf_keep", F.col("clf_score") >= 0.5
+    )
+
+
 def md5_fingerprint(col: Column, prefix_len: int = 16) -> Column:
     """Document fingerprint: first ``prefix_len`` hex chars of md5 over
     the normalized token stream (whitespace/punct-insensitive)."""

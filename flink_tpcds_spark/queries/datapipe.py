@@ -1013,3 +1013,145 @@ def dp_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         knn_bruteforce(e, qf, k=10).select("query_id", "neighbor_id"),
         floor=0.35,
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 (cont.): global shuffle, quality classifier, contamination
+# score, semantic dedup — the remaining standard corpus-prep passes.
+# ---------------------------------------------------------------------------
+@_q(
+    "dp_global_shuffle",
+    """
+    WITH k AS (
+      SELECT doc_id,
+             md5('epoch0' || '|' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(strpos('0123456789abcdef', substr(shuffle_key, 1, 1)) - 1
+                AS INTEGER) AS shard,
+           CAST(row_number() OVER (
+                  PARTITION BY substr(shuffle_key, 1, 1)
+                  ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos,
+           shuffle_key
+    FROM k
+    ORDER BY doc_id
+    """,
+)
+def dp_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle: md5(seed|id) sort key, 16 hash
+    shards, within-shard position — the reproducible training-order
+    permutation (no global sort; per-shard windows) —
+    datapipe/curate.py:global_shuffle."""
+    from ..datapipe.curate import global_shuffle
+
+    d = load_table(spark, sf_dir, "documents")
+    return global_shuffle(d, seed="epoch0").orderBy("doc_id")
+
+
+@_q(
+    "dp_quality_classifier",
+    f"""
+    WITH feat AS (
+      SELECT doc_id,
+             len(toks) AS n_tok,
+             CASE WHEN len(toks) > 0 THEN
+               CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                 / len(toks) ELSE 0.0 END AS avg_tok,
+             CAST(len(list_filter(toks, t -> t IN ('the','and','of','to','a')))
+                  AS DOUBLE) / greatest(len(toks), 1) AS stop_r,
+             CAST(len(regexp_extract_all(text, '[\\.,;:!\\?]')) AS DOUBLE)
+               / greatest(length(text), 1) AS punct_r,
+             CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+               / greatest(length(text), 1) AS digit_r
+      FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+    )
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-(-2.0 + 0.25 * ln(1.0 + n_tok)
+                 + 0.10 * avg_tok + 4.0 * stop_r + 2.0 * punct_r
+                 - 6.0 * digit_r))), 4) AS clf_score,
+           round(1.0 / (1.0 + exp(-(-2.0 + 0.25 * ln(1.0 + n_tok)
+                 + 0.10 * avg_tok + 4.0 * stop_r + 2.0 * punct_r
+                 - 6.0 * digit_r))), 4) >= 0.5 AS clf_keep
+    FROM feat
+    ORDER BY doc_id
+    """,
+)
+def dp_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality classifier (logistic over the Gopher/C4-style
+    features, fixed documented weights) — the distilled-model scoring
+    pass; zero-shuffle map chain — datapipe/text.py:quality_classifier."""
+    from ..datapipe.text import quality_classifier
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        quality_classifier(d)
+        .select("doc_id", "clf_score", "clf_keep")
+        .orderBy("doc_id")
+    )
+
+
+@_q(
+    "dp_contamination_frac",
+    f"""
+    WITH {_SH_CTE},
+    train AS (
+      SELECT sh.doc_id, UNNEST(sh.shingles) AS s
+      FROM sh JOIN documents d USING (doc_id)
+      WHERE d.source NOT IN ('src0', 'src1')
+    ),
+    held AS (
+      SELECT DISTINCT UNNEST(sh.shingles) AS s
+      FROM sh JOIN documents d USING (doc_id)
+      WHERE d.source IN ('src0', 'src1')
+    ),
+    tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+            FROM train GROUP BY doc_id),
+    shr AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+            FROM train t JOIN held h ON t.s = h.s GROUP BY t.doc_id)
+    SELECT tot.doc_id,
+           tot.n_shingles,
+           COALESCE(shr.n_shared, 0) AS n_shared,
+           CAST(COALESCE(shr.n_shared, 0) AS DOUBLE) / tot.n_shingles
+             AS contamination
+    FROM tot LEFT JOIN shr ON tot.doc_id = shr.doc_id
+    ORDER BY tot.doc_id
+    """,
+)
+def dp_contamination_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document contamination fraction vs the held-out split
+    (every train doc scored, zero-overlap rows included; exact
+    int/int double) — datapipe/curate.py:contamination_fraction."""
+    from ..datapipe.curate import contamination_fraction
+
+    d = load_table(spark, sf_dir, "documents")
+    return contamination_fraction(
+        d, F.col("source").isin("src0", "src1")
+    ).orderBy("doc_id")
+
+
+@_q(
+    "dp_semantic_dedup",
+    """
+    SELECT e.vec_id
+    FROM embeddings e
+    WHERE NOT EXISTS (
+      SELECT 1 FROM embeddings b
+      WHERE b.vec_id < e.vec_id
+        AND ROUND(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+                                         CAST(e.embedding AS DOUBLE[])), 4)
+              >= 0.4
+    )
+    ORDER BY vec_id
+    """,
+)
+def dp_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: keep the minimum-id
+    representative of every cosine-0.4 neighborhood (lower-id rule →
+    deterministic, exactly SQL-checkable); pairs via the blocked tile
+    join, removal via one left-anti join —
+    datapipe/similarity.py:semantic_dedup."""
+    from ..datapipe.similarity import semantic_dedup
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(e, threshold=0.4).orderBy("vec_id")

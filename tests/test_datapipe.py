@@ -517,3 +517,97 @@ def test_bpe_merge_candidates_match_reference_impl(spark, sf_dir):
     assert got == want
     ranks = [r.merge_rank for r in bpe_merge_candidates(d, top_n=20).collect()]
     assert sorted(ranks) == list(range(1, len(got) + 1))
+
+
+def test_global_shuffle_is_reproducible_permutation(spark, sf_dir):
+    from flink_tpcds_spark.datapipe.curate import global_shuffle
+
+    d = load_table(spark, sf_dir, "documents")
+    a = global_shuffle(d, "epoch0").collect()
+    b = global_shuffle(d, "epoch0").collect()
+    # same seed → bit-identical permutation, independent of run
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # covers every document exactly once
+    ids = sorted(r.doc_id for r in a)
+    assert ids == sorted(r.doc_id for r in d.select("doc_id").collect())
+    # shards are the 16 hex digits; positions are contiguous from 1
+    by_shard: dict[int, list[int]] = {}
+    for r in a:
+        assert 0 <= r.shard <= 15
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # a different seed produces a genuinely different order
+    c = global_shuffle(d, "epoch1").collect()
+    order_a = [r.doc_id for r in sorted(a, key=lambda r: (r.shard, r.pos))]
+    order_c = [r.doc_id for r in sorted(c, key=lambda r: (r.shard, r.pos))]
+    assert order_a != order_c
+
+
+def test_quality_classifier_score_semantics(spark):
+    from flink_tpcds_spark.datapipe.text import quality_classifier
+
+    rows = [
+        (1, "The history of the region and the growth of its trade "
+            "are described in the archives of the city, and most of "
+            "the records survive to this day."),
+        (2, "7381 9204 1177 0042 5563 8810 2294 6637 1405 9928"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in quality_classifier(df).collect()}
+    for r in out.values():
+        assert 0.0 <= r.clf_score <= 1.0
+        assert r.clf_keep == (r.clf_score >= 0.5)
+    # prose beats digit spam by a wide margin
+    assert out[1].clf_score > out[2].clf_score + 0.3
+    assert out[1].clf_keep and not out[2].clf_keep
+
+
+def test_contamination_fraction_planted(spark):
+    from flink_tpcds_spark.datapipe.curate import (
+        contamination_fraction,
+        decontaminate,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta", "train"),
+        (2, "one two three four five six seven", "train"),
+        (3, "alpha beta gamma delta epsilon zeta", "held"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, split string")
+    out = {
+        r.doc_id: r
+        for r in contamination_fraction(
+            df, F.col("split") == "held"
+        ).collect()
+    }
+    # doc 1 is a verbatim holdout copy → fully contaminated
+    assert out[1].contamination == 1.0
+    assert out[1].n_shared == out[1].n_shingles
+    # doc 2 shares nothing but still gets a row (score 0)
+    assert out[2].contamination == 0.0 and out[2].n_shared == 0
+    # consistency with the hard-drop operator: its rows are exactly
+    # the frac>0 docs with the same shared counts
+    dec = {
+        r.doc_id: r.n_shared_shingles
+        for r in decontaminate(df, F.col("split") == "held").collect()
+    }
+    assert dec == {
+        i: r.n_shared for i, r in out.items() if r.n_shared > 0
+    }
+
+
+def test_semantic_dedup_lower_id_rule(spark, sf_dir):
+    from flink_tpcds_spark.datapipe.similarity import (
+        embedding_near_dup_pairs,
+        semantic_dedup,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(e, threshold=0.4).collect()
+    dropped_expected = {r.id_b for r in pairs}
+    all_ids = {r.vec_id for r in e.select("vec_id").collect()}
+    kept = {r.vec_id for r in semantic_dedup(e, threshold=0.4).collect()}
+    assert kept == all_ids - dropped_expected
+    # at least the global minimum id always survives
+    assert min(all_ids) in kept

@@ -313,3 +313,56 @@ def test_no_cartesian_product_in_any_datapipe_query(spark, sf_dir):
         df = fn(spark, sf_dir)
         text = explain_text(df)
         assert "CartesianProduct" not in text, f"{name} plans a cartesian"
+
+
+def test_global_shuffle_no_global_sort(spark, sf_dir):
+    """The epoch shuffle must NOT range-partition the corpus (that is
+    a global sort); ordering is per-shard — exactly one hash exchange
+    on the shard key feeding the window."""
+    import re
+
+    from flink_tpcds_spark.datapipe.curate import global_shuffle
+
+    d = load_table(spark, sf_dir, "documents")
+    text = explain_text(global_shuffle(d, "epoch0"))
+    assert "rangepartitioning" not in text
+    assert "SinglePartition" not in text
+    assert len(re.findall(r"\(\d+\) Exchange", text)) == 1
+
+
+def test_quality_classifier_shuffle_free(spark, sf_dir):
+    """Classifier scoring is a map-only expression chain — zero
+    exchanges, fully codegen'd."""
+    from flink_tpcds_spark.datapipe.text import quality_classifier
+
+    d = load_table(spark, sf_dir, "documents")
+    text = explain_text(quality_classifier(d))
+    assert "Exchange" not in text
+    assert "codegen id" in text
+
+
+def test_contamination_fraction_vocab_below_join(spark, sf_dir):
+    """Like decontaminate: the held-out side must be reduced to its
+    distinct shingle vocabulary before the equi-join."""
+    from flink_tpcds_spark.datapipe.curate import contamination_fraction
+
+    d = load_table(spark, sf_dir, "documents")
+    text = explain_text(
+        contamination_fraction(d, F.col("source").isin("src0", "src1"))
+    )
+    assert "HashAggregate" in text
+    assert (
+        "SortMergeJoin" in text
+        or "BroadcastHashJoin" in text
+        or "ShuffledHashJoin" in text
+    )
+
+
+def test_semantic_dedup_anti_join_shape(spark, sf_dir):
+    """Removal is a LEFT ANTI join against the (small, distinct)
+    drop-set — broadcastable, never a corpus-sized shuffle."""
+    from flink_tpcds_spark.datapipe.similarity import semantic_dedup
+
+    e = load_table(spark, sf_dir, "embeddings")
+    text = explain_text(semantic_dedup(e, threshold=0.4))
+    assert "LeftAnti" in text
