@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 TOKEN_RE = "[a-z0-9]+"
 WORD_RE = r"\p{L}[\p{L}\p{N}]*"  # unicode-aware (language-ID, counting)
@@ -180,6 +181,62 @@ def rolling_fingerprint(col: Column, mod: int = (1 << 31) - 1) -> Column:
         lambda acc, tok: F.pmod(
             acc * F.lit(1000003).cast("long") + F.pmod(F.xxhash64(tok), p), p
         ),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document — the classic keyword /
+    topic-signal extraction (Salton & Buckley 1988) with sklearn's
+    smoothed idf: ``tf × (ln((1+N)/(1+df)) + 1)``, where N counts
+    documents that produced at least one token. The score is rounded
+    to 4 digits and ties rank lexicographically so the top-k set is
+    engine-stable.
+
+    Scale shape: term frequencies and document frequencies are two
+    map-side-combined aggregations off one explode; N arrives as a
+    broadcast 1-row cross-join (never a driver collect); the top-k
+    filter is a per-document window (WindowGroupLimit pushdown) —
+    no global sort, no all-terms materialization per task.
+    """
+    tok = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    docfreq = tok.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df_t")
+    )
+    n_docs = tok.agg(
+        F.count_distinct(F.col(id_col)).cast("bigint").alias("n_docs")
+    )
+    scored = (
+        tok.join(docfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf4",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.lit(1.0) + F.col("n_docs"))
+                        / (F.lit(1.0) + F.col("df_t"))
+                    )
+                    + F.lit(1.0)
+                ),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf4"), F.asc("token"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("term_rank") <= k)
+        .select(id_col, "term_rank", "token", "tf", "tfidf4")
     )
 
 

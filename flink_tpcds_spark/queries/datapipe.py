@@ -1155,3 +1155,47 @@ def dp_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup(e, threshold=0.4).orderBy("vec_id")
+
+
+@_q(
+    "dp_tfidf_topk",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(toks) AS token
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    ),
+    tf AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, token
+    ),
+    dfq AS (
+      SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df_t
+      FROM tok GROUP BY token
+    ),
+    n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tok),
+    s AS (
+      SELECT tf.doc_id, tf.token, tf.tf,
+             round(tf.tf * (ln((1.0 + n_docs) / (1.0 + df_t)) + 1.0), 4)
+               AS tfidf4
+      FROM tf JOIN dfq ON tf.token = dfq.token CROSS JOIN n
+    ),
+    r AS (
+      SELECT doc_id, token, tf, tfidf4,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf4 DESC, token) AS rn
+      FROM s
+    )
+    SELECT doc_id, CAST(rn AS INTEGER) AS term_rank, token, tf, tfidf4
+    FROM r WHERE rn <= 3
+    ORDER BY doc_id, term_rank
+    """,
+)
+def dp_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed idf, 4-digit-rounded
+    score, lexicographic tiebreak) — keyword extraction as two
+    map-combined aggs + broadcast total + WindowGroupLimit top-k —
+    datapipe/text.py:tfidf_top_terms."""
+    from ..datapipe.text import tfidf_top_terms
+
+    d = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, k=3).orderBy("doc_id", "term_rank")

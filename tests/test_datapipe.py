@@ -611,3 +611,55 @@ def test_semantic_dedup_lower_id_rule(spark, sf_dir):
     assert kept == all_ids - dropped_expected
     # at least the global minimum id always survives
     assert min(all_ids) in kept
+
+
+def test_tfidf_top_terms_matches_local_computation(spark):
+    import math
+
+    from flink_tpcds_spark.datapipe.text import tfidf_top_terms
+
+    rows = [
+        (1, "apple banana apple cherry"),
+        (2, "banana cherry cherry date"),
+        (3, "apple elderberry elderberry elderberry"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.term_rank): (r.token, r.tf, r.tfidf4)
+        for r in tfidf_top_terms(df, k=2).collect()
+    }
+    # local reference: smoothed idf over N=3 docs
+    corpus = {1: ["apple", "banana", "apple", "cherry"],
+              2: ["banana", "cherry", "cherry", "date"],
+              3: ["apple", "elderberry", "elderberry", "elderberry"]}
+    dfreq: dict[str, int] = {}
+    for toks in corpus.values():
+        for t in set(toks):
+            dfreq[t] = dfreq.get(t, 0) + 1
+    want = {}
+    for doc, toks in corpus.items():
+        scored = sorted(
+            (
+                (
+                    round(toks.count(t) * (math.log(4 / (1 + dfreq[t])) + 1), 4),
+                    t,
+                )
+                for t in set(toks)
+            ),
+            key=lambda st: (-st[0], st[1]),
+        )
+        for rank, (s, t) in enumerate(scored[:2], start=1):
+            want[(doc, rank)] = (t, toks.count(t), s)
+    assert got == want
+
+
+def test_tfidf_rank_window_is_group_limited(spark, sf_dir):
+    from flink_tpcds_spark.datapipe.text import tfidf_top_terms
+    from flink_tpcds_spark.plans import explain_text
+
+    d = load_table(spark, sf_dir, "documents")
+    text = explain_text(tfidf_top_terms(d, k=3))
+    # per-doc top-k must ride the WindowGroupLimit pushdown, and the
+    # corpus-size total must arrive broadcast, not via driver collect
+    assert "WindowGroupLimit" in text
+    assert "BroadcastNestedLoopJoin" in text or "BroadcastExchange" in text
