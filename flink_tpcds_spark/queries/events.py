@@ -206,3 +206,121 @@ def ev_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention (product-analytics rollup; no reference analog —
+# the events-table counterpart of the datapipe curation layer)
+# ---------------------------------------------------------------------------
+@_q(
+    "ev_cohort_retention",
+    """
+    WITH f AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date
+      FROM events GROUP BY user_id
+    )
+    SELECT strftime(f.cohort_date, '%Y-%m-%d') AS cohort_day,
+           CAST(date_diff('day', f.cohort_date, CAST(e.ts AS DATE))
+                AS INTEGER) AS day_offset,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e JOIN f USING (user_id)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def ev_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity day,
+    distinct-active counts at each day offset. Two shuffles (first-seen
+    agg on user_id, then the cohort×offset distinct agg); the cohort
+    assignment joins back on user_id — broadcastable when the user
+    dimension is small, AQE decides. Cohort day is emitted as an ISO
+    string (DATE is the pandas-fetch-fragile family)."""
+    e = load_table(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_date")
+    )
+    return (
+        e.select("user_id", F.to_date("ts").alias("d"))
+        .join(first, "user_id")
+        .groupBy(
+            F.date_format("cohort_date", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("d", "cohort_date").alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel (view → click-after-view → purchase-after-click)
+# ---------------------------------------------------------------------------
+@_q(
+    "ev_funnel",
+    """
+    WITH tv AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    tc AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN tv ON e.user_id = tv.user_id
+      WHERE e.event_type = 'click' AND e.ts > tv.t_view
+      GROUP BY e.user_id
+    ),
+    tp AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN tc ON e.user_id = tc.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > tc.t_click
+      GROUP BY e.user_id
+    )
+    SELECT 1 AS stage, 'view' AS stage_name,
+           CAST(COUNT(*) AS BIGINT) AS n_users FROM tv
+    UNION ALL
+    SELECT 2, 'view>click', CAST(COUNT(*) AS BIGINT) FROM tc
+    UNION ALL
+    SELECT 3, 'view>click>purchase', CAST(COUNT(*) AS BIGINT) FROM tp
+    ORDER BY stage
+    """,
+)
+def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered conversion funnel: first view, first click
+    AFTER that view, first purchase AFTER that click (overall minima
+    would under-count users whose first click precedes their first
+    view). Each stage is one filtered agg + an equi-join on user_id —
+    the reference's MATCH_RECOGNIZE-style sequence detection expressed
+    as join algebra, which unlike a per-user pattern scan keeps
+    map-side partial aggregation and needs no ordered window."""
+    e = load_table(spark, sf_dir, "events")
+    tv = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    tc = (
+        e.filter(F.col("event_type") == "click")
+        .join(tv, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    tp = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(tc, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+
+    def stage(n: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(n).alias("stage"),
+            F.lit(name).alias("stage_name"),
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        )
+
+    return (
+        stage(1, "view", tv)
+        .unionAll(stage(2, "view>click", tc))
+        .unionAll(stage(3, "view>click>purchase", tp))
+        .orderBy("stage")
+    )

@@ -1097,3 +1097,51 @@ def ops_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r50").between(0.45, 0.55).alias("p50_ok"),
         F.col("r95").between(0.90, 1.0).alias("p95_ok"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Single-pass table profiling (data-quality summary; ANALYZE's
+# queryable cousin — operators/profile.py)
+# ---------------------------------------------------------------------------
+@_q(
+    "ops_table_profile",
+    """
+    SELECT 'doc_id' AS col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nulls,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+           MIN(CAST(doc_id AS VARCHAR)) AS min_value,
+           MAX(CAST(doc_id AS VARCHAR)) AS max_value
+    FROM documents
+    UNION ALL
+    SELECT 'lang', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT lang) AS BIGINT),
+           MIN(CAST(lang AS VARCHAR)), MAX(CAST(lang AS VARCHAR))
+    FROM documents
+    UNION ALL
+    SELECT 'source', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT source) AS BIGINT),
+           MIN(CAST(source AS VARCHAR)), MAX(CAST(source AS VARCHAR))
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT n_chars) AS BIGINT),
+           MIN(CAST(n_chars AS VARCHAR)), MAX(CAST(n_chars AS VARCHAR))
+    FROM documents
+    ORDER BY col_name
+    """,
+)
+def ops_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column null/distinct/min/max profile of ``documents`` in
+    ONE aggregation pass (multiple DISTINCT aggregates → one Expand,
+    one scan) unpivoted via ``stack`` — operators/profile.py."""
+    from ..operators.profile import profile_table
+
+    d = load_table(spark, sf_dir, "documents")
+    return profile_table(
+        d, ["doc_id", "lang", "source", "n_chars"]
+    ).orderBy("col_name")

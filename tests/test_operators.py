@@ -268,3 +268,106 @@ def test_match_recognize_bounded_cap_raises(spark):
     )
     with _pytest.raises(Exception, match="max_match_rows"):
         bounded.collect()
+
+
+def test_profile_table_planted_stats(spark):
+    from flink_tpcds_spark.operators.profile import profile_table
+
+    rows = [
+        (1, "a", None),
+        (2, "b", 5.0),
+        (2, "b", 7.5),
+        (None, "c", 7.5),
+    ]
+    df = spark.createDataFrame(rows, "id long, s string, v double")
+    got = {r.col_name: r for r in profile_table(df).collect()}
+    assert set(got) == {"id", "s", "v"}
+    assert all(r.n_rows == 4 for r in got.values())
+    assert got["id"].n_nulls == 1 and got["id"].n_distinct == 2
+    assert got["s"].n_nulls == 0 and got["s"].n_distinct == 3
+    assert got["v"].n_nulls == 1 and got["v"].n_distinct == 2
+    assert got["s"].min_value == "a" and got["s"].max_value == "c"
+    # min/max are lexicographic over the STRING cast by contract
+    assert got["id"].min_value == "1" and got["id"].max_value == "2"
+
+
+def test_profile_table_single_scan(spark, sf_dir):
+    """All columns must be profiled in ONE pass: a single parquet
+    scan feeding an Expand for the distinct aggregates — never one
+    scan per column."""
+    from flink_tpcds_spark.operators.profile import profile_table
+    from flink_tpcds_spark.plans import explain_text
+    from flink_tpcds_spark.schemas import load_table
+
+    import re
+
+    d = load_table(spark, sf_dir, "documents")
+    text = explain_text(profile_table(d, ["doc_id", "lang", "source"]))
+    # the formatted detail section numbers each physical node once
+    assert len(re.findall(r"\(\d+\) Scan parquet", text)) == 1
+    assert "Expand" in text
+
+
+def test_funnel_strict_ordering(spark):
+    from flink_tpcds_spark.queries.events import QUERIES
+    import datetime as dt
+
+    # user 1: view(1) click(2) purchase(3)  → reaches stage 3
+    # user 2: click(1) view(2)              → stage 1 only (click
+    #   precedes first view, so no click-after-view)
+    # user 3: view(1) click(2)              → stage 2
+    # user 4: purchase(1) view(2)           → stage 1 (purchase too early)
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        (1, t(1), 1, "view", 0.0, ""), (2, t(2), 1, "click", 0.0, ""),
+        (3, t(3), 1, "purchase", 0.0, ""),
+        (4, t(1), 2, "click", 0.0, ""), (5, t(2), 2, "view", 0.0, ""),
+        (6, t(1), 3, "view", 0.0, ""), (7, t(2), 3, "click", 0.0, ""),
+        (8, t(1), 4, "purchase", 0.0, ""), (9, t(2), 4, "view", 0.0, ""),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.createOrReplaceTempView("__funnel_events")
+    import tempfile, os
+    path = tempfile.mkdtemp() + "/events.parquet"
+    df.write.mode("overwrite").parquet(path)
+    sf_dir = os.path.dirname(path)
+    got = {r.stage: r.n_users for r in QUERIES["ev_funnel"](spark, sf_dir).collect()}
+    assert got == {1: 4, 2: 2, 3: 1}
+
+
+def test_cohort_retention_planted(spark):
+    from flink_tpcds_spark.queries.events import QUERIES
+    import datetime as dt
+    import os
+    import tempfile
+
+    # user 1 first seen day0, active day0+day2; user 2 first seen
+    # day0, active day0; user 3 first seen day2, active day2
+    d = lambda day, h=0: dt.datetime(2024, 1, 1 + day, h)
+    rows = [
+        (1, d(0), 1, "view", 0.0, ""), (2, d(2), 1, "view", 0.0, ""),
+        (3, d(0, 5), 2, "view", 0.0, ""),
+        (4, d(2), 3, "view", 0.0, ""),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    path = tempfile.mkdtemp() + "/events.parquet"
+    df.write.mode("overwrite").parquet(path)
+    got = {
+        (r.cohort_day, r.day_offset): r.n_users
+        for r in QUERIES["ev_cohort_retention"](
+            spark, os.path.dirname(path)
+        ).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 2): 1,
+        ("2024-01-03", 0): 1,
+    }
