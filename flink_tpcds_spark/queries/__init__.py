@@ -21,8 +21,9 @@ driver leaves at the repo root and packs the window as
    green row (red rows get re-confirmed after a fix instead of
    silently rotating out — round 4's q14a/q21/q29/q35);
 2. queries the driver has NEVER seen, corpus first in stable order
-   (so the 103-query TPC-DS corpus drains in ~60-per-round bites),
-   then any new non-corpus suite entries;
+   (so the 103-query TPC-DS corpus drains as fast as the window
+   allows — it is the standing top ask until complete), then any
+   new non-corpus suite entries;
 3. everything already green, in stable suite order.
 
 A query is green if ANY round recorded rows+schema+hash all matching
@@ -110,7 +111,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         n for n in merged if n not in seen and n not in corpus.QUERIES
     ]
     front: list[str] = []
-    for group in (red, unseen_other, unseen_corpus):
+    for group in (red, unseen_corpus, unseen_other):
         for n in group:
             if len(front) >= _WINDOW:
                 break
