@@ -89,7 +89,15 @@ def main() -> None:
             from flink_tpcds_spark.tpcds import datagen, runner
 
             data_dir = datagen.generate()
-            runner.register_spark_views(spark, data_dir)
+            if os.environ.get("SPARK_GRAFT_ANALYZE") == "1":
+                # Cluster posture: catalog tables + per-column stats
+                # (once-per-load ANALYZE; CBO join reorder gets real
+                # cardinalities — scripts/bench_cbo.py measured −7.4 %
+                # on the suite). Off by default because at sf0.1 the
+                # one-time ANALYZE (~16 s) exceeds the per-suite win.
+                runner.register_catalog_tables(spark, data_dir, analyze=True)
+            else:
+                runner.register_spark_views(spark, data_dir)
             names = runner.query_names()
             runner.run_spark("q96", spark)  # warmup
             t0 = time.time()

@@ -348,6 +348,35 @@ def contamination_fraction(
     )
 
 
+def dataset_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot diff between two corpus versions: per-document status
+    ``added`` / ``removed`` / ``changed`` / ``unchanged``, decided by
+    content hash (md5 over the text). The audit every incremental
+    corpus delivery runs — "what did v2 actually change" — without
+    trusting upstream changelogs.
+
+    Scale shape: each side reduces to ``(id, md5)`` at the scan (text
+    never survives the projection), then one full-outer equi-join on
+    the id. No windows, no driver state; the join key is the unique
+    document id so skew is structural-zero.
+    """
+    o = old.select(F.col(id_col), F.md5(F.col(text_col)).alias("__h_old"))
+    n = new.select(F.col(id_col), F.md5(F.col(text_col)).alias("__h_new"))
+    return o.join(n, id_col, "full_outer").select(
+        id_col,
+        F.when(F.col("__h_old").isNull(), F.lit("added"))
+        .when(F.col("__h_new").isNull(), F.lit("removed"))
+        .when(F.col("__h_old") != F.col("__h_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )
+
+
 def domain_mix_weights(
     df: DataFrame,
     alpha: float = 0.5,

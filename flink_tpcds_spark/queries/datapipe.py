@@ -1199,3 +1199,59 @@ def dp_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return tfidf_top_terms(d, k=3).orderBy("doc_id", "term_rank")
+
+
+@_q(
+    "dp_dataset_diff",
+    """
+    WITH newv AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+      FROM documents WHERE doc_id % 11 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 13 = 0
+    ),
+    o AS (SELECT doc_id, md5(text) AS h FROM documents),
+    n AS (SELECT doc_id, md5(text) AS h FROM newv),
+    d AS (
+      SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+             CASE WHEN o.h IS NULL THEN 'added'
+                  WHEN n.h IS NULL THEN 'removed'
+                  WHEN o.h <> n.h THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM o FULL JOIN n ON o.doc_id = n.doc_id
+    )
+    SELECT status, CAST(count(*) AS BIGINT) AS n_docs
+    FROM d GROUP BY status ORDER BY status
+    """,
+)
+def dp_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff: a deterministic synthetic v2 (every 7th
+    doc edited, every 11th dropped, every 13th re-added under a new
+    id) diffed against v1 by content hash; per-status counts —
+    datapipe/curate.py:dataset_diff."""
+    from ..datapipe.curate import dataset_diff
+
+    d = load_table(spark, sf_dir, "documents")
+    new = (
+        d.filter(F.col("doc_id") % 11 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionAll(
+            d.filter(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return (
+        dataset_diff(d, new)
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("status")
+    )

@@ -663,3 +663,18 @@ def test_tfidf_rank_window_is_group_limited(spark, sf_dir):
     # corpus-size total must arrive broadcast, not via driver collect
     assert "WindowGroupLimit" in text
     assert "BroadcastNestedLoopJoin" in text or "BroadcastExchange" in text
+
+
+def test_dataset_diff_planted(spark):
+    from flink_tpcds_spark.datapipe.curate import dataset_diff
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "will vanish")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "changed!"), (4, "brand new")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.status for r in dataset_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}

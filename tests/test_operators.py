@@ -371,3 +371,45 @@ def test_cohort_retention_planted(spark):
         ("2024-01-01", 2): 1,
         ("2024-01-03", 0): 1,
     }
+
+
+def test_profile_table_random_frames_match_pandas():
+    """Property test: profile_table agrees with a pandas-computed
+    reference on random frames (nulls, dupes, negatives)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from flink_tpcds_spark.operators.profile import profile_table
+    from flink_tpcds_spark.session import get_spark
+
+    spark = get_spark("profile-prop")
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        st.lists(
+            st.tuples(
+                st.one_of(st.none(), st.integers(-99, 99)),
+                st.one_of(st.none(), st.sampled_from(["a", "b", "xy"])),
+            ),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    def check(rows):
+        df = spark.createDataFrame(rows, "i long, s string")
+        got = {r.col_name: r for r in profile_table(df).collect()}
+        for col, vals in (("i", [r[0] for r in rows]), ("s", [r[1] for r in rows])):
+            nn = [v for v in vals if v is not None]
+            assert got[col].n_rows == len(rows)
+            assert got[col].n_nulls == len(vals) - len(nn)
+            assert got[col].n_distinct == len(set(nn))
+            want_min = min((str(v) for v in nn), default=None)
+            want_max = max((str(v) for v in nn), default=None)
+            assert got[col].min_value == want_min
+            assert got[col].max_value == want_max
+
+    check()
