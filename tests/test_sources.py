@@ -216,3 +216,24 @@ def test_avro_rejects_unsupported_type(spark, sf_dir, tmp_path):
     )
     with pytest.raises(TypeError):
         write_avro(df, str(tmp_path / "x"))
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
+    from flink_tpcds_spark.schemas import load_table
+    from flink_tpcds_spark.sources.compact import compact_parquet
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = str(tmp_path / "fragmented")
+    # simulate a micro-batch-accumulated table: 40 tiny files
+    docs.repartition(40).write.parquet(src)
+    dst = str(tmp_path / "compacted")
+    manifest = compact_parquet(
+        spark, src, dst, target_file_bytes=64 * 1024 * 1024
+    )
+    assert manifest["src_files"] >= 40
+    assert manifest["dst_files"] < manifest["src_files"]
+    assert manifest["dst_files"] == manifest["tasks"]
+    # row-exact rewrite
+    a = sorted(map(tuple, spark.read.parquet(src).collect()))
+    b = sorted(map(tuple, spark.read.parquet(dst).collect()))
+    assert a == b

@@ -641,3 +641,38 @@ def test_streaming_neardup_via_file_stream(spark, sf_dir, tmp_path):
     }
     release_caches()
     assert got == want and len(got) > 0
+
+
+def test_streaming_curation_maps_match_batch(spark, sf_dir, tmp_path):
+    """The stateless curation maps (PII scrub, quality classifier)
+    are the same code path streaming and batch — run them over a real
+    file-source stream and require EXACT equality with the batch
+    result (stateless ops emit every row regardless of watermark)."""
+    from flink_tpcds_spark.datapipe.text import quality_classifier, scrub_pii
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "cur_src")
+    docs.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+
+    def curate(df):
+        return quality_classifier(scrub_pii(df)).select(
+            "doc_id", "pii_n_emails", "clf_score", "clf_keep"
+        )
+
+    q = (
+        curate(stream)
+        .writeStream.format("memory")
+        .queryName("t_curation")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    s = {tuple(r) for r in spark.table("t_curation").collect()}
+    b = {tuple(r) for r in curate(docs).collect()}
+    assert s == b and len(s) == docs.count()
