@@ -413,3 +413,34 @@ def test_profile_table_random_frames_match_pandas():
             assert got[col].max_value == want_max
 
     check()
+
+
+def test_hll_sketch_merge_matches_single_pass(spark, sf_dir):
+    """Mergeability contract: the union of per-group sketches must
+    estimate (to within the sketch's own error bound) the same
+    cardinality as one sketch built over the whole corpus — the
+    property that lets per-shard rollups answer global questions
+    without a re-scan. Union is not bit-identical to single-pass
+    (sparse→dense promotion happens at different points), so the
+    check is band-based, not exact."""
+    from flink_tpcds_spark.schemas import load_table
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", F.md5("text").alias("h")
+    )
+    merged = (
+        d.groupBy("source")
+        .agg(F.hll_sketch_agg("h").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()[0]
+        .est
+    )
+    single = (
+        d.agg(F.hll_sketch_estimate(F.hll_sketch_agg("h")).alias("est"))
+        .collect()[0]
+        .est
+    )
+    exact = d.select("h").distinct().count()
+    assert abs(merged - single) / exact <= 0.02
+    assert abs(merged - exact) / exact <= 0.05
+    assert abs(single - exact) / exact <= 0.05
