@@ -237,3 +237,58 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
     a = sorted(map(tuple, spark.read.parquet(src).collect()))
     b = sorted(map(tuple, spark.read.parquet(dst).collect()))
     assert a == b
+
+
+def test_zorder_layout_skips_on_both_columns(spark, sf_dir, tmp_path):
+    """Data-skipping property: after a Z-order rewrite on (user_id,
+    value), per-file min/max spans are narrow on BOTH columns, where
+    a single-column sort leaves the second column unclustered
+    (per-file span ≈ full range → zero skipping)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from flink_tpcds_spark.schemas import load_table
+    from flink_tpcds_spark.sources.zorder import write_zordered
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "value")
+    zpath = str(tmp_path / "zordered")
+    lpath = str(tmp_path / "linear")
+    write_zordered(e, zpath, ["user_id", "value"], n_files=8)
+    (
+        e.repartitionByRange(8, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.parquet(lpath)
+    )
+
+    def coverage(path, col):
+        spans, lo, hi = [], None, None
+        for f in glob.glob(path + "/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.to_arrow_schema().get_field_index(col)
+            fmin = min(
+                md.row_group(i).column(idx).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            fmax = max(
+                md.row_group(i).column(idx).statistics.max
+                for i in range(md.num_row_groups)
+            )
+            spans.append((fmin, fmax))
+            lo = fmin if lo is None else min(lo, fmin)
+            hi = fmax if hi is None else max(hi, fmax)
+        rng = (hi - lo) or 1
+        return sum((b - a) for a, b in spans) / (len(spans) * rng)
+
+    # rows preserved exactly
+    assert sorted(map(tuple, spark.read.parquet(zpath).collect())) == sorted(
+        map(tuple, e.collect())
+    )
+    # the single-column layout cannot skip on the second column
+    l_value = coverage(lpath, "value")
+    assert l_value > 0.6, l_value
+    # the z-ordered layout skips on both (measured: ~0.56 / ~0.27)
+    z_user, z_value = coverage(zpath, "user_id"), coverage(zpath, "value")
+    assert z_user < 0.65, z_user
+    assert z_value < 0.45, z_value
+    assert z_value < l_value - 0.15
