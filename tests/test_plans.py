@@ -366,3 +366,35 @@ def test_semantic_dedup_anti_join_shape(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     text = explain_text(semantic_dedup(e, threshold=0.4))
     assert "LeftAnti" in text
+
+
+def test_dynamic_partition_pruning_on_partitioned_sink(spark, sf_dir, tmp_path):
+    """Scale posture pin: a dim-filtered join against a partitioned
+    fact must inject a dynamic partition pruning subquery (only the
+    surviving partitions' files are listed/scanned — at 100 TB the
+    difference between reading one event type and all of them).
+    Also pins that runtime bloom-filter join pruning stays enabled."""
+    from flink_tpcds_spark.sources.sinks import write_partitioned
+
+    assert (
+        spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled")
+        == "true"
+    )
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        == "true"
+    )
+    e = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_part")
+    write_partitioned(e, path, ["event_type"])
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("purchase", 1), ("click", 2), ("view", 3), ("error", 4)],
+        "event_type string, type_group int",
+    )
+    q = (
+        fact.join(dim.filter(F.col("type_group") == 1), "event_type")
+        .groupBy("event_type")
+        .count()
+    )
+    assert "dynamicpruning" in explain_text(q).lower()
