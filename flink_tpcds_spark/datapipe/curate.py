@@ -348,6 +348,45 @@ def contamination_fraction(
     )
 
 
+def weighted_sample_per_group(
+    df: DataFrame,
+    k: int,
+    weight: Column,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement, ``k`` per
+    group — Efraimidis-Spirakis A-Res: each row gets priority
+    ``u^(1/w)`` for a uniform ``u``; the top-``k`` priorities ARE a
+    weighted sample without replacement. ``u`` derives from md5 of
+    the text (first 12 hex digits / 16^12), so the sample is
+    reproducible on any engine and any run — same posture as
+    ``stratified_sample``, but weight-proportional (e.g. sample
+    long documents more) instead of fixed-rate.
+
+    Scale shape: priority is a pure map expression; top-k per group
+    is the WindowGroupLimit pushdown (per-task k-row heaps, only
+    candidate survivors cross the exchange).
+    """
+    u = (
+        F.conv(F.substring(F.md5(F.col(text_col)), 1, 12), 16, 10).cast(
+            "double"
+        )
+        + F.lit(0.5)
+    ) / F.lit(float(16**12))
+    priority = F.round(F.pow(u, F.lit(1.0) / weight), 10)
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("priority"), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("priority", priority)
+        .withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("sample_rank") <= k)
+        .select(group_col, id_col, "sample_rank", "priority")
+    )
+
+
 def dataset_diff(
     old: DataFrame,
     new: DataFrame,

@@ -240,6 +240,67 @@ def tfidf_top_terms(
     )
 
 
+def bigram_lm_scores(
+    df: DataFrame,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bigram language-model scoring — the perplexity-style quality
+    filter (CCNet trains a LM on a clean corpus and drops
+    high-perplexity docs; here the corpus scores itself, which ranks
+    documents by how typical their word transitions are). Add-α
+    smoothing: ``P(w2|w1) = (c(w1,w2)+α) / (c(w1)+α·V)`` with
+    ``c(w1) = Σ_w2 c(w1,w2)`` so probabilities sum to 1. Output per
+    document: bigram count and the mean log-probability (higher =
+    more typical; ``exp(-avg_logp)`` is the perplexity).
+
+    Determinism: each bigram's log-prob is rounded per-row to 6
+    digits, then averaged through the decimal bridge — the mean is
+    associative and engine-exact, like every float aggregate here.
+
+    Scale shape: counts are two map-combined aggregations off one
+    explode; the vocabulary size arrives as a broadcast 1-row
+    cross-join; scoring is two equi-joins on the bigram/unigram keys
+    (the count tables are vocabulary-sized — broadcastable for any
+    real vocabulary) and one final per-doc aggregation.
+    """
+    from ..functions.deterministic import dsum
+
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("__t")).filter(
+        F.size("__t") >= 2
+    )
+    pairs = F.expr(
+        "transform(sequence(1, size(__t) - 1), "
+        "i -> struct(__t[i - 1] as w1, __t[i] as w2))"
+    )
+    inst = base.select(id_col, F.explode(pairs).alias("p")).select(
+        id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    c2 = inst.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
+    vocab = base.select(F.explode("__t").alias("u")).agg(
+        F.count_distinct("u").alias("v")
+    )
+    a = F.lit(float(alpha))
+    logp = F.round(
+        F.log((F.col("n2") + a) / (F.col("n1") + a * F.col("v"))), 6
+    )
+    scored = (
+        inst.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn("__logp", logp)
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.round(dsum(F.col("__logp")) / F.count(F.lit(1)), 4).alias(
+            "avg_logp"
+        ),
+    )
+
+
 # PII patterns, shared verbatim with the DuckDB oracles: the subset of
 # regex syntax with identical semantics in Java (Spark) and RE2
 # (DuckDB) — char classes, bounded repeats, \b, \d, alternation-free.

@@ -1255,3 +1255,87 @@ def dp_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
         .orderBy("status")
     )
+
+
+@_q(
+    "dp_weighted_sample",
+    """
+    WITH p AS (
+      SELECT source, doc_id,
+             round(pow(
+               (CAST(concat('0x', substr(md5(text), 1, 12)) AS UBIGINT) + 0.5)
+                 / 281474976710656.0,
+               1.0 / greatest(n_chars, 1)), 10) AS priority
+      FROM documents
+    ),
+    r AS (
+      SELECT source, doc_id, priority,
+             CAST(row_number() OVER (PARTITION BY source
+                                     ORDER BY priority DESC, doc_id)
+                  AS BIGINT) AS sample_rank
+      FROM p
+    )
+    SELECT source, doc_id, sample_rank, priority
+    FROM r WHERE sample_rank <= 5
+    ORDER BY source, sample_rank
+    """,
+)
+def dp_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    A-Res, length-proportional weights), 5 docs per source; md5-seeded
+    uniforms make the sample engine- and run-reproducible —
+    datapipe/curate.py:weighted_sample_per_group."""
+    from ..datapipe.curate import weighted_sample_per_group
+
+    d = load_table(spark, sf_dir, "documents")
+    return weighted_sample_per_group(
+        d, k=5, weight=F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    ).orderBy("source", "sample_rank")
+
+
+@_q(
+    "dp_bigram_lm",
+    f"""
+    WITH t AS (
+      SELECT doc_id, toks
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+      WHERE len(toks) >= 2
+    ),
+    inst AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+             unnest(list_transform(range(1, len(toks)), i -> toks[i + 1])) AS w2
+      FROM t
+    ),
+    c2 AS (SELECT w1, w2, count(*) AS n2 FROM inst GROUP BY w1, w2),
+    c1 AS (SELECT w1, sum(n2) AS n1 FROM c2 GROUP BY w1),
+    vocab AS (
+      SELECT count(DISTINCT u) AS v
+      FROM (SELECT unnest(toks) AS u FROM t)
+    ),
+    s AS (
+      SELECT inst.doc_id,
+             round(ln((c2.n2 + 0.5) / (c1.n1 + 0.5 * vocab.v)), 6) AS logp
+      FROM inst
+      JOIN c2 ON inst.w1 = c2.w1 AND inst.w2 = c2.w2
+      JOIN c1 ON inst.w1 = c1.w1
+      CROSS JOIN vocab
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(CAST(SUM(CAST(logp AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 4) AS avg_logp
+    FROM s
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def dp_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained bigram LM scoring (add-0.5 smoothing): per-doc
+    mean log-probability of word transitions — the perplexity-filter
+    family (CCNet), decimal-bridged for engine-exact averages —
+    datapipe/text.py:bigram_lm_scores."""
+    from ..datapipe.text import bigram_lm_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    return bigram_lm_scores(d).orderBy("doc_id")

@@ -678,3 +678,50 @@ def test_dataset_diff_planted(spark):
     )
     got = {r.doc_id: r.status for r in dataset_diff(old, new).collect()}
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_weighted_sample_properties(spark, sf_dir):
+    from flink_tpcds_spark.datapipe.curate import weighted_sample_per_group
+
+    d = load_table(spark, sf_dir, "documents")
+    w = F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    a = weighted_sample_per_group(d, k=5, weight=w).collect()
+    b = weighted_sample_per_group(d, k=5, weight=w).collect()
+    # deterministic across runs
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # exactly k per group (every source has >5 docs at this SF)
+    per = {}
+    for r in a:
+        per.setdefault(r.source, []).append(r.sample_rank)
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per.values())
+    # priorities are valid A-Res keys
+    assert all(0.0 <= r.priority <= 1.0 for r in a)
+
+
+def test_weighted_sample_weight_dominance(spark):
+    from flink_tpcds_spark.datapipe.curate import weighted_sample_per_group
+
+    # one document with overwhelming weight must win rank 1:
+    # priority = u^(1/w) -> 1 as w -> inf, for any u in (0,1)
+    rows = [(i, f"document number {i} body", "g") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    w = F.when(F.col("doc_id") == 7, 1e9).otherwise(1.0)
+    top = weighted_sample_per_group(df, k=1, weight=w).collect()
+    assert len(top) == 1 and top[0].doc_id == 7
+
+
+def test_bigram_lm_common_transitions_score_higher(spark):
+    from flink_tpcds_spark.datapipe.text import bigram_lm_scores
+
+    # 10 documents of the same common phrase + 1 of unique words:
+    # the common doc's transitions are high-probability, the unique
+    # doc's are smoothing-floor only
+    rows = [(i, "the cat sat on the mat") for i in range(10)]
+    rows.append((99, "zyx wvu tsr qpo nml kji"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in bigram_lm_scores(df).collect()}
+    assert out[0].n_bigrams == 5
+    assert out[99].n_bigrams == 5
+    assert out[0].avg_logp > out[99].avg_logp + 0.5
+    # identical docs score identically
+    assert out[0].avg_logp == out[5].avg_logp
