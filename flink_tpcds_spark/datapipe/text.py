@@ -12,6 +12,7 @@ RE2-compatible syntax so the token streams are identical.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -237,6 +238,37 @@ def tfidf_top_terms(
         scored.withColumn("term_rank", F.row_number().over(w).cast("int"))
         .filter(F.col("term_rank") <= k)
         .select(id_col, "term_rank", "token", "tf", "tfidf4")
+    )
+
+
+def normalize_unicode(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unicode NFC canonicalization — the first text-pipeline pass:
+    composed and decomposed forms of the same glyph ('é' vs
+    'e'+U+0301) hash differently, so every dedup/fingerprint stage
+    upstream of normalization silently misses duplicates. Emits
+    ``text_nfc`` plus a ``was_denormalized`` audit flag.
+
+    Spark has no built-in NFC (DuckDB does: ``nfc_normalize``), so
+    this is one of the engine's few Python surfaces — an
+    Arrow-batched pandas UDF over ``unicodedata.normalize``, the
+    same vectorized-batch posture as the MinHash signature UDF;
+    per-row Python never appears.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda t: unicodedata.normalize("NFC", t)
+            if t is not None
+            else None
+        )
+
+    out = df.withColumn("text_nfc", nfc(F.col(text_col)))
+    return out.withColumn(
+        "was_denormalized", F.col(text_col) != F.col("text_nfc")
     )
 
 

@@ -1339,3 +1339,45 @@ def dp_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return bigram_lm_scores(d).orderBy("doc_id")
+
+
+@_q(
+    "dp_unicode_nfc",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             text || ' Cafe' || chr(769) || ' nai' || chr(776) || 've'
+               AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           md5(nfc_normalize(text)) AS nfc_md5,
+           text <> nfc_normalize(text) AS was_denormalized
+    FROM w
+    ORDER BY doc_id
+    """,
+)
+def dp_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC canonicalization: a deterministic decomposed-form
+    footer (combining acute/diaeresis) is appended on both engines,
+    then the normalized text is hash-compared against DuckDB's
+    native nfc_normalize — datapipe/text.py:normalize_unicode
+    (Arrow-batched pandas UDF; Spark has no built-in NFC)."""
+    from ..datapipe.text import normalize_unicode
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "text",
+        # DECOMPOSED footer (e + U+0301, i + U+0308) — explicit
+        # escapes so a source-editor round-trip can never silently
+        # recompose it; must match the oracle's chr(769)/chr(776)
+        F.concat(F.col("text"), F.lit(" Cafe\u0301 nai\u0308ve")),
+    )
+    return (
+        normalize_unicode(d)
+        .select(
+            "doc_id",
+            F.md5("text_nfc").alias("nfc_md5"),
+            "was_denormalized",
+        )
+        .orderBy("doc_id")
+    )

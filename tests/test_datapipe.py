@@ -725,3 +725,22 @@ def test_bigram_lm_common_transitions_score_higher(spark):
     assert out[0].avg_logp > out[99].avg_logp + 0.5
     # identical docs score identically
     assert out[0].avg_logp == out[5].avg_logp
+
+
+def test_normalize_unicode_nfc(spark):
+    from flink_tpcds_spark.datapipe.text import normalize_unicode
+
+    rows = [
+        (1, "Café"),      # decomposed é
+        (2, "Café"),       # composed é — same glyph
+        (3, "plain ascii"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in normalize_unicode(df).collect()}
+    # both forms normalize to the identical composed string
+    assert out[1].text_nfc == out[2].text_nfc == "Café"
+    assert out[1].was_denormalized is True
+    assert out[2].was_denormalized is False
+    assert out[3].was_denormalized is False
+    assert out[4].text_nfc is None and out[4].was_denormalized is None
