@@ -27,6 +27,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .text import tokens
 
@@ -464,6 +465,71 @@ def near_dup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
     # release_caches() evicts them after materialization
     _LIVE_CACHES.append(labels)
     return out
+
+
+def duplicate_spans(
+    df: DataFrame,
+    k: int = 3,
+    min_span_tokens: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document duplicated-span detection — the token-level
+    approximation of exact-substring dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"):
+    positions whose k-gram occurs in ≥2 documents are marked, and
+    maximal runs of consecutive marked positions become spans
+    (a run of m shared k-grams = m+k-1 duplicated tokens). Emits
+    ``(id, span_start, span_tokens)`` for spans ≥ ``min_span_tokens``;
+    the removal policy (cut the span, drop the doc) is the caller's.
+
+    Approximation contract: spans are k-gram-anchored (nothing
+    shorter than k is found, boundaries are token-aligned) and
+    "shared" is per-k-gram — a long span's k-grams may match
+    different partner documents. That is the standard suffix-array
+    shortcut used at corpus scale.
+
+    Scale shape: positioned k-grams explode once; the shared set is
+    one map-combined distinct-doc count filtered to ≥2 (vocabulary-
+    sized); marking is an equi-join on the gram; runs are a per-doc
+    gaps-and-islands window (one shuffle on the doc id). Nothing is
+    quadratic in corpus size.
+    """
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("__t")).filter(
+        F.size("__t") >= k
+    )
+    grams = F.expr(
+        f"transform(sequence(1, size(__t) - {k - 1}), "
+        f"i -> struct(i - 1 as pos, "
+        f"concat_ws(' ', {', '.join(f'__t[i + {off} - 1]' for off in range(k))})"
+        f" as s))"
+    )
+    ps = base.select(id_col, F.explode(grams).alias("g")).select(
+        id_col, F.col("g.pos").alias("pos"), F.col("g.s").alias("s")
+    )
+    shared = (
+        ps.groupBy("s")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("s")
+    )
+    marked = ps.join(shared, "s", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    runs = marked.withColumn(
+        "grp", F.col("pos") - F.row_number().over(w)
+    )
+    return (
+        runs.groupBy(id_col, "grp")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.count(F.lit(1)) + F.lit(k - 1)).cast("bigint").alias(
+                "span_tokens"
+            ),
+        )
+        .filter(F.col("span_tokens") >= min_span_tokens)
+        .select(id_col, "span_start", "span_tokens")
+    )
 
 
 def boilerplate_ngrams(

@@ -1381,3 +1381,50 @@ def dp_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@_q(
+    "dp_duplicate_spans",
+    f"""
+    WITH t AS (
+      SELECT doc_id, toks
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+      WHERE len(toks) >= 3
+    ),
+    ps AS (
+      SELECT doc_id,
+             unnest(range(len(toks) - 2)) AS pos,
+             unnest(list_transform(range(1, len(toks) - 1),
+                                   i -> array_to_string(toks[i:i+2], ' ')))
+               AS s
+      FROM t
+    ),
+    shared AS (
+      SELECT s FROM ps GROUP BY s HAVING count(DISTINCT doc_id) >= 2
+    ),
+    m AS (SELECT ps.doc_id, ps.pos FROM ps JOIN shared USING (s)),
+    r AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+      FROM m
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(COUNT(*) + 2 AS BIGINT) AS span_tokens
+    FROM r
+    GROUP BY doc_id, grp
+    HAVING COUNT(*) + 2 >= 5
+    ORDER BY doc_id, span_start
+    """,
+)
+def dp_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated spans ≥5 tokens (3-gram-anchored
+    gaps-and-islands — the exact-substring-dedup approximation of
+    Lee et al. 2021) — datapipe/dedup.py:duplicate_spans."""
+    from ..datapipe.dedup import duplicate_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    return duplicate_spans(d, k=3, min_span_tokens=5).orderBy(
+        "doc_id", "span_start"
+    )

@@ -744,3 +744,37 @@ def test_normalize_unicode_nfc(spark):
     assert out[2].was_denormalized is False
     assert out[3].was_denormalized is False
     assert out[4].text_nfc is None and out[4].was_denormalized is None
+
+
+def test_duplicate_spans_planted(spark):
+    from flink_tpcds_spark.datapipe.dedup import duplicate_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 tokens
+    rows = [
+        (1, f"unique one two {shared} closing words here"),
+        (2, f"{shared} totally different tail tokens"),
+        (3, "nothing in common with anything else at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.span_start, r.span_tokens)
+        for r in duplicate_spans(df, k=3, min_span_tokens=5).collect()
+    }
+    # doc 1: shared block starts at token 3; doc 2: at token 0.
+    # both spans are exactly the 7 shared tokens; doc 3 emits nothing
+    assert got == {(1, 3, 7), (2, 0, 7)}
+
+
+def test_duplicate_spans_merges_adjacent_runs(spark):
+    from flink_tpcds_spark.datapipe.dedup import duplicate_spans
+
+    # two docs sharing their ENTIRE text: the whole doc is one span
+    text = "one two three four five six seven eight"
+    df = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_tokens)
+        for r in duplicate_spans(df, k=3, min_span_tokens=5).collect()
+    }
+    assert got == {(1, 0, 8), (2, 0, 8)}
