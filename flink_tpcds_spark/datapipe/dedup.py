@@ -413,6 +413,7 @@ def near_dup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
     ).persist()
     labels = edges.select("u").distinct().withColumn("label", F.col("u")).persist()
     labels.count()  # materialize before the loop mutates lineage
+    prev_cache = labels
     for _ in range(max_iters):
         nb_min = (
             edges.join(
@@ -421,10 +422,16 @@ def near_dup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
             .groupBy("u")
             .agg(F.min("label").alias("nb_label"))
         )
-        new_labels = (
+        # one cached frame carries BOTH the new label and the old one,
+        # so the convergence probe and the next round's input share a
+        # single materialization — one Spark action per round instead
+        # of two (the probe was ~half the loop's wall-clock: each
+        # action pays the full scheduling floor at small SF)
+        joined = (
             labels.join(nb_min, "u", "left")
             .select(
                 "u",
+                F.col("label").alias("__old"),
                 F.least(
                     F.col("label"), F.coalesce("nb_label", "label")
                 ).alias("label"),
@@ -432,15 +439,11 @@ def near_dup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
             .persist()
         )
         changed = (
-            new_labels.join(
-                labels.select("u", F.col("label").alias("old")), "u"
-            )
-            .filter(F.col("label") < F.col("old"))
-            .limit(1)
-            .count()
+            joined.filter(F.col("label") < F.col("__old")).limit(1).count()
         )
-        labels.unpersist()
-        labels = new_labels
+        prev_cache.unpersist()
+        prev_cache = joined
+        labels = joined.select("u", "label")
         if changed == 0:
             break
     else:
@@ -451,7 +454,7 @@ def near_dup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
         # pathological chain graph → raise so the caller can switch to
         # a large-star/small-star variant or raise max_iters.
         edges.unpersist()
-        labels.unpersist()
+        prev_cache.unpersist()
         raise RuntimeError(
             f"near_dup_clusters did not converge in {max_iters} rounds"
         )
@@ -461,9 +464,9 @@ def near_dup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
         (F.col("u") == F.col("label")).alias("is_canonical"),
     )
     edges.unpersist()
-    # final labels stay persisted (they back the returned frame);
-    # release_caches() evicts them after materialization
-    _LIVE_CACHES.append(labels)
+    # the final cached frame stays persisted (it backs the returned
+    # frame); release_caches() evicts it after materialization
+    _LIVE_CACHES.append(prev_cache)
     return out
 
 
