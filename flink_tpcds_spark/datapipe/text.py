@@ -316,15 +316,23 @@ def bigram_lm_scores(
         F.count_distinct("u").alias("v")
     )
     a = F.lit(float(alpha))
-    logp = F.round(
-        F.log((F.col("n2") + a) / (F.col("n1") + a * F.col("v"))), 6
-    )
-    scored = (
-        inst.join(c2, ["w1", "w2"])
-        .join(c1, "w1")
+    # collapse the model to ONE vocabulary-sized table of per-bigram
+    # log-probs (c1 and V fold in before the instance join), then
+    # broadcast it: the instance stream joins map-side with no
+    # shuffle — one exchange for the counts instead of three for a
+    # chain of instance-sized joins
+    logp_table = (
+        c2.join(c1, "w1")
         .crossJoin(F.broadcast(vocab))
-        .withColumn("__logp", logp)
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log((F.col("n2") + a) / (F.col("n1") + a * F.col("v"))), 6
+            ).alias("__logp"),
+        )
     )
+    scored = inst.join(F.broadcast(logp_table), ["w1", "w2"])
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
         F.round(dsum(F.col("__logp")) / F.count(F.lit(1)), 4).alias(
