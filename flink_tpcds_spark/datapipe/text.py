@@ -317,10 +317,13 @@ def bigram_lm_scores(
     )
     a = F.lit(float(alpha))
     # collapse the model to ONE vocabulary-sized table of per-bigram
-    # log-probs (c1 and V fold in before the instance join), then
-    # broadcast it: the instance stream joins map-side with no
-    # shuffle — one exchange for the counts instead of three for a
-    # chain of instance-sized joins
+    # log-probs (c1 and V fold in before the instance join): the
+    # instance stream then makes a single join against it instead of
+    # a chain of three instance-sized joins. Join strategy is left to
+    # AQE — at bench scale the aggregate's runtime size selects a
+    # broadcast (map-side, no instance shuffle); at 100 TB a bigram
+    # vocabulary can exceed any broadcast budget and AQE falls back
+    # to a shuffled join, which a forced broadcast hint would break
     logp_table = (
         c2.join(c1, "w1")
         .crossJoin(F.broadcast(vocab))
@@ -332,7 +335,7 @@ def bigram_lm_scores(
             ).alias("__logp"),
         )
     )
-    scored = inst.join(F.broadcast(logp_table), ["w1", "w2"])
+    scored = inst.join(logp_table, ["w1", "w2"])
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
         F.round(dsum(F.col("__logp")) / F.count(F.lit(1)), 4).alias(
