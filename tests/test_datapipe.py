@@ -778,3 +778,41 @@ def test_duplicate_spans_merges_adjacent_runs(spark):
         for r in duplicate_spans(df, k=3, min_span_tokens=5).collect()
     }
     assert got == {(1, 0, 8), (2, 0, 8)}
+
+
+def test_round5_ops_handle_empty_input(spark):
+    """Empty corpus through every round-5 addition: correct schema,
+    zero rows, no exceptions."""
+    from flink_tpcds_spark.datapipe.curate import (
+        contamination_fraction,
+        dataset_diff,
+        global_shuffle,
+        weighted_sample_per_group,
+    )
+    from flink_tpcds_spark.datapipe.dedup import duplicate_spans
+    from flink_tpcds_spark.datapipe.similarity import semantic_dedup
+    from flink_tpcds_spark.datapipe.text import (
+        bigram_lm_scores,
+        normalize_unicode,
+        quality_classifier,
+        tfidf_top_terms,
+    )
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, source string, n_chars long"
+    )
+    empty_emb = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>"
+    )
+    assert global_shuffle(empty, "s").count() == 0
+    assert contamination_fraction(empty, F.col("source") == "x").count() == 0
+    assert dataset_diff(empty, empty).count() == 0
+    assert (
+        weighted_sample_per_group(empty, 3, F.lit(1.0)).count() == 0
+    )
+    assert duplicate_spans(empty).count() == 0
+    assert quality_classifier(empty).count() == 0
+    assert tfidf_top_terms(empty).count() == 0
+    assert bigram_lm_scores(empty).count() == 0
+    assert normalize_unicode(empty).count() == 0
+    assert semantic_dedup(empty_emb).count() == 0
