@@ -1,0 +1,117 @@
+"""Batch-incremental aggregate maintenance (materialized rollup).
+
+The warehouse "incremental model" pattern: a grouped rollup over an
+append-only fact stream is maintained by merging each new batch's
+PARTIAL aggregates into a persisted state table, instead of
+re-scanning history — the batch counterpart of Structured
+Streaming's update-mode aggregation (same algebra, state in parquet
+instead of the state store), and of the reference's retract-stream
+accumulators.
+
+Only algebraically mergeable aggregates participate: COUNT and SUM
+merge by +, MIN/MAX by least/greatest. AVG is derived (sum/count) at
+read time — storing it directly would be unmergeable. This is the
+same partial/final split Catalyst plans inside a single query,
+lifted across job boundaries.
+
+Scale shape: each update aggregates ONLY the new batch (map-side
+combine, one shuffle on the group key), then merges with the state
+table via a keyed outer join — state-sized, not history-sized. The
+state rewrite goes to a fresh directory with a local-rename swap;
+a cluster deployment swaps via its object-store commit protocol.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class IncrementalAggState:
+    """Maintains ``groupBy(keys).agg(count, sum(v), min(v), max(v))``
+    over an append-only stream of batches, with state persisted at
+    ``path``. ``result()`` exposes the rollup including the derived
+    average.
+    """
+
+    def __init__(self, path: str, key_cols: list[str], value_col: str):
+        self.path = path
+        self.key_cols = list(key_cols)
+        self.value_col = value_col
+
+    def _partial(self, df: DataFrame) -> DataFrame:
+        v = F.col(self.value_col)
+        return df.groupBy(*self.key_cols).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            # decimal-bridged sum: merging must be associative across
+            # any batch arrival order, like every float agg here
+            F.sum(v.cast("decimal(18,6)")).alias("s"),
+            F.min(v).alias("mn"),
+            F.max(v).alias("mx"),
+        )
+
+    def update(self, spark, batch_df: DataFrame) -> None:
+        """Merge one new batch into the state (one batch-sized agg +
+        one state-sized keyed merge; history is never re-read)."""
+        part = self._partial(batch_df)
+        if os.path.isdir(self.path):
+            state = spark.read.parquet(self.path)
+            merged = (
+                state.selectExpr(
+                    *self.key_cols,
+                    "n as n_a",
+                    "s as s_a",
+                    "mn as mn_a",
+                    "mx as mx_a",
+                )
+                .join(
+                    part.selectExpr(
+                        *self.key_cols,
+                        "n as n_b",
+                        "s as s_b",
+                        "mn as mn_b",
+                        "mx as mx_b",
+                    ),
+                    self.key_cols,
+                    "full_outer",
+                )
+                .select(
+                    *self.key_cols,
+                    (
+                        F.coalesce("n_a", F.lit(0))
+                        + F.coalesce("n_b", F.lit(0))
+                    ).cast("bigint").alias("n"),
+                    (
+                        F.coalesce(F.col("s_a"), F.lit(0).cast("decimal(18,6)"))
+                        + F.coalesce(F.col("s_b"), F.lit(0).cast("decimal(18,6)"))
+                    ).cast("decimal(18,6)").alias("s"),
+                    F.least(
+                        F.coalesce("mn_a", "mn_b"), F.coalesce("mn_b", "mn_a")
+                    ).alias("mn"),
+                    F.greatest(
+                        F.coalesce("mx_a", "mx_b"), F.coalesce("mx_b", "mx_a")
+                    ).alias("mx"),
+                )
+            )
+        else:
+            merged = part
+        tmp = self.path + ".updating"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(self.path):
+            shutil.rmtree(self.path)
+        shutil.move(tmp, self.path)
+
+    def result(self, spark) -> DataFrame:
+        """The maintained rollup: count, sum, min, max + derived avg."""
+        state = spark.read.parquet(self.path)
+        return state.select(
+            *self.key_cols,
+            F.col("n").alias("cnt"),
+            F.col("s").cast("double").alias("total"),
+            F.col("mn").alias("min_value"),
+            F.col("mx").alias("max_value"),
+            (F.col("s").cast("double") / F.col("n")).alias("avg_value"),
+        )

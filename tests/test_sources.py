@@ -292,3 +292,51 @@ def test_zorder_layout_skips_on_both_columns(spark, sf_dir, tmp_path):
     assert z_user < 0.65, z_user
     assert z_value < 0.45, z_value
     assert z_value < l_value - 0.15
+
+
+def test_incremental_agg_matches_full_recompute(spark, sf_dir, tmp_path):
+    """Batch-incremental rollup: feeding the events table in 4
+    arbitrary batches must yield EXACTLY the single-pass aggregation
+    (decimal-bridged sums make the merge associative), and each
+    update must only scan the new batch plus the state."""
+    from flink_tpcds_spark.schemas import load_table
+    from flink_tpcds_spark.sources.incremental import IncrementalAggState
+
+    e = load_table(spark, sf_dir, "events")
+    state = IncrementalAggState(
+        str(tmp_path / "rollup"), ["event_type"], "value"
+    )
+    # 4 deterministic, uneven batches covering every row exactly once
+    for i in range(4):
+        state.update(spark, e.filter(F.pmod(F.col("event_id"), F.lit(4)) == i))
+    got = {
+        r.event_type: (r.cnt, r.total, r.min_value, r.max_value, r.avg_value)
+        for r in state.result(spark).collect()
+    }
+    full = {
+        r.event_type: (r.cnt, r.total, r.min_value, r.max_value, r.avg_value)
+        for r in e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            (
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_value"),
+        )
+        .collect()
+    }
+    assert got == full
+    # a key appearing only in a later batch merges via the outer join
+    extra = spark.createDataFrame(
+        [(999999, "brand_new_type", 5.0)],
+        "event_id long, event_type string, value double",
+    )
+    state.update(spark, extra)
+    got2 = {r.event_type: r.cnt for r in state.result(spark).collect()}
+    assert got2["brand_new_type"] == 1
+    assert got2[max(full)] == full[max(full)][0]
