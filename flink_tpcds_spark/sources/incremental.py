@@ -104,6 +104,13 @@ class IncrementalAggState:
             shutil.rmtree(self.path)
         shutil.move(tmp, self.path)
 
+    def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """``writeStream.foreachBatch`` adapter: the same merge serves
+        a Structured Streaming micro-batch pipeline — batch and
+        stream maintain identical state (update-mode aggregation with
+        parquet state instead of the state store)."""
+        self.update(batch_df.sparkSession, batch_df)
+
     def result(self, spark) -> DataFrame:
         """The maintained rollup: count, sum, min, max + derived avg."""
         state = spark.read.parquet(self.path)

@@ -676,3 +676,46 @@ def test_streaming_curation_maps_match_batch(spark, sf_dir, tmp_path):
     s = {tuple(r) for r in spark.table("t_curation").collect()}
     b = {tuple(r) for r in curate(docs).collect()}
     assert s == b and len(s) == docs.count()
+
+
+def test_streaming_incremental_rollup_matches_batch(spark, sf_dir, tmp_path):
+    """IncrementalAggState driven by a real file-source stream (one
+    file per trigger) must equal the single-pass batch aggregation —
+    the same state-merge algebra serving both execution modes."""
+    from flink_tpcds_spark.sources.incremental import IncrementalAggState
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    src = str(tmp_path / "inc_src")
+    e.repartition(4).write.parquet(src)
+    state = IncrementalAggState(
+        str(tmp_path / "inc_state"), ["event_type"], "value"
+    )
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(state.foreach_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r.event_type: (r.cnt, r.total)
+        for r in state.result(spark).collect()
+    }
+    want = {
+        r.event_type: (r.cnt, r.total)
+        for r in e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .collect()
+    }
+    assert got == want
