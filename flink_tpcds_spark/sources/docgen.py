@@ -1,0 +1,88 @@
+"""Custom Spark DataSource: deterministic synthetic document
+generator (``format("docgen")``).
+
+The reference ships service connectors (Kafka/Hive/JDBC) that need
+live services; the engine-side skill they demonstrate — implementing
+a *source*: schema, partition planning, per-partition reads — is
+exercised here through Spark 4's Python DataSource API with a
+connector that runs anywhere: a seeded corpus generator in the mold
+of Spark's built-in ``rate`` source, but for document rows.
+
+Why it matters at scale: generating benchmark corpora as a SOURCE
+(instead of materializing parquet first) removes the storage step
+entirely — ``spark.read.format("docgen").option("n_docs", 10**9)``
+plans one InputPartition per shard and every executor synthesizes
+its slice locally; 100 TB of test input costs zero bytes at rest.
+Determinism: each row derives from ``md5(seed|doc_id)``, so any
+partitioning, any cluster, any rerun yields the byte-identical
+corpus (the same property the testdata generator guarantees).
+
+Registration: ``spark.dataSource.register(DocGenDataSource)`` then
+``spark.read.format("docgen").option(...).load()`` — see
+tests/test_sources.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+_WORDS = (
+    "the of and to a in for is on that by this with from at as but "
+    "be are was were has have had not no yes all any each new old "
+    "data model train token corpus sample filter score merge shard"
+).split()
+
+SCHEMA_DDL = "doc_id bigint, text string, lang string, source string"
+
+
+def _row(seed: str, doc_id: int) -> tuple[int, str, str, str]:
+    h = hashlib.md5(f"{seed}|{doc_id}".encode()).digest()
+    n_tokens = 10 + h[0] % 40
+    words = []
+    for i in range(n_tokens):
+        hb = hashlib.md5(f"{seed}|{doc_id}|{i}".encode()).digest()
+        words.append(_WORDS[hb[0] % len(_WORDS)])
+    lang = ("en", "de", "es", "fr")[h[1] % 4]
+    source = f"src{h[2] % 8}"
+    return doc_id, " ".join(words), lang, source
+
+
+class _Shard(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class DocGenReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.n_docs = int(options.get("n_docs", 1000))
+        self.n_shards = int(options.get("n_shards", 8))
+        self.seed = options.get("seed", "docgen")
+
+    def partitions(self) -> list[InputPartition]:
+        per = -(-self.n_docs // self.n_shards)  # ceil
+        return [
+            _Shard(i * per, min((i + 1) * per, self.n_docs))
+            for i in range(self.n_shards)
+            if i * per < self.n_docs
+        ]
+
+    def read(self, partition: _Shard) -> Iterator[tuple]:
+        for doc_id in range(partition.start, partition.end):
+            yield _row(self.seed, doc_id)
+
+
+class DocGenDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "docgen"
+
+    def schema(self) -> str:
+        return SCHEMA_DDL
+
+    def reader(self, schema: StructType) -> DocGenReader:
+        return DocGenReader(self.options)

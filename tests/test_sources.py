@@ -340,3 +340,46 @@ def test_incremental_agg_matches_full_recompute(spark, sf_dir, tmp_path):
     got2 = {r.event_type: r.cnt for r in state.result(spark).collect()}
     assert got2["brand_new_type"] == 1
     assert got2[max(full)] == full[max(full)][0]
+
+
+def test_docgen_datasource_deterministic_and_partitioned(spark):
+    """Custom Python DataSource: registered format plans one
+    InputPartition per shard, generates the full id range exactly
+    once, and is bit-deterministic across reads and shard counts."""
+    from flink_tpcds_spark.sources.docgen import DocGenDataSource
+
+    spark.dataSource.register(DocGenDataSource)
+    df = (
+        spark.read.format("docgen")
+        .option("n_docs", 200)
+        .option("n_shards", 4)
+        .option("seed", "s1")
+        .load()
+    )
+    rows = df.collect()
+    assert len(rows) == 200
+    assert sorted(r.doc_id for r in rows) == list(range(200))
+    assert df.rdd.getNumPartitions() == 4
+    # deterministic across reads AND across partitioning choices
+    again = (
+        spark.read.format("docgen")
+        .option("n_docs", 200)
+        .option("n_shards", 7)
+        .option("seed", "s1")
+        .load()
+        .collect()
+    )
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # a different seed generates different text
+    other = (
+        spark.read.format("docgen")
+        .option("n_docs", 200)
+        .option("seed", "s2")
+        .load()
+        .collect()
+    )
+    assert sorted(map(tuple, rows)) != sorted(map(tuple, other))
+    # generated corpus feeds the normal pipeline (smoke: token stats)
+    from flink_tpcds_spark.datapipe.text import token_stats
+
+    assert token_stats(df).filter(F.col("n_tokens") >= 10).count() == 200
