@@ -535,6 +535,53 @@ def duplicate_spans(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    k: int = 3,
+    min_span_tokens: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply :func:`duplicate_spans`: cut every flagged span out of
+    the token stream and re-join the survivors — the "remove the
+    duplicated substring, keep the document" policy of exact-substring
+    dedup (the alternative to dropping whole near-dup documents).
+    Emits ``(id, text_clean, n_tokens, n_removed_tokens)`` for every
+    document (zero-removal docs included).
+
+    Scale shape: the span list aggregates per doc (collect_list over
+    the handful of spans a doc has) and joins back on the id; the cut
+    itself is a JVM higher-order ``filter`` with a positional lambda
+    over the token array — no Python, no extra shuffle beyond the
+    span join.
+    """
+    spans = duplicate_spans(df, k, min_span_tokens, id_col, text_col)
+    span_lists = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_tokens")).alias("__spans")
+    )
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("__t"))
+    joined = base.join(span_lists, id_col, "left").withColumn(
+        "__spans", F.coalesce("__spans", F.array())
+    )
+    kept = F.filter(
+        F.col("__t"),
+        lambda x, i: ~F.exists(
+            F.col("__spans"),
+            lambda s: (i >= s["span_start"])
+            & (i < s["span_start"] + s["span_tokens"]),
+        ),
+    )
+    return joined.select(
+        id_col,
+        F.array_join(kept, " ").alias("text_clean"),
+        F.size("__t").cast("bigint").alias("n_tokens"),
+        (F.size("__t") - F.size(kept)).cast("bigint").alias(
+            "n_removed_tokens"
+        ),
+    )
+
+
 def boilerplate_ngrams(
     df: DataFrame,
     k: int = 3,

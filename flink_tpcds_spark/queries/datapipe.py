@@ -1428,3 +1428,64 @@ def dp_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_spans(d, k=3, min_span_tokens=5).orderBy(
         "doc_id", "span_start"
     )
+
+
+@_q(
+    "dp_span_scrub",
+    f"""
+    WITH allt AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    t AS (SELECT doc_id, toks FROM allt WHERE len(toks) >= 3),
+    ps AS (
+      SELECT doc_id,
+             unnest(range(len(toks) - 2)) AS pos,
+             unnest(list_transform(range(1, len(toks) - 1),
+                                   i -> array_to_string(toks[i:i+2], ' ')))
+               AS s
+      FROM t
+    ),
+    shared AS (
+      SELECT s FROM ps GROUP BY s HAVING count(DISTINCT doc_id) >= 2
+    ),
+    m AS (SELECT ps.doc_id, ps.pos FROM ps JOIN shared USING (s)),
+    r AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+      FROM m
+    ),
+    spans AS (
+      SELECT doc_id, MIN(pos) AS s0, COUNT(*) + 2 AS n
+      FROM r GROUP BY doc_id, grp HAVING COUNT(*) + 2 >= 5
+    ),
+    sl AS (
+      SELECT doc_id, list(struct_pack(s := s0, n := n)) AS spans
+      FROM spans GROUP BY doc_id
+    ),
+    cut AS (
+      SELECT a.doc_id, a.toks,
+             [a.toks[i] for i in range(1, len(a.toks) + 1)
+              if coalesce(len(list_filter(sl.spans,
+                   sp -> (i - 1) >= sp.s AND (i - 1) < sp.s + sp.n)), 0) = 0]
+               AS kept
+      FROM allt a LEFT JOIN sl ON a.doc_id = sl.doc_id
+    )
+    SELECT doc_id,
+           -- DuckDB renders the empty list as NULL; Spark as ''
+           coalesce(array_to_string(kept, ' '), '') AS text_clean,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(toks) - len(kept) AS BIGINT) AS n_removed_tokens
+    FROM cut
+    ORDER BY doc_id
+    """,
+)
+def dp_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detect-and-cut duplicated spans (≥5 tokens, 3-gram-anchored):
+    every document re-emitted with cross-document duplicated spans
+    removed and removal accounting — the keep-the-document policy of
+    exact-substring dedup — datapipe/dedup.py:remove_duplicate_spans."""
+    from ..datapipe.dedup import remove_duplicate_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    return remove_duplicate_spans(d, k=3, min_span_tokens=5).orderBy(
+        "doc_id"
+    )

@@ -816,3 +816,23 @@ def test_round5_ops_handle_empty_input(spark):
     assert bigram_lm_scores(empty).count() == 0
     assert normalize_unicode(empty).count() == 0
     assert semantic_dedup(empty_emb).count() == 0
+
+
+def test_remove_duplicate_spans_planted(spark):
+    from flink_tpcds_spark.datapipe.dedup import remove_duplicate_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 tokens
+    rows = [
+        (1, f"unique one two {shared} closing words here"),
+        (2, f"{shared} totally different tail tokens"),
+        (3, "nothing in common with anything else at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in remove_duplicate_spans(df).collect()}
+    assert got[1].text_clean == "unique one two closing words here"
+    assert got[1].n_removed_tokens == 7 and got[1].n_tokens == 13
+    assert got[2].text_clean == "totally different tail tokens"
+    assert got[2].n_removed_tokens == 7
+    # untouched docs still appear, fully intact
+    assert got[3].text_clean == rows[2][1]
+    assert got[3].n_removed_tokens == 0
