@@ -84,6 +84,9 @@ def session_builder(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.enableVectorizedReader", "true")
+        # --- custom Python DataSources may absorb filters
+        #     (sources/docgen.py pushFilters; off by default in 4.1) ---
+        .config("spark.sql.python.filterPushdown.enabled", "true")
     )
     return builder
 

@@ -62,13 +62,55 @@ class DocGenReader(DataSourceReader):
         self.n_docs = int(options.get("n_docs", 1000))
         self.n_shards = int(options.get("n_shards", 8))
         self.seed = options.get("seed", "docgen")
+        self.lo = 0              # inclusive, narrowed by pushFilters
+        self.hi = self.n_docs    # exclusive
+
+    def pushFilters(self, filters):
+        """Source-side pushdown (SURVEY §2.1 pushdown traits): range
+        predicates on ``doc_id`` narrow the generated id range BEFORE
+        partition planning, so filtered scans synthesize only the
+        surviving slice (fewer shards, less work — the custom-source
+        analog of parquet's PushedFilters). Handled filters are fully
+        absorbed; everything else is returned for Spark to evaluate.
+        """
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if attr != ("doc_id",):
+                yield f
+                continue
+            if isinstance(f, LessThan):
+                self.hi = min(self.hi, int(f.value))
+            elif isinstance(f, LessThanOrEqual):
+                self.hi = min(self.hi, int(f.value) + 1)
+            elif isinstance(f, GreaterThan):
+                self.lo = max(self.lo, int(f.value) + 1)
+            elif isinstance(f, GreaterThanOrEqual):
+                self.lo = max(self.lo, int(f.value))
+            elif isinstance(f, EqualTo):
+                self.lo = max(self.lo, int(f.value))
+                self.hi = min(self.hi, int(f.value) + 1)
+            else:
+                yield f
 
     def partitions(self) -> list[InputPartition]:
-        per = -(-self.n_docs // self.n_shards)  # ceil
+        lo, hi = self.lo, max(self.lo, self.hi)
+        n = hi - lo
+        if n == 0:
+            return [_Shard(0, 0)]
+        shards = min(self.n_shards, n)
+        per = -(-n // shards)  # ceil
         return [
-            _Shard(i * per, min((i + 1) * per, self.n_docs))
-            for i in range(self.n_shards)
-            if i * per < self.n_docs
+            _Shard(lo + i * per, min(lo + (i + 1) * per, hi))
+            for i in range(shards)
+            if lo + i * per < hi
         ]
 
     def read(self, partition: _Shard) -> Iterator[tuple]:

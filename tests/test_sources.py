@@ -383,3 +383,40 @@ def test_docgen_datasource_deterministic_and_partitioned(spark):
     from flink_tpcds_spark.datapipe.text import token_stats
 
     assert token_stats(df).filter(F.col("n_tokens") >= 10).count() == 200
+
+
+def test_docgen_filter_pushdown_narrows_partitions(spark):
+    """doc_id range predicates reach the source: the generator plans
+    partitions over only the surviving id range (the custom-source
+    analog of parquet PushedFilters), and results are identical to
+    post-scan filtering."""
+    from flink_tpcds_spark.sources.docgen import DocGenDataSource
+
+    spark.dataSource.register(DocGenDataSource)
+
+    def rd():
+        return (
+            spark.read.format("docgen")
+            .option("n_docs", 1000)
+            .option("n_shards", 8)
+            .option("seed", "pf")
+            .load()
+        )
+
+    full = rd().collect()
+    pushed = rd().filter("doc_id >= 900")
+    rows = pushed.collect()
+    assert sorted(r.doc_id for r in rows) == list(range(900, 1000))
+    assert sorted(map(tuple, rows)) == sorted(
+        tuple(r) for r in full if r.doc_id >= 900
+    )
+    # 100 surviving ids over 8 requested shards -> planned over the
+    # narrow range only; a non-pushed scan would keep 8 full shards
+    # of 125 ids each and generate all 1000
+    assert pushed.rdd.getNumPartitions() <= 8
+    sliver = rd().filter("doc_id = 42")
+    assert [r.doc_id for r in sliver.collect()] == [42]
+    assert sliver.rdd.getNumPartitions() == 1
+    # unsupported predicates still evaluate correctly post-scan
+    mixed = rd().filter("doc_id < 10 and lang = 'en'").collect()
+    assert all(r.lang == "en" and r.doc_id < 10 for r in mixed)
