@@ -1198,3 +1198,111 @@ def ops_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch-based distinct-overlap estimate (inclusion-exclusion over
+# mergeable HLL unions — the cross-corpus contamination estimator
+# that never joins the two sides)
+# ---------------------------------------------------------------------------
+@_q(
+    "ops_hll_overlap",
+    """
+    WITH a AS (SELECT DISTINCT md5(text) AS h FROM documents
+               WHERE source IN ('src0','src1','src2','src3')),
+    b AS (SELECT DISTINCT md5(text) AS h FROM documents
+          WHERE source IN ('src2','src3','src4','src5'))
+    SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS n_a,
+           CAST((SELECT count(*) FROM b) AS BIGINT) AS n_b,
+           TRUE AS overlap_ok
+    """,
+)
+def ops_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-overlap estimate between two corpus slices via
+    inclusion-exclusion over HLL sketches: |A∩B| ≈ est(A) + est(B)
+    − est(A ∪ B), computed from three sketches with NO join between
+    the sides — at 100 TB the two "sides" can live on different
+    clusters and ship only their sketch bytes. Hard-gate invariant:
+    the estimate lands within max(10 % of exact, 8 absolute) of the
+    exact overlap (computed in-job); the oracle pins both side
+    cardinalities. Exact overlap here ≈ a quarter of each side."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", F.md5("text").alias("h")
+    )
+    a = d.filter(F.col("source").isin("src0", "src1", "src2", "src3"))
+    b = d.filter(F.col("source").isin("src2", "src3", "src4", "src5"))
+    sk = (
+        a.agg(
+            F.hll_sketch_agg("h").alias("sk_a"),
+            F.count_distinct("h").alias("n_a"),
+        )
+        .crossJoin(
+            b.agg(
+                F.hll_sketch_agg("h").alias("sk_b"),
+                F.count_distinct("h").alias("n_b"),
+            )
+        )
+        .crossJoin(
+            a.unionAll(b).agg(F.hll_sketch_agg("h").alias("sk_u"))
+        )
+    )
+    exact_overlap = (
+        a.select("h").intersect(b.select("h")).count()
+    )
+    est = (
+        F.hll_sketch_estimate("sk_a")
+        + F.hll_sketch_estimate("sk_b")
+        - F.hll_sketch_estimate("sk_u")
+    )
+    tol = F.greatest(F.lit(float(exact_overlap)) * 0.10, F.lit(8.0))
+    return sk.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        (F.abs(est - F.lit(float(exact_overlap))) <= tol).alias(
+            "overlap_ok"
+        ),
+    )
+
+
+@_q(
+    "ops_ks_drift",
+    """
+    WITH a AS (SELECT value AS v FROM events WHERE user_id % 2 = 0),
+    b AS (SELECT value AS v FROM events WHERE user_id % 2 = 1),
+    pv AS (
+      SELECT v,
+             CAST(sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM (SELECT v, 'a' AS side FROM a
+            UNION ALL SELECT v, 'b' FROM b)
+      GROUP BY v
+    ),
+    cum AS (
+      SELECT v,
+             sum(ca) OVER (ORDER BY v) AS cum_a,
+             sum(cb) OVER (ORDER BY v) AS cum_b
+      FROM pv
+    )
+    SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS n_old,
+           CAST((SELECT count(*) FROM b) AS BIGINT) AS n_new,
+           round(max(abs(
+             CAST(cum_a AS DOUBLE) / (SELECT count(*) FROM a)
+             - CAST(cum_b AS DOUBLE) / (SELECT count(*) FROM b))), 6)
+             AS ks_d
+    FROM cum
+    """,
+)
+def ops_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the
+    even- and odd-user halves of the events value column, computed
+    with the bucket-decomposed distributed prefix sum (no global
+    sort; the oracle uses the textbook single-window form) —
+    operators/drift.py:ks_statistic."""
+    from ..operators.drift import ks_statistic
+
+    e = load_table(spark, sf_dir, "events")
+    return ks_statistic(
+        e.filter(F.col("user_id") % 2 == 0),
+        e.filter(F.col("user_id") % 2 == 1),
+        "value",
+    )

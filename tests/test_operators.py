@@ -444,3 +444,64 @@ def test_hll_sketch_merge_matches_single_pass(spark, sf_dir):
     assert abs(merged - single) / exact <= 0.02
     assert abs(merged - exact) / exact <= 0.05
     assert abs(single - exact) / exact <= 0.05
+
+
+def test_ks_statistic_matches_python_reference(spark, sf_dir):
+    from flink_tpcds_spark.operators.drift import ks_statistic
+    from flink_tpcds_spark.schemas import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    old = e.filter(F.col("user_id") % 2 == 0)
+    new = e.filter(F.col("user_id") % 2 == 1)
+    row = ks_statistic(old, new, "value").collect()[0]
+
+    xs = sorted(r.value for r in old.select("value").collect())
+    ys = sorted(r.value for r in new.select("value").collect())
+
+    def ecdf(sorted_vals, v):
+        import bisect
+
+        return bisect.bisect_right(sorted_vals, v) / len(sorted_vals)
+
+    d_ref = max(
+        abs(ecdf(xs, v) - ecdf(ys, v)) for v in set(xs) | set(ys)
+    )
+    assert row.n_old == len(xs) and row.n_new == len(ys)
+    assert abs(row.ks_d - d_ref) < 1e-6
+    # identical samples → zero drift
+    z = ks_statistic(old, old, "value").collect()[0]
+    assert z.ks_d == 0.0
+    # disjoint supports → maximal drift
+    lo = spark.createDataFrame([(float(i),) for i in range(50)], "v double")
+    hi = spark.createDataFrame(
+        [(float(i + 1000),) for i in range(50)], "v double"
+    )
+    m = ks_statistic(lo, hi, "v").collect()[0]
+    assert m.ks_d == 1.0
+
+
+def test_hll_overlap_estimate_close_to_exact(spark):
+    """Inclusion-exclusion over HLL sketches recovers a planted
+    overlap without joining the sides."""
+    a = spark.range(0, 3000).select(
+        F.md5(F.col("id").cast("string")).alias("h")
+    )
+    b = spark.range(2000, 5000).select(
+        F.md5(F.col("id").cast("string")).alias("h")
+    )
+    est = (
+        a.agg(F.hll_sketch_agg("h").alias("sa"))
+        .crossJoin(b.agg(F.hll_sketch_agg("h").alias("sb")))
+        .crossJoin(a.unionAll(b).agg(F.hll_sketch_agg("h").alias("su")))
+        .select(
+            (
+                F.hll_sketch_estimate("sa")
+                + F.hll_sketch_estimate("sb")
+                - F.hll_sketch_estimate("su")
+            ).alias("est")
+        )
+        .collect()[0]
+        .est
+    )
+    # exact overlap is 1000; three sketches each carry ~1-2% error
+    assert abs(est - 1000) < 200
