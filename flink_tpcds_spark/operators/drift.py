@@ -22,6 +22,55 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def chi2_statistic(
+    old: DataFrame,
+    new: DataFrame,
+    cat_col: str,
+) -> DataFrame:
+    """Categorical drift: Pearson's chi-squared statistic over the
+    two samples' category frequencies (the contingency-table
+    homogeneity test — KS's companion for discrete columns).
+    One row: ``(n_old, n_new, n_categories, chi2)``, chi2 rounded to
+    6 digits. Categories absent from one side contribute with
+    observed 0 against their pooled expectation.
+
+    Scale shape: one groupBy per side to category granularity, one
+    category-keyed outer join, one final aggregate — category-sized
+    throughout, never row-sized after the first aggregation.
+    """
+    oa = old.groupBy(F.col(cat_col).alias("c")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("ca")
+    )
+    ob = new.groupBy(F.col(cat_col).alias("c")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cb")
+    )
+    j = (
+        oa.join(ob, "c", "full_outer")
+        .select(
+            "c",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    tot = j.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    with_tot = j.crossJoin(F.broadcast(tot))
+    # expected counts under homogeneity: row_total * side_total / N
+    n = F.col("na") + F.col("nb")
+    ea = (F.col("ca") + F.col("cb")) * F.col("na") / n
+    eb = (F.col("ca") + F.col("cb")) * F.col("nb") / n
+    term = (F.col("ca") - ea) ** 2 / ea + (F.col("cb") - eb) ** 2 / eb
+    return with_tot.agg(
+        F.max("na").cast("bigint").alias("n_old"),
+        F.max("nb").cast("bigint").alias("n_new"),
+        F.count(F.lit(1)).cast("bigint").alias("n_categories"),
+        F.round(F.sum(term.cast("decimal(18,6)")).cast("double"), 4).alias(
+            "chi2"
+        ),
+    )
+
+
 def ks_statistic(
     old: DataFrame,
     new: DataFrame,

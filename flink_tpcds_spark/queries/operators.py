@@ -1306,3 +1306,43 @@ def ops_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("user_id") % 2 == 1),
         "value",
     )
+
+
+@_q(
+    "ops_chi2_drift",
+    """
+    WITH oa AS (SELECT event_type AS c, CAST(count(*) AS BIGINT) AS ca
+                FROM events WHERE user_id % 2 = 0 GROUP BY event_type),
+    ob AS (SELECT event_type AS c, CAST(count(*) AS BIGINT) AS cb
+           FROM events WHERE user_id % 2 = 1 GROUP BY event_type),
+    j AS (
+      SELECT COALESCE(oa.c, ob.c) AS c,
+             COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+      FROM oa FULL JOIN ob ON oa.c = ob.c
+    ),
+    t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM j)
+    SELECT CAST(max(na) AS BIGINT) AS n_old,
+           CAST(max(nb) AS BIGINT) AS n_new,
+           CAST(count(*) AS BIGINT) AS n_categories,
+           round(CAST(sum(CAST(
+             pow(ca - (ca + cb) * na / (na + nb), 2)
+               / ((ca + cb) * na / (na + nb))
+             + pow(cb - (ca + cb) * nb / (na + nb), 2)
+               / ((ca + cb) * nb / (na + nb))
+             AS DECIMAL(18,6))) AS DOUBLE), 4) AS chi2
+    FROM j, t
+    """,
+)
+def ops_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-squared homogeneity statistic over event_type
+    frequencies of the even- vs odd-user halves (categorical drift,
+    the KS companion; decimal-bridged term sum) —
+    operators/drift.py:chi2_statistic."""
+    from ..operators.drift import chi2_statistic
+
+    e = load_table(spark, sf_dir, "events")
+    return chi2_statistic(
+        e.filter(F.col("user_id") % 2 == 0),
+        e.filter(F.col("user_id") % 2 == 1),
+        "event_type",
+    )

@@ -505,3 +505,30 @@ def test_hll_overlap_estimate_close_to_exact(spark):
     )
     # exact overlap is 1000; three sketches each carry ~1-2% error
     assert abs(est - 1000) < 200
+
+
+def test_chi2_statistic_matches_python_reference(spark, sf_dir):
+    from flink_tpcds_spark.operators.drift import chi2_statistic
+    from flink_tpcds_spark.schemas import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    old = e.filter(F.col("user_id") % 2 == 0)
+    new = e.filter(F.col("user_id") % 2 == 1)
+    row = chi2_statistic(old, new, "event_type").collect()[0]
+
+    ca = {r.event_type: r.n for r in old.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    cb = {r.event_type: r.n for r in new.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    cats = set(ca) | set(cb)
+    na, nb = sum(ca.values()), sum(cb.values())
+    chi2 = 0.0
+    for c in cats:
+        a, b = ca.get(c, 0), cb.get(c, 0)
+        ea = (a + b) * na / (na + nb)
+        eb = (a + b) * nb / (na + nb)
+        chi2 += (a - ea) ** 2 / ea + (b - eb) ** 2 / eb
+    assert row.n_old == na and row.n_new == nb
+    assert row.n_categories == len(cats)
+    assert abs(row.chi2 - chi2) < 1e-3
+    # identical frequency profiles → chi2 == 0
+    z = chi2_statistic(old, old, "event_type").collect()[0]
+    assert z.chi2 == 0.0
