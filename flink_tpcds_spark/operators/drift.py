@@ -71,6 +71,82 @@ def chi2_statistic(
     )
 
 
+def psi_statistic(
+    old: DataFrame,
+    new: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index — the monitoring-dashboard drift
+    score (<0.1 stable, >0.25 shifted): ``Σ (p_old−p_new)·ln(p_old/
+    p_new)`` over equal-width bins spanning the OLD side's exact
+    [min, max] (new-side outliers clamp into the edge bins, which is
+    where a range shift should land). Equal-width from exact MIN/MAX
+    — not quantiles — because discrete-quantile index semantics
+    differ across engines while min/max and the binning arithmetic
+    are IEEE-identical everywhere. Laplace smoothing (+0.5 per bin)
+    keeps empty bins finite.
+
+    Scale shape: one MIN/MAX aggregate broadcast back, one
+    bin-granular count per side, a ``n_bins``-row spine join —
+    nothing row-sized after the first aggregation.
+    """
+    rng = old.agg(
+        F.min(value_col).alias("mn"), F.max(value_col).alias("mx")
+    )
+
+    def binned(df: DataFrame, name: str) -> DataFrame:
+        width = F.col("mx") - F.col("mn")
+        idx = F.when(width <= 0, F.lit(0)).otherwise(
+            F.least(
+                F.lit(n_bins - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col(value_col) - F.col("mn"))
+                        * n_bins
+                        / width
+                    ).cast("int"),
+                ),
+            )
+        )
+        return (
+            df.crossJoin(F.broadcast(rng))
+            .select(idx.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(name))
+        )
+
+    spine = old.sparkSession.range(n_bins).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    j = (
+        spine.join(binned(old, "ca"), "bin", "left")
+        .join(binned(new, "cb"), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    tot = j.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    half = F.lit(0.5)
+    pa = (F.col("ca") + half) / (F.col("na") + half * n_bins)
+    pb = (F.col("cb") + half) / (F.col("nb") + half * n_bins)
+    term = (pa - pb) * F.log(pa / pb)
+    return (
+        j.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("na").cast("bigint").alias("n_old"),
+            F.max("nb").cast("bigint").alias("n_new"),
+            F.round(
+                F.sum(F.round(term, 8).cast("decimal(18,8)")).cast("double"),
+                4,
+            ).alias("psi"),
+        )
+    )
+
+
 def ks_statistic(
     old: DataFrame,
     new: DataFrame,

@@ -1346,3 +1346,55 @@ def ops_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("user_id") % 2 == 1),
         "event_type",
     )
+
+
+@_q(
+    "ops_psi_drift",
+    """
+    WITH a AS (SELECT value AS v FROM events WHERE user_id % 2 = 0),
+    b AS (SELECT value AS v FROM events WHERE user_id % 2 = 1),
+    rng AS (SELECT min(v) AS mn, max(v) AS mx FROM a),
+    ba AS (
+      SELECT CASE WHEN mx <= mn THEN 0 ELSE
+               least(9, greatest(0, CAST(floor((v - mn) * 10 / (mx - mn))
+                                         AS INTEGER))) END AS bin,
+             CAST(count(*) AS BIGINT) AS ca
+      FROM a, rng GROUP BY 1
+    ),
+    bb AS (
+      SELECT CASE WHEN mx <= mn THEN 0 ELSE
+               least(9, greatest(0, CAST(floor((v - mn) * 10 / (mx - mn))
+                                         AS INTEGER))) END AS bin,
+             CAST(count(*) AS BIGINT) AS cb
+      FROM b, rng GROUP BY 1
+    ),
+    spine AS (SELECT unnest(range(10)) AS bin),
+    j AS (
+      SELECT spine.bin,
+             COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+      FROM spine LEFT JOIN ba ON spine.bin = ba.bin
+                 LEFT JOIN bb ON spine.bin = bb.bin
+    ),
+    t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM j)
+    SELECT CAST(max(na) AS BIGINT) AS n_old,
+           CAST(max(nb) AS BIGINT) AS n_new,
+           round(CAST(sum(CAST(round(
+             ((ca + 0.5) / (na + 5.0) - (cb + 0.5) / (nb + 5.0))
+             * ln(((ca + 0.5) / (na + 5.0)) / ((cb + 0.5) / (nb + 5.0))),
+             8) AS DECIMAL(18,8))) AS DOUBLE), 4) AS psi
+    FROM j, t
+    """,
+)
+def ops_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the even- and odd-user
+    halves of the events value column (10 equal-width bins from the
+    old side's exact min/max, Laplace-smoothed, decimal-bridged term
+    sum) — operators/drift.py:psi_statistic."""
+    from ..operators.drift import psi_statistic
+
+    e = load_table(spark, sf_dir, "events")
+    return psi_statistic(
+        e.filter(F.col("user_id") % 2 == 0),
+        e.filter(F.col("user_id") % 2 == 1),
+        "value",
+    )

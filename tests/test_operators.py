@@ -532,3 +532,24 @@ def test_chi2_statistic_matches_python_reference(spark, sf_dir):
     # identical frequency profiles → chi2 == 0
     z = chi2_statistic(old, old, "event_type").collect()[0]
     assert z.chi2 == 0.0
+
+
+def test_psi_statistic_semantics(spark, sf_dir):
+    from flink_tpcds_spark.operators.drift import psi_statistic
+    from flink_tpcds_spark.schemas import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    old = e.filter(F.col("user_id") % 2 == 0)
+    new = e.filter(F.col("user_id") % 2 == 1)
+    # same-generator halves: stable population
+    row = psi_statistic(old, new, "value").collect()[0]
+    assert 0.0 <= row.psi < 0.1
+    # identical samples → psi exactly 0
+    z = psi_statistic(old, old, "value").collect()[0]
+    assert z.psi == 0.0
+    # a strong location shift → alarm-range psi, outliers clamped
+    # into the edge bin rather than dropped
+    shifted = old.withColumn("value", F.col("value") + 1000.0)
+    s = psi_statistic(old, shifted, "value").collect()[0]
+    assert s.psi > 0.25
+    assert s.n_new == row.n_old
