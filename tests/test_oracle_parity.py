@@ -185,3 +185,28 @@ def test_window_rotation_green_beats_old_red(tmp_path, monkeypatch):
     (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps(green))
     monkeypatch.setattr(q, "_REPO", str(tmp_path))
     assert name not in list(q.all_queries())[:50]
+
+
+def test_window_rotation_corpus_outranks_new_suite_ops(tmp_path, monkeypatch):
+    """Until the TPC-DS corpus is fully driver-confirmed, unseen
+    corpus queries must fill the window BEFORE unseen non-corpus
+    operators (the corpus is the standing top ask; new operators
+    queue for the following round)."""
+    import json
+
+    import flink_tpcds_spark.queries as q
+
+    corpus_names = [n for n in _QUERIES if n.startswith("q")]
+    # mark some corpus green, leaving more unseen corpus than window
+    rows = {
+        n: {"rows_match": True, "schema_match": True,
+            "hash_match": True, "err": None}
+        for n in corpus_names[:40]
+    }
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(rows))
+    monkeypatch.setattr(q, "_REPO", str(tmp_path))
+    window = list(q.all_queries())[:50]
+    unseen_corpus = [n for n in corpus_names if n not in rows]
+    # with 63 unseen corpus queries the whole window is corpus
+    assert len(unseen_corpus) >= 50
+    assert all(n in unseen_corpus for n in window)
