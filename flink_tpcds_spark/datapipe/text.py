@@ -344,6 +344,62 @@ def bigram_lm_scores(
     )
 
 
+def vocab_kl_divergence(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary drift between two corpus snapshots: symmetric
+    KL divergence over Laplace-smoothed token unigram distributions
+    (the token-level counterpart of the numeric drift detectors —
+    what shifts when a new source enters the mix or a filter changes
+    the register of the text). One row: token totals, union
+    vocabulary size, both KL directions and their mean (Jeffreys
+    divergence / 2), each rounded to 4 digits.
+
+    Scale shape: one token-granular count per side, a full-outer
+    vocabulary join, decimal-bridged term sums — vocabulary-sized
+    after the first aggregation, never corpus-sized.
+    """
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(F.explode(tokens(F.col(text_col))).alias("t"))
+            .groupBy("t")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(name))
+        )
+
+    j = (
+        counts(old, "ca")
+        .join(counts(new, "cb"), "t", "full_outer")
+        .select(
+            "t",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    tot = j.agg(
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    w = j.crossJoin(F.broadcast(tot))
+    half = F.lit(0.5)
+    pa = (F.col("ca") + half) / (F.col("na") + half * F.col("v"))
+    pb = (F.col("cb") + half) / (F.col("nb") + half * F.col("v"))
+    kl_ab = F.sum(F.round(pa * F.log(pa / pb), 8).cast("decimal(18,8)"))
+    kl_ba = F.sum(F.round(pb * F.log(pb / pa), 8).cast("decimal(18,8)"))
+    return w.agg(
+        F.max("na").cast("bigint").alias("n_tokens_old"),
+        F.max("nb").cast("bigint").alias("n_tokens_new"),
+        F.max("v").cast("bigint").alias("vocab_union"),
+        F.round(kl_ab.cast("double"), 4).alias("kl_old_new"),
+        F.round(kl_ba.cast("double"), 4).alias("kl_new_old"),
+        F.round(
+            ((kl_ab + kl_ba) / F.lit(2)).cast("double"), 4
+        ).alias("jeffreys_half"),
+    )
+
+
 # PII patterns, shared verbatim with the DuckDB oracles: the subset of
 # regex syntax with identical semantics in Java (Spark) and RE2
 # (DuckDB) — char classes, bounded repeats, \b, \d, alternation-free.

@@ -1489,3 +1489,61 @@ def dp_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicate_spans(d, k=3, min_span_tokens=5).orderBy(
         "doc_id"
     )
+
+
+@_q(
+    "dp_vocab_drift",
+    f"""
+    WITH ta AS (
+      SELECT unnest(toks) AS t
+      FROM (SELECT {_TOKS} AS toks FROM documents
+            WHERE source NOT IN ('src0', 'src1'))
+    ),
+    tb AS (
+      SELECT unnest(toks) AS t
+      FROM (SELECT {_TOKS} AS toks FROM documents
+            WHERE source IN ('src0', 'src1'))
+    ),
+    ca AS (SELECT t, CAST(count(*) AS BIGINT) AS ca FROM ta GROUP BY t),
+    cb AS (SELECT t, CAST(count(*) AS BIGINT) AS cb FROM tb GROUP BY t),
+    j AS (
+      SELECT COALESCE(ca.t, cb.t) AS t,
+             COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+      FROM ca FULL JOIN cb ON ca.t = cb.t
+    ),
+    tot AS (SELECT sum(ca) AS na, sum(cb) AS nb, count(*) AS v FROM j),
+    terms AS (
+      SELECT
+        round(((ca + 0.5) / (na + 0.5 * v))
+              * ln(((ca + 0.5) / (na + 0.5 * v))
+                   / ((cb + 0.5) / (nb + 0.5 * v))), 8) AS t_ab,
+        round(((cb + 0.5) / (nb + 0.5 * v))
+              * ln(((cb + 0.5) / (nb + 0.5 * v))
+                   / ((ca + 0.5) / (na + 0.5 * v))), 8) AS t_ba,
+        na, nb, v
+      FROM j, tot
+    )
+    SELECT CAST(max(na) AS BIGINT) AS n_tokens_old,
+           CAST(max(nb) AS BIGINT) AS n_tokens_new,
+           CAST(max(v) AS BIGINT) AS vocab_union,
+           round(CAST(sum(CAST(t_ab AS DECIMAL(18,8))) AS DOUBLE), 4)
+             AS kl_old_new,
+           round(CAST(sum(CAST(t_ba AS DECIMAL(18,8))) AS DOUBLE), 4)
+             AS kl_new_old,
+           round(CAST((sum(CAST(t_ab AS DECIMAL(18,8)))
+                       + sum(CAST(t_ba AS DECIMAL(18,8)))) / 2
+                 AS DOUBLE), 4) AS jeffreys_half
+    FROM terms
+    """,
+)
+def dp_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary drift (symmetric KL over smoothed token unigrams)
+    between the held-out sources and the rest of the corpus —
+    datapipe/text.py:vocab_kl_divergence."""
+    from ..datapipe.text import vocab_kl_divergence
+
+    d = load_table(spark, sf_dir, "documents")
+    return vocab_kl_divergence(
+        d.filter(~F.col("source").isin("src0", "src1")),
+        d.filter(F.col("source").isin("src0", "src1")),
+    )

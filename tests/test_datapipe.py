@@ -836,3 +836,24 @@ def test_remove_duplicate_spans_planted(spark):
     # untouched docs still appear, fully intact
     assert got[3].text_clean == rows[2][1]
     assert got[3].n_removed_tokens == 0
+
+
+def test_vocab_kl_divergence_semantics(spark):
+    from flink_tpcds_spark.datapipe.text import vocab_kl_divergence
+
+    same = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the dog ran to the park")],
+        "doc_id long, text string",
+    )
+    # identical corpora → zero divergence in both directions
+    z = vocab_kl_divergence(same, same).collect()[0]
+    assert z.kl_old_new == 0.0 and z.kl_new_old == 0.0
+    assert z.n_tokens_old == z.n_tokens_new
+    # disjoint vocabularies → strongly positive, symmetric-ish
+    other = spark.createDataFrame(
+        [(3, "zyx wvu tsr qpo nml kji hgf")], "doc_id long, text string"
+    )
+    d = vocab_kl_divergence(same, other).collect()[0]
+    assert d.kl_old_new > 0.5 and d.kl_new_old > 0.5
+    assert d.jeffreys_half > 0.5
+    assert d.vocab_union == 9 + 7  # 9 distinct tokens vs 7, disjoint
