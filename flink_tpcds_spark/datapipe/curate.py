@@ -312,9 +312,12 @@ def contamination_fraction(
     """Per-document contamination *score*: the fraction of a train
     document's distinct k-gram shingles that also occur anywhere in
     the held-out split. ``decontaminate`` reports only contaminated
-    docs; this emits EVERY train doc (zero rows included) with an
-    exact ``n_shared / n_shingles`` double — the signal a curation
-    policy thresholds instead of hard-dropping.
+    docs; this emits every train doc THAT HAS AT LEAST ``k`` TOKENS
+    (zero-contamination rows included) with an exact
+    ``n_shared / n_shingles`` double — the signal a curation policy
+    thresholds instead of hard-dropping. Docs shorter than ``k``
+    tokens have no k-gram shingles and are excluded from the output
+    (the oracle applies the same floor).
 
     Scale shape: like ``decontaminate`` — held-out side reduced to
     its distinct shingle vocabulary before the equi-join; the train

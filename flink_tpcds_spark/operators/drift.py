@@ -31,8 +31,14 @@ def chi2_statistic(
     two samples' category frequencies (the contingency-table
     homogeneity test — KS's companion for discrete columns).
     One row: ``(n_old, n_new, n_categories, chi2)``, chi2 rounded to
-    6 digits. Categories absent from one side contribute with
+    4 digits. Categories absent from one side contribute with
     observed 0 against their pooled expectation.
+
+    Cross-engine bridge note: unlike ``psi_statistic`` (which
+    pre-rounds each term to 8 digits before the decimal cast), the
+    per-category terms here feed the decimal sum unrounded — the
+    certified DuckDB oracle mirrors exactly this arithmetic, so the
+    two must change together.
 
     Scale shape: one groupBy per side to category granularity, one
     category-keyed outer join, one final aggregate — category-sized
@@ -155,9 +161,25 @@ def ks_statistic(
 ) -> DataFrame:
     """One-row result: ``(n_old, n_new, ks_d)`` with the EXACT
     two-sample KS statistic (rounded to 6 digits for cross-engine
-    rendering)."""
-    a = old.select(F.col(value_col).alias("v")).withColumn("__a", F.lit(1))
-    b = new.select(F.col(value_col).alias("v")).withColumn("__a", F.lit(0))
+    rendering).
+
+    NULLs in ``value_col`` are dropped up front (an ECDF is defined
+    over observed values; a null group would otherwise land in bucket
+    0 and corrupt the prefix sums). Raises ``ValueError`` if either
+    side is empty after the null filter — a 0-denominator ECDF has no
+    meaningful statistic and silently returning null would hide a
+    broken upstream feed.
+    """
+    a = (
+        old.select(F.col(value_col).alias("v"))
+        .where(F.col("v").isNotNull())
+        .withColumn("__a", F.lit(1))
+    )
+    b = (
+        new.select(F.col(value_col).alias("v"))
+        .where(F.col("v").isNotNull())
+        .withColumn("__a", F.lit(0))
+    )
     per_value = (
         a.unionAll(b)
         .groupBy("v")
@@ -187,6 +209,11 @@ def ks_statistic(
         run_a += per_bucket[k][0]
         run_b += per_bucket[k][1]
     n_a, n_b = run_a, run_b
+    if n_a == 0 or n_b == 0:
+        raise ValueError(
+            f"ks_statistic: empty sample after null filter "
+            f"(n_old={n_a}, n_new={n_b}) — ECDF undefined"
+        )
     off_rows = [(k, oa, ob) for k, (oa, ob) in offs.items()]
     spark = old.sparkSession
     off_df = spark.createDataFrame(

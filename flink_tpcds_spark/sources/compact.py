@@ -51,6 +51,11 @@ def compact_parquet(
     is preserved exactly (no ordering contract: parquet tables carry
     none between files).
     """
+    if os.path.realpath(src_path) == os.path.realpath(dst_path):
+        raise ValueError(
+            f"compact_parquet: dst_path == src_path ({src_path!r}) — "
+            "mode('overwrite') would truncate the source mid-scan"
+        )
     src_bytes, src_files = _dir_bytes(src_path)
     n_out = max(1, math.ceil(src_bytes / target_file_bytes))
     df = spark.read.parquet(src_path)

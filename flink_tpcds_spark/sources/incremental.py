@@ -100,9 +100,18 @@ class IncrementalAggState:
             merged = part
         tmp = self.path + ".updating"
         merged.write.mode("overwrite").parquet(tmp)
+        # Crash-safe swap: move the live state aside before promoting
+        # the new one, so a crash at any point leaves either the old
+        # state (at .old, recoverable) or the new state in place —
+        # never a window with no state at all.
+        backup = self.path + ".old"
+        if os.path.isdir(backup):
+            shutil.rmtree(backup)
         if os.path.isdir(self.path):
-            shutil.rmtree(self.path)
+            shutil.move(self.path, backup)
         shutil.move(tmp, self.path)
+        if os.path.isdir(backup):
+            shutil.rmtree(backup)
 
     def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """``writeStream.foreachBatch`` adapter: the same merge serves

@@ -480,6 +480,27 @@ def test_ks_statistic_matches_python_reference(spark, sf_dir):
     assert m.ks_d == 1.0
 
 
+def test_ks_statistic_null_and_empty_guards(spark):
+    """NULLs are dropped before the ECDF; an empty side raises
+    instead of emitting a null statistic."""
+    import pytest
+
+    from flink_tpcds_spark.operators.drift import ks_statistic
+
+    with_nulls = spark.createDataFrame(
+        [(1.0,), (2.0,), (None,), (None,)], "v double"
+    )
+    clean = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    row = ks_statistic(with_nulls, clean, "v").collect()[0]
+    assert row.n_old == 2 and row.n_new == 2 and row.ks_d == 0.0
+
+    empty = spark.createDataFrame([(None,)], "v double")
+    with pytest.raises(ValueError, match="empty sample"):
+        ks_statistic(empty, clean, "v")
+    with pytest.raises(ValueError, match="empty sample"):
+        ks_statistic(clean, empty, "v")
+
+
 def test_hll_overlap_estimate_close_to_exact(spark):
     """Inclusion-exclusion over HLL sketches recovers a planted
     overlap without joining the sides."""

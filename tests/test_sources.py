@@ -239,6 +239,17 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
     assert a == b
 
 
+def test_compact_parquet_rejects_in_place_overwrite(spark, sf_dir, tmp_path):
+    """dst == src would truncate the source mid-scan — refused."""
+    from flink_tpcds_spark.schemas import load_table
+    from flink_tpcds_spark.sources.compact import compact_parquet
+
+    src = str(tmp_path / "table")
+    load_table(spark, sf_dir, "region").write.parquet(src)
+    with pytest.raises(ValueError, match="dst_path == src_path"):
+        compact_parquet(spark, src, str(tmp_path / "." / "table"))
+
+
 def test_zorder_layout_skips_on_both_columns(spark, sf_dir, tmp_path):
     """Data-skipping property: after a Z-order rewrite on (user_id,
     value), per-file min/max spans are narrow on BOTH columns, where
