@@ -537,8 +537,8 @@ def bpe_merge_candidates(
     TakeOrdered (per-partition heaps), not a global sort, mirroring
     ``vocab_top_k``.
 
-    Driver registration (``dp_bpe_merges``) is queued for round 6 —
-    the round-5 correctness window is reserved for the TPC-DS drain.
+    Driver-gated as ``dp_bpe_merges`` (queries/datapipe.py) against a
+    DuckDB oracle computing the same weighted pair counts.
     """
     words = (
         df.select(F.explode(tokens(F.col(text_col))).alias("word"))

@@ -763,6 +763,42 @@ def dp_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dp_bpe_merges",
+    f"""
+    WITH words AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS n_word
+      FROM (SELECT unnest({_TOKS}) AS word FROM documents) t
+      WHERE length(word) >= 2
+      GROUP BY word
+    ),
+    pairs AS (
+      SELECT unnest([word[i:i+1] for i in range(1, length(word))]) AS pair,
+             n_word
+      FROM words
+    ),
+    c AS (
+      SELECT pair, CAST(sum(n_word) AS BIGINT) AS n_occurrences
+      FROM pairs GROUP BY pair
+    )
+    SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, pair)
+                AS BIGINT) AS merge_rank,
+           pair, n_occurrences
+    FROM c
+    ORDER BY merge_rank
+    LIMIT 50
+    """,
+)
+def dp_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-iteration BPE merge statistics: top-50 adjacent character
+    pairs inside corpus words, weighted by word occurrence, ranked
+    (count DESC, pair ASC) — datapipe/curate.py:bpe_merge_candidates."""
+    from ..datapipe.curate import bpe_merge_candidates
+
+    d = load_table(spark, sf_dir, "documents")
+    return bpe_merge_candidates(d, top_n=50).orderBy("merge_rank")
+
+
+@_q(
     "dp_chunking",
     f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
@@ -1146,15 +1182,78 @@ def dp_contamination_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dp_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-style semantic dedup: keep the minimum-id
-    representative of every cosine-0.4 neighborhood (lower-id rule →
-    deterministic, exactly SQL-checkable); pairs via the blocked tile
-    join, removal via one left-anti join —
-    datapipe/similarity.py:semantic_dedup."""
+    """SemDeDup-style semantic dedup, EXACT pair source (the
+    certification mode): keep the minimum-id representative of every
+    cosine-0.4 neighborhood (lower-id rule → deterministic, exactly
+    SQL-checkable); pairs via the blocked tile join, removal via one
+    left-anti join — datapipe/similarity.py:semantic_dedup. The
+    100 TB default is the IVF pair source, gated separately by
+    ``dp_semantic_dedup_ivf``."""
     from ..datapipe.similarity import semantic_dedup
 
     e = load_table(spark, sf_dir, "embeddings")
-    return semantic_dedup(e, threshold=0.4).orderBy("vec_id")
+    return semantic_dedup(e, threshold=0.4, pair_source="exact").orderBy(
+        "vec_id"
+    )
+
+
+@_q(
+    "dp_semantic_dedup_ivf",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_total,
+           TRUE AS soundness_ok,
+           TRUE AS recall_ok
+    FROM embeddings
+    """,
+)
+def dp_semantic_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the IVF-cell-restricted pair source — the scale
+    default (linear compute; see similarity.py:
+    embedding_near_dup_pairs_ivf). Cell topology is hash/sample
+    dependent, so the hard gate asserts invariants vs the exact path
+    computed in the same job:
+
+    - soundness: every IVF-dropped id is also exact-dropped (kept_ivf
+      ⊇ kept_exact — within-cell cosines are exact, so this must hold
+      with NO tolerance);
+    - recall: the IVF path finds ≥ 60 % of the exact path's drops
+      (measured 0.96 at sf0.01 with C=16, p=4 multi-probe);
+    - n_total: corpus cardinality must match the oracle's count.
+    """
+    from ..datapipe.similarity import semantic_dedup
+
+    e = load_table(spark, sf_dir, "embeddings")
+    kept_ivf = semantic_dedup(
+        e, threshold=0.4, pair_source="ivf", n_clusters=16, n_probe=4
+    )
+    kept_exact = semantic_dedup(e, threshold=0.4, pair_source="exact")
+    iv = kept_ivf.select(F.col("vec_id").alias("id_i")).withColumn(
+        "in_ivf", F.lit(1)
+    )
+    ex = kept_exact.select(F.col("vec_id").alias("id_e")).withColumn(
+        "in_exact", F.lit(1)
+    )
+    joined = e.select("vec_id").join(
+        iv, F.col("vec_id") == F.col("id_i"), "left"
+    ).join(ex, F.col("vec_id") == F.col("id_e"), "left")
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        # exact-kept ⊆ ivf-kept: no row kept by exact but dropped by ivf
+        (
+            F.sum(
+                F.when(
+                    F.col("in_exact").isNotNull()
+                    & F.col("in_ivf").isNull(),
+                    1,
+                ).otherwise(0)
+            )
+            == 0
+        ).alias("soundness_ok"),
+        (
+            F.sum(F.when(F.col("in_ivf").isNull(), 1).otherwise(0))
+            >= 0.6 * F.sum(F.when(F.col("in_exact").isNull(), 1).otherwise(0))
+        ).alias("recall_ok"),
+    )
 
 
 @_q(

@@ -607,10 +607,64 @@ def test_semantic_dedup_lower_id_rule(spark, sf_dir):
     pairs = embedding_near_dup_pairs(e, threshold=0.4).collect()
     dropped_expected = {r.id_b for r in pairs}
     all_ids = {r.vec_id for r in e.select("vec_id").collect()}
-    kept = {r.vec_id for r in semantic_dedup(e, threshold=0.4).collect()}
+    kept = {
+        r.vec_id
+        for r in semantic_dedup(
+            e, threshold=0.4, pair_source="exact"
+        ).collect()
+    }
     assert kept == all_ids - dropped_expected
     # at least the global minimum id always survives
     assert min(all_ids) in kept
+
+
+def test_semantic_dedup_ivf_sound_and_recall_floored(spark, sf_dir):
+    """The IVF (multi-probe) pair source is SOUND (pairs ⊆ exact
+    all-pairs, identical cos4 values) and its dedup drops ≥ 60 % of
+    the exact path's drops at C=16, p=4."""
+    from flink_tpcds_spark.datapipe.similarity import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_ivf,
+        semantic_dedup,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.id_a, r.id_b): r.cos4
+        for r in embedding_near_dup_pairs(e, threshold=0.4).collect()
+    }
+    ivf = {
+        (r.id_a, r.id_b): r.cos4
+        for r in embedding_near_dup_pairs_ivf(
+            e, threshold=0.4, n_clusters=16, n_probe=4
+        ).collect()
+    }
+    # soundness: subset with identical exact cosines
+    assert set(ivf) <= set(exact)
+    assert all(exact[k] == v for k, v in ivf.items())
+    # recall floor on the DROP set (what dedup actually acts on)
+    all_ids = {r.vec_id for r in e.select("vec_id").collect()}
+    kept_exact = {
+        r.vec_id
+        for r in semantic_dedup(
+            e, threshold=0.4, pair_source="exact"
+        ).collect()
+    }
+    kept_ivf = {
+        r.vec_id
+        for r in semantic_dedup(
+            e, threshold=0.4, pair_source="ivf", n_clusters=16, n_probe=4
+        ).collect()
+    }
+    assert kept_ivf >= kept_exact  # every IVF drop is a true drop
+    dropped_exact = all_ids - kept_exact
+    dropped_ivf = all_ids - kept_ivf
+    assert len(dropped_ivf) >= 0.6 * len(dropped_exact)
+    # unknown pair source fails loud
+    import pytest
+
+    with pytest.raises(ValueError, match="pair_source"):
+        semantic_dedup(e, pair_source="nope")
 
 
 def test_tfidf_top_terms_matches_local_computation(spark):
