@@ -88,9 +88,25 @@ def _driver_status() -> tuple[set[str], set[str]]:
 
 
 def _modules():
-    from . import corpus, datapipe, events, operators, tpcds_style, tpch
+    from . import (
+        corpus,
+        datapipe,
+        events,
+        operators,
+        streaming_inv,
+        tpcds_style,
+        tpch,
+    )
 
-    return (events, datapipe, operators, tpch, tpcds_style, corpus)
+    return (
+        events,
+        datapipe,
+        operators,
+        streaming_inv,
+        tpch,
+        tpcds_style,
+        corpus,
+    )
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
