@@ -4,6 +4,7 @@ from .checks import (
     has_pushed_filters,
     pushed_filters,
     scan_read_columns,
+    unpartitioned_windows,
     whole_stage_codegen_ops,
 )
 
@@ -13,5 +14,6 @@ __all__ = [
     "has_pushed_filters",
     "has_broadcast_join",
     "scan_read_columns",
+    "unpartitioned_windows",
     "whole_stage_codegen_ops",
 ]

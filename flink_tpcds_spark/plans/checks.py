@@ -56,6 +56,53 @@ def scan_read_columns(df: DataFrame) -> list[list[str]]:
     ]
 
 
+def _top_level_bracket_groups(args: str) -> list[str]:
+    """Top-level ``[...]`` groups of a formatted-plan Arguments line."""
+    groups: list[str] = []
+    depth = 0
+    start = -1
+    for i, ch in enumerate(args):
+        if ch == "[":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append(args[start + 1 : i])
+    return groups
+
+
+def unpartitioned_windows(df: DataFrame) -> list[str]:
+    """Window-exec nodes whose window spec has NO partition columns —
+    the single-partition shape that serializes an unbounded input
+    through one task at scale.
+
+    Formatted-plan rendering (Spark 4): a ``Window`` node's Arguments
+    are ``[functions], [partitionSpec], [orderSpec]`` and the
+    partition group is omitted entirely when empty (2 groups remain);
+    ``WindowGroupLimit`` renders ``[partitionSpec], [orderSpec], fn,
+    k, mode`` (1 bracket group when unpartitioned). Returns the node
+    header lines, one per offending node.
+    """
+    text = explain_text(df)
+    bad: list[str] = []
+    for block in re.split(r"\n\n", text):
+        lines = block.strip().split("\n")
+        header = lines[0].strip()
+        m = re.match(r"\(\d+\) (Window|WindowGroupLimit)\b", header)
+        if not m:
+            continue
+        arg_m = re.search(r"^Arguments: (.*)$", block, re.M)
+        if not arg_m:
+            continue
+        n_groups = len(_top_level_bracket_groups(arg_m.group(1)))
+        floor = 3 if m.group(1) == "Window" else 2
+        if n_groups < floor:
+            bad.append(header)
+    return bad
+
+
 def whole_stage_codegen_ops(df: DataFrame) -> int:
     """Number of distinct WholeStageCodegen spans in the EXECUTED plan.
 

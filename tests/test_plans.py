@@ -398,3 +398,39 @@ def test_dynamic_partition_pruning_on_partitioned_sink(spark, sf_dir, tmp_path):
         .count()
     )
     assert "dynamicpruning" in explain_text(q).lower()
+
+
+def test_no_unpartitioned_window_in_any_registered_query(spark, sf_dir):
+    """Standing invariant (VERDICT r5 item 4): no registered
+    NON-CORPUS query may plan a partition-less Window over an
+    unbounded input — the single-partition shape that serializes the
+    dataset through one task at 100 TB.
+
+    Whitelist (bounded by construction — the window runs over ≤ k
+    rows surviving a distributed TakeOrdered limit, so the "global"
+    window touches a constant-size set):
+    - dp_vocab_topk: rank over the k=25 rows of a vocab head
+      (curate.py:vocab_top_k — top.crossJoin after .limit(k));
+    - dp_bpe_merges: rank over top_n=50 pair rows
+      (curate.py:bpe_merge_candidates — same post-limit shape).
+
+    Vendored TPC-DS corpus queries are exempt: global
+    ``rank() OVER (ORDER BY …)`` is inherent to the benchmark text
+    (the reference degenerates to singleton distribution there too).
+    """
+    from flink_tpcds_spark.plans import unpartitioned_windows
+    from flink_tpcds_spark.queries import _modules
+
+    BOUNDED_POST_LIMIT = {"dp_vocab_topk", "dp_bpe_merges"}
+    offenders: dict[str, list[str]] = {}
+    for mod in _modules():
+        mod_name = mod.__name__.rsplit(".", 1)[-1]
+        if mod_name == "corpus":
+            continue
+        for name, fn in mod.QUERIES.items():
+            if name in BOUNDED_POST_LIMIT:
+                continue
+            bad = unpartitioned_windows(fn(spark, sf_dir))
+            if bad:
+                offenders[name] = bad
+    assert offenders == {}, f"unpartitioned windows: {offenders}"
