@@ -83,32 +83,50 @@ def main() -> None:
     # TPC-DS corpus wall-clock (the reference's own implicit metric is
     # its ITCase's JUnit wall-clock over the same 103 queries). Timing
     # only — correctness is tests/test_tpcds.py's DuckDB parity gate.
+    #
+    # Measured in BOTH catalog postures per round (VERDICT r5 item 5):
+    # 1. temp views, no stats — the driver-gate default;
+    # 2. catalog tables + once-per-load ANALYZE FOR ALL COLUMNS — the
+    #    cluster posture (CBO join-reorder with real cardinalities,
+    #    mirroring the reference's join-reorder-ON config,
+    #    TpcDsBatchExecITCase.scala:71-72). The one-time ANALYZE cost
+    #    is reported separately (at 100 TB it amortizes per load).
+    # `--stats` runs ONLY posture 2 (quick CBO experiments);
+    # SPARK_GRAFT_SKIP_STATS=1 runs only posture 1.
+    stats_only = "--stats" in sys.argv
+    skip_stats = os.environ.get("SPARK_GRAFT_SKIP_STATS") == "1"
     tpcds: dict | None = None
+    tpcds_stats: dict | None = None
     if os.environ.get("SPARK_GRAFT_SKIP_TPCDS") != "1":
         try:
             from flink_tpcds_spark.tpcds import datagen, runner
 
             data_dir = datagen.generate()
-            if os.environ.get("SPARK_GRAFT_ANALYZE") == "1":
-                # Cluster posture: catalog tables + per-column stats
-                # (once-per-load ANALYZE; CBO join reorder gets real
-                # cardinalities — scripts/bench_cbo.py measured −7.4 %
-                # on the suite). Off by default because at sf0.1 the
-                # one-time ANALYZE (~16 s) exceeds the per-suite win.
-                runner.register_catalog_tables(spark, data_dir, analyze=True)
-            else:
-                runner.register_spark_views(spark, data_dir)
             names = runner.query_names()
-            runner.run_spark("q96", spark)  # warmup
-            t0 = time.time()
-            for name in names:
-                runner.run_spark(name, spark)
-            tpcds = {
-                "queries": len(names),
-                "total_sec": round(time.time() - t0, 3),
-            }
+
+            def corpus_pass() -> dict:
+                runner.run_spark("q96", spark)  # warmup
+                t0 = time.time()
+                for name in names:
+                    runner.run_spark(name, spark)
+                return {
+                    "queries": len(names),
+                    "total_sec": round(time.time() - t0, 3),
+                }
+
+            if not stats_only:
+                runner.register_spark_views(spark, data_dir)
+                tpcds = corpus_pass()
+            if not skip_stats:
+                t0 = time.time()
+                runner.register_catalog_tables(
+                    spark, data_dir, analyze=True
+                )
+                analyze_sec = round(time.time() - t0, 3)
+                tpcds_stats = corpus_pass()
+                tpcds_stats["analyze_sec"] = analyze_sec
         except Exception:  # noqa: BLE001 — never break the bench contract
-            tpcds = None
+            pass
 
     total = round(sum(times.values()), 3)
     out = {
@@ -121,6 +139,8 @@ def main() -> None:
     }
     if tpcds is not None:
         out["tpcds_corpus"] = tpcds
+    if tpcds_stats is not None:
+        out["tpcds_corpus_stats"] = tpcds_stats
     print(json.dumps(out))
 
 

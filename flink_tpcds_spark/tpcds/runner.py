@@ -120,6 +120,9 @@ def register_catalog_tables(
     from .schema import TPCDS_SCHEMAS
 
     for t in names or list(TPCDS_SCHEMAS):
+        # a same-named temp view would SHADOW the catalog table and
+        # silently void the stats posture — drop it first
+        spark.catalog.dropTempView(t)
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         spark.sql(
             f"CREATE TABLE {t} USING parquet "

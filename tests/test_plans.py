@@ -434,3 +434,22 @@ def test_no_unpartitioned_window_in_any_registered_query(spark, sf_dir):
             if bad:
                 offenders[name] = bad
     assert offenders == {}, f"unpartitioned windows: {offenders}"
+
+
+def test_unpartitioned_window_detector(spark):
+    """The detector itself: flags global windows, passes partitioned
+    ones and WindowGroupLimit with a partition spec."""
+    from pyspark.sql.window import Window
+
+    from flink_tpcds_spark.plans import unpartitioned_windows
+
+    df = spark.range(100).withColumn("g", F.col("id") % 5)
+    w_part = df.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("g").orderBy("id"))
+    )
+    assert unpartitioned_windows(w_part) == []
+    w_glob = df.withColumn("rn", F.row_number().over(Window.orderBy("id")))
+    bad = unpartitioned_windows(w_glob)
+    assert len(bad) == 1 and "Window" in bad[0]
+    ranked = w_part.filter(F.col("rn") <= 3)
+    assert unpartitioned_windows(ranked) == []
