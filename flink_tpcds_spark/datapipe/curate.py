@@ -564,3 +564,64 @@ def bpe_merge_candidates(
     return top.withColumn(
         "merge_rank", F.row_number().over(w).cast("bigint")
     ).select("merge_rank", "pair", "n_occurrences")
+
+
+def length_histogram(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Sequence-length distribution in power-of-two buckets — the
+    corpus-QA report that sizes packing budgets and flags truncation
+    cliffs before a training run (a packing budget below the mass of
+    the histogram wastes compute; above it, truncation eats data).
+
+    Bucket b holds documents with token count in [2^b, 2^(b+1));
+    zero-token documents land in bucket -1. Returns one row per
+    non-empty bucket: (bucket, lo_tokens, hi_tokens, n_docs,
+    n_tokens, frac_docs, frac_tokens), fractions exact int/int
+    doubles.
+
+    Scale shape: one scan computes per-doc token counts (JVM regex,
+    no Python), one map-side-combined groupBy on the ≤ ~40 possible
+    bucket keys, and the corpus totals ride a broadcast 1-row join —
+    nothing row-sized after the first aggregation.
+    """
+    n = F.size(tokens(F.col(text_col)))
+    bucket = F.when(n <= 0, F.lit(-1)).otherwise(
+        F.floor(F.log2(n.cast("double"))).cast("int")
+    )
+    per_bucket = (
+        df.select(bucket.alias("bucket"), n.alias("__n"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("__n").cast("bigint").alias("n_tokens"),
+        )
+    )
+    totals = per_bucket.agg(
+        F.sum("n_docs").cast("bigint").alias("t_docs"),
+        F.sum("n_tokens").cast("bigint").alias("t_tokens"),
+    )
+    lo = F.when(F.col("bucket") < 0, F.lit(0)).otherwise(
+        F.expr("shiftleft(1L, bucket)")
+    )
+    hi = F.when(F.col("bucket") < 0, F.lit(0)).otherwise(
+        F.expr("shiftleft(1L, bucket + 1)") - 1
+    )
+    return (
+        per_bucket.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            lo.cast("bigint").alias("lo_tokens"),
+            hi.cast("bigint").alias("hi_tokens"),
+            "n_docs",
+            "n_tokens",
+            (F.col("n_docs").cast("double") / F.col("t_docs")).alias(
+                "frac_docs"
+            ),
+            (
+                F.col("n_tokens").cast("double")
+                / F.greatest(F.col("t_tokens"), F.lit(1))
+            ).alias("frac_tokens"),
+        )
+    )
