@@ -1646,3 +1646,47 @@ def dp_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(~F.col("source").isin("src0", "src1")),
         d.filter(F.col("source").isin("src0", "src1")),
     )
+
+
+@_q(
+    "dp_length_hist",
+    f"""
+    WITH t AS (
+      SELECT len({_TOKS}) AS n FROM documents
+    ),
+    b AS (
+      SELECT CASE WHEN n <= 0 THEN -1
+                  ELSE CAST(floor(log2(CAST(n AS DOUBLE))) AS INT) END
+               AS bucket,
+             n
+      FROM t
+    ),
+    g AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n) AS BIGINT) AS n_tokens
+      FROM b GROUP BY bucket
+    ),
+    tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS t_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS t_tokens FROM g)
+    SELECT bucket,
+           CAST(CASE WHEN bucket < 0 THEN 0
+                     ELSE 1::BIGINT << bucket END AS BIGINT) AS lo_tokens,
+           CAST(CASE WHEN bucket < 0 THEN 0
+                     ELSE (1::BIGINT << (bucket + 1)) - 1 END AS BIGINT)
+             AS hi_tokens,
+           n_docs, n_tokens,
+           CAST(n_docs AS DOUBLE) / t_docs AS frac_docs,
+           CAST(n_tokens AS DOUBLE) / greatest(t_tokens, 1) AS frac_tokens
+    FROM g, tot
+    ORDER BY bucket
+    """,
+)
+def dp_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length distribution in power-of-two buckets with exact
+    doc/token mass fractions — the packing-budget/truncation-cliff QA
+    report; one scan, bucket-key groupBy, broadcast totals —
+    datapipe/curate.py:length_histogram."""
+    from ..datapipe.curate import length_histogram
+
+    d = load_table(spark, sf_dir, "documents")
+    return length_histogram(d).orderBy("bucket")

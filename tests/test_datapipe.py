@@ -911,3 +911,51 @@ def test_vocab_kl_divergence_semantics(spark):
     assert d.kl_old_new > 0.5 and d.kl_new_old > 0.5
     assert d.jeffreys_half > 0.5
     assert d.vocab_union == 9 + 7  # 9 distinct tokens vs 7, disjoint
+
+
+def test_length_histogram_buckets_and_fractions(spark):
+    from flink_tpcds_spark.datapipe.curate import length_histogram
+
+    # token counts: 0 (empty), 0 (punct-only), 1, 2, 3, 4, 7, 8
+    rows = [
+        (1, ""),
+        (2, "!!! ... ???"),
+        (3, "one"),
+        (4, "a b"),
+        (5, "a b c"),
+        (6, "a b c d"),
+        (7, "a b c d e f g"),
+        (8, "a b c d e f g h"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.bucket: r for r in length_histogram(df).collect()}
+    # bucket -1: the two zero-token docs, lo=hi=0
+    assert got[-1].n_docs == 2 and got[-1].n_tokens == 0
+    assert got[-1].lo_tokens == 0 and got[-1].hi_tokens == 0
+    # bucket 0 = [1,1]: exactly the n=1 doc
+    assert got[0].n_docs == 1 and got[0].n_tokens == 1
+    assert (got[0].lo_tokens, got[0].hi_tokens) == (1, 1)
+    # bucket 1 = [2,3]: n=2 and n=3
+    assert got[1].n_docs == 2 and got[1].n_tokens == 5
+    assert (got[1].lo_tokens, got[1].hi_tokens) == (2, 3)
+    # bucket 2 = [4,7]: n=4 and n=7 (upper power-of-two boundary stays)
+    assert got[2].n_docs == 2 and got[2].n_tokens == 11
+    assert (got[2].lo_tokens, got[2].hi_tokens) == (4, 7)
+    # bucket 3 = [8,15]: n=8 rolls over exactly at the boundary
+    assert got[3].n_docs == 1 and got[3].n_tokens == 8
+    assert (got[3].lo_tokens, got[3].hi_tokens) == (8, 15)
+    # fractions are exact int/int and sum to 1
+    assert abs(sum(r.frac_docs for r in got.values()) - 1.0) < 1e-12
+    assert abs(sum(r.frac_tokens for r in got.values()) - 1.0) < 1e-12
+    assert got[3].frac_docs == 1 / 8 and got[1].frac_tokens == 5 / 25
+
+
+def test_length_histogram_all_empty_corpus(spark):
+    """frac_tokens guard: a corpus with zero total tokens must not
+    divide by zero — single bucket -1 row with frac_tokens 0."""
+    from flink_tpcds_spark.datapipe.curate import length_histogram
+
+    df = spark.createDataFrame([(1, ""), (2, "  ")], "doc_id long, text string")
+    rows = length_histogram(df).collect()
+    assert len(rows) == 1 and rows[0].bucket == -1
+    assert rows[0].frac_docs == 1.0 and rows[0].frac_tokens == 0.0
