@@ -24,12 +24,17 @@ driver leaves at the repo root and packs the window as
    (so the 103-query TPC-DS corpus drains as fast as the window
    allows — it is the standing top ask until complete), then any
    new non-corpus suite entries;
-3. everything already green, in stable suite order.
+3. everything already green, OLDEST last-green round first (stable
+   suite order breaking ties) — the steady-state posture once 0 red
+   and 0 unseen remain: every registered query is re-confirmed within
+   ⌈N/50⌉ driver rounds, so a silent regression (Spark upgrade,
+   datagen drift) cannot hide behind a years-old green row.
 
 A query is green if ANY round recorded rows+schema+hash all matching
 with no error. This self-heals: nothing to edit per round, a failed
 query automatically re-enters the window, and coverage monotonically
-expands until every entry has a driver-confirmed row.
+expands until every entry has a driver-confirmed row — after which
+the window becomes a rolling regression-confirmation sweep.
 """
 
 from __future__ import annotations
@@ -37,6 +42,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import warnings
 from collections.abc import Callable
 
@@ -50,13 +56,17 @@ _REPO = os.path.dirname(
 _WINDOW = 50
 
 
-def _driver_status() -> tuple[set[str], set[str]]:
-    """(green, seen) query names across all CORRECTNESS_r*.json files.
+def _driver_status() -> tuple[dict[str, int], set[str]]:
+    """(green_round, seen) across all CORRECTNESS_r*.json files.
 
-    Green = at least one round with rows/schema/hash all matching and
-    no error. Seen = appeared in any round's file.
+    ``green_round[name]`` = the LATEST round number whose file records
+    a green row (rows/schema/hash all matching, no error) for the
+    query; absent = never green. ``seen`` = appeared in any round's
+    file. The round number is parsed from the filename
+    (``CORRECTNESS_r07.json`` → 7) so staleness ranking survives
+    files being rewritten in place.
     """
-    green: set[str] = set()
+    green: dict[str, int] = {}
     seen: set[str] = set()
     files = sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")))
     if not files:
@@ -74,6 +84,8 @@ def _driver_status() -> tuple[set[str], set[str]]:
         except (OSError, ValueError) as e:  # pragma: no cover
             warnings.warn(f"unreadable {path}: {e}", stacklevel=2)
             continue
+        m = re.search(r"CORRECTNESS_r(\d+)", os.path.basename(path))
+        rnd = int(m.group(1)) if m else 0
         for name, row in data.items():
             seen.add(name)
             if (
@@ -83,7 +95,7 @@ def _driver_status() -> tuple[set[str], set[str]]:
                 and row.get("hash_match")
                 and not row.get("err")
             ):
-                green.add(name)
+                green[name] = max(green.get(name, 0), rnd)
     return green, seen
 
 
@@ -126,8 +138,18 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     unseen_other = [
         n for n in merged if n not in seen and n not in corpus.QUERIES
     ]
+    # Steady state (0 red, 0 unseen): re-confirm the STALEST greens
+    # first — oldest last-green round, suite order breaking ties — so
+    # a silent regression (Spark upgrade, datagen drift) in any of the
+    # N registered queries resurfaces within ⌈N/window⌉ rounds.
+    stable_idx = {n: i for i, n in enumerate(merged)}
+    stale_green = sorted(
+        (n for n in green if n in stable_idx),
+        key=lambda n: (green[n], stable_idx[n]),
+    )
+
     front: list[str] = []
-    for group in (red, unseen_corpus, unseen_other):
+    for group in (red, unseen_corpus, unseen_other, stale_green):
         for n in group:
             if len(front) >= _WINDOW:
                 break

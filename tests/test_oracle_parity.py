@@ -210,3 +210,77 @@ def test_window_rotation_corpus_outranks_new_suite_ops(tmp_path, monkeypatch):
     # with 63 unseen corpus queries the whole window is corpus
     assert len(unseen_corpus) >= 50
     assert all(n in unseen_corpus for n in window)
+
+
+def test_window_rotation_steady_state_reconfirms_stalest_greens(
+    tmp_path, monkeypatch
+):
+    """Steady state (0 red, 0 unseen): the window must hold the 50
+    queries whose last green row is OLDEST, so regressions resurface
+    within ⌈N/50⌉ rounds instead of hiding behind an ancient green."""
+    import json
+
+    import flink_tpcds_spark.queries as q
+
+    names = [n for mod in q._modules() for n in mod.QUERIES]
+    # everything green; first 80 certified in r1, the rest in r2
+    r1 = {n: {"rows_match": True, "schema_match": True,
+              "hash_match": True, "err": None} for n in names[:80]}
+    r2 = {n: {"rows_match": True, "schema_match": True,
+              "hash_match": True, "err": None} for n in names[80:]}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(r1))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps(r2))
+    monkeypatch.setattr(q, "_REPO", str(tmp_path))
+    window = list(q.all_queries())[:50]
+    # all 50 come from the r1 (stalest) cohort, in stable suite order
+    assert window == names[:50]
+
+
+def test_window_rotation_full_registry_recertifies(tmp_path, monkeypatch):
+    """Simulated driver loop: with everything green once, successive
+    50-entry windows must re-certify EVERY registered query within
+    ⌈N/50⌉ rounds (no query starves out of the rotation)."""
+    import json
+    import math
+
+    import flink_tpcds_spark.queries as q
+
+    names = list(_QUERIES)
+    green = {n: {"rows_match": True, "schema_match": True,
+                 "hash_match": True, "err": None} for n in names}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(green))
+    monkeypatch.setattr(q, "_REPO", str(tmp_path))
+
+    need = math.ceil(len(names) / 50)
+    recertified: set[str] = set()
+    for rnd in range(2, 2 + need):
+        window = list(q.all_queries())[:50]
+        rows = {n: {"rows_match": True, "schema_match": True,
+                    "hash_match": True, "err": None} for n in window}
+        (tmp_path / f"CORRECTNESS_r{rnd:02d}.json").write_text(
+            json.dumps(rows)
+        )
+        recertified.update(window)
+    assert recertified == set(names), (
+        f"{len(names) - len(recertified)} queries starved: "
+        f"{sorted(set(names) - recertified)[:5]}"
+    )
+
+
+def test_window_rotation_red_still_outranks_stale_green(
+    tmp_path, monkeypatch
+):
+    """A red query must pin ahead of even the stalest green."""
+    import json
+
+    import flink_tpcds_spark.queries as q
+
+    names = [n for mod in q._modules() for n in mod.QUERIES]
+    rows = {n: {"rows_match": True, "schema_match": True,
+                "hash_match": True, "err": None} for n in names}
+    rows[names[200]] = {"rows_match": True, "schema_match": True,
+                        "hash_match": False, "err": None}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(rows))
+    monkeypatch.setattr(q, "_REPO", str(tmp_path))
+    window = list(q.all_queries())[:50]
+    assert window[0] == names[200]
