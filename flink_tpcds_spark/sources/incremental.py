@@ -53,9 +53,25 @@ class IncrementalAggState:
             F.max(v).alias("mx"),
         )
 
+    def _recover(self) -> None:
+        """Heal the one non-atomic crash window of the swap below: a
+        crash between ``move(path, .old)`` and ``move(.updating,
+        path)`` leaves only the backup — without this, the next
+        ``update`` would treat its single batch as the FULL state and
+        then delete the backup, silently discarding all history. A
+        backup alongside a live state dir (crash after promote,
+        before cleanup) is stale and removed."""
+        backup = self.path + ".old"
+        if os.path.isdir(backup):
+            if not os.path.isdir(self.path):
+                shutil.move(backup, self.path)
+            else:
+                shutil.rmtree(backup)
+
     def update(self, spark, batch_df: DataFrame) -> None:
         """Merge one new batch into the state (one batch-sized agg +
         one state-sized keyed merge; history is never re-read)."""
+        self._recover()
         part = self._partial(batch_df)
         if os.path.isdir(self.path):
             state = spark.read.parquet(self.path)
@@ -122,6 +138,7 @@ class IncrementalAggState:
 
     def result(self, spark) -> DataFrame:
         """The maintained rollup: count, sum, min, max + derived avg."""
+        self._recover()
         state = spark.read.parquet(self.path)
         return state.select(
             *self.key_cols,

@@ -138,10 +138,19 @@ class ParquetUpsertSink:
     most once (true for update-mode aggregation output, which emits
     each changed key's final value once per batch).
 
-    The directory swap in ``compact`` uses local-filesystem renames;
-    a cluster deployment would swap via its object-store commit
-    protocol (or write a manifest) — the read/merge topology is
-    unchanged.
+    **Replay idempotency.** ``foreachBatch`` is at-least-once: after
+    a post-write/pre-checkpoint failure Structured Streaming re-runs
+    the same ``batch_id``. Each batch therefore owns the hive-style
+    partition directory ``__batch_id=N`` and a replay OVERWRITES it
+    instead of appending a second copy of the delta — the changelog
+    never double-counts. Partition discovery on the root recovers
+    ``__batch_id`` as a column, so readers are unchanged.
+
+    The directory swap in ``compact`` uses local-filesystem renames
+    with a ``.old`` backup (crash at any point leaves either the old
+    or the new changelog, never neither); a cluster deployment would
+    swap via its object-store commit protocol (or write a manifest)
+    — the read/merge topology is unchanged.
     """
 
     BATCH_COL = "__batch_id"
@@ -150,16 +159,32 @@ class ParquetUpsertSink:
         self.path = path
         self.key_cols = key_cols
 
-    def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.sql import functions as F
+    def _recover(self) -> None:
+        """Heal a crash mid-``compact``: backup-only → restore it;
+        backup alongside a live log (crash after promote) → stale,
+        remove it."""
+        import os
+        import shutil
 
+        backup = self.path + ".old"
+        if os.path.isdir(backup):
+            if not os.path.isdir(self.path):
+                shutil.move(backup, self.path)
+            else:
+                shutil.rmtree(backup)
+
+    def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        self._recover()
         (
-            batch_df.withColumn(self.BATCH_COL, F.lit(int(batch_id)))
-            .write.mode("append")
-            .parquet(self.path)
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(self.path, f"{self.BATCH_COL}={int(batch_id)}")
+            )
         )
 
     def changelog(self, spark) -> DataFrame:
+        self._recover()
         return spark.read.parquet(self.path)
 
     def snapshot(self, spark) -> DataFrame:
@@ -180,6 +205,7 @@ class ParquetUpsertSink:
         """Rewrite the changelog to its snapshot (log compaction).
         Keeps each surviving row's original batch stamp so later
         batches still win after compaction."""
+        import os
         import shutil
 
         from pyspark.sql import functions as F
@@ -195,6 +221,16 @@ class ParquetUpsertSink:
             .drop("__rn")
         )
         tmp = self.path + ".compacting"
-        latest.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(self.path)
+        latest.write.partitionBy(self.BATCH_COL).mode("overwrite").parquet(
+            tmp
+        )
+        # Same .old-backup swap as IncrementalAggState.update
+        # (sources/incremental.py): a crash at any point leaves either
+        # the full pre-compaction log (restored by _recover) or the
+        # compacted one — never an empty window.
+        backup = self.path + ".old"
+        if os.path.isdir(backup):
+            shutil.rmtree(backup)
+        shutil.move(self.path, backup)
         shutil.move(tmp, self.path)
+        shutil.rmtree(backup)

@@ -719,3 +719,88 @@ def test_streaming_incremental_rollup_matches_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_parquet_upsert_sink_replay_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-running the SAME batch_id
+    (post-write/pre-checkpoint failure replay) must overwrite the
+    batch's partition, not append a second delta — changelog row
+    count and snapshot are unchanged."""
+    from flink_tpcds_spark.streaming.sinks import ParquetUpsertSink
+
+    sink = ParquetUpsertSink(str(tmp_path / "log"), ["k"])
+    b0 = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v long")
+    b1 = spark.createDataFrame([("a", 3)], "k string, v long")
+    sink.foreach_batch(b0, batch_id=0)
+    sink.foreach_batch(b1, batch_id=1)
+    assert sink.changelog(spark).count() == 3
+    snap = {tuple(r) for r in sink.snapshot(spark).collect()}
+    assert snap == {("a", 3), ("b", 2)}
+
+    # replay batch 1 (identical content) — nothing may change
+    sink.foreach_batch(b1, batch_id=1)
+    assert sink.changelog(spark).count() == 3
+    assert {tuple(r) for r in sink.snapshot(spark).collect()} == snap
+
+
+def test_parquet_upsert_sink_compact_crash_recovery(spark, tmp_path):
+    """A crash between compact()'s two renames (log at .old, nothing
+    live) must heal on the next read: _recover restores the backup
+    and the snapshot is intact. A stale .old next to a live log is
+    removed."""
+    import os
+    import shutil
+
+    from flink_tpcds_spark.streaming.sinks import ParquetUpsertSink
+
+    path = str(tmp_path / "log")
+    sink = ParquetUpsertSink(path, ["k"])
+    sink.foreach_batch(
+        spark.createDataFrame([("a", 1)], "k string, v long"), 0
+    )
+    sink.foreach_batch(
+        spark.createDataFrame([("a", 2), ("b", 5)], "k string, v long"), 1
+    )
+    # simulate the crash window: live log moved aside, promote lost
+    shutil.move(path, path + ".old")
+    assert not os.path.isdir(path)
+    snap = {tuple(r) for r in sink.snapshot(spark).collect()}
+    assert snap == {("a", 2), ("b", 5)}
+    assert os.path.isdir(path) and not os.path.isdir(path + ".old")
+
+    # stale backup beside a live log (crash after promote) is cleaned
+    shutil.copytree(path, path + ".old")
+    sink.foreach_batch(
+        spark.createDataFrame([("b", 9)], "k string, v long"), 2
+    )
+    assert not os.path.isdir(path + ".old")
+    assert dict(sink.snapshot(spark).collect())["b"] == 9
+
+    # and compact() itself still round-trips with the backup dance
+    sink.compact(spark)
+    assert sink.changelog(spark).count() == 2
+    assert not os.path.isdir(path + ".old")
+    assert dict(sink.snapshot(spark).collect()) == {"a": 2, "b": 9}
+
+
+def test_incremental_state_orphaned_backup_restored(spark, tmp_path):
+    """ADVICE r6: a crash between IncrementalAggState.update's two
+    renames leaves only the .old backup; the next update must restore
+    it and merge on top of FULL history — not treat the new batch as
+    the whole state."""
+    import os
+    import shutil
+
+    from flink_tpcds_spark.sources.incremental import IncrementalAggState
+
+    path = str(tmp_path / "state")
+    state = IncrementalAggState(path, ["k"], "v")
+    state.update(
+        spark, spark.createDataFrame([("a", 1.0), ("a", 2.0)], "k string, v double")
+    )
+    # crash window: state moved to backup, promote never happened
+    shutil.move(path, path + ".old")
+    state.update(spark, spark.createDataFrame([("a", 4.0)], "k string, v double"))
+    row = state.result(spark).collect()[0]
+    assert (row.k, row.cnt, row.total) == ("a", 3, 7.0)
+    assert not os.path.isdir(path + ".old")
