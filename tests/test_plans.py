@@ -453,3 +453,37 @@ def test_unpartitioned_window_detector(spark):
     assert len(bad) == 1 and "Window" in bad[0]
     ranked = w_part.filter(F.col("rn") <= 3)
     assert unpartitioned_windows(ranked) == []
+
+
+def test_unpartitioned_rank_filter_is_flagged(spark):
+    """ADVICE r6: the WindowGroupLimit floor (2 bracket groups) is
+    untested for the unpartitioned case. Empirically Spark 4 does NOT
+    insert WindowGroupLimit for an empty partition spec — the global
+    rank-filter plans a bare Window node, which the gate flags — so
+    the detector cannot be bypassed through that node. This test pins
+    both facts; if a Spark upgrade starts emitting an unpartitioned
+    WindowGroupLimit, the node-count assertion fails and the floor
+    logic gets exercised for real."""
+    from flink_tpcds_spark.plans import explain_text, unpartitioned_windows
+    from pyspark.sql.window import Window
+
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    glob_ranked = df.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.desc("v")))
+    ).filter(F.col("rn") <= 5)
+    text = explain_text(glob_ranked)
+    assert "WindowGroupLimit" not in text, (
+        "Spark now emits WindowGroupLimit for empty partition specs — "
+        "verify plans/checks.py renders/flags it correctly"
+    )
+    bad = unpartitioned_windows(glob_ranked)
+    assert len(bad) == 1 and "Window" in bad[0]
+    # the partitioned twin emits WindowGroupLimit nodes and passes
+    part_ranked = df.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy(F.col("id") % 3).orderBy(F.desc("v"))
+        ),
+    ).filter(F.col("rn") <= 5)
+    assert "WindowGroupLimit" in explain_text(part_ranked)
+    assert unpartitioned_windows(part_ranked) == []
