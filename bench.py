@@ -105,13 +105,24 @@ def main() -> None:
             names = runner.query_names()
 
             def corpus_pass() -> dict:
+                # Per-query wall-clock (VERDICT r6 item 4): the
+                # reference's implicit metric is per-case JUnit time
+                # (TpcDsBatchExecITCase.scala:96-99); without it,
+                # suite-level drift cannot be attributed to a query.
                 runner.run_spark("q96", spark)  # warmup
+                per_q: dict[str, float] = {}
                 t0 = time.time()
                 for name in names:
+                    q0 = time.time()
                     runner.run_spark(name, spark)
+                    per_q[name] = round(time.time() - q0, 3)
+                slowest = dict(
+                    sorted(per_q.items(), key=lambda kv: -kv[1])[:10]
+                )
                 return {
                     "queries": len(names),
                     "total_sec": round(time.time() - t0, 3),
+                    "top10_slowest": slowest,
                 }
 
             if not stats_only:

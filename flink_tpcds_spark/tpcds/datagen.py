@@ -261,6 +261,35 @@ SIZES_N = {
     "inv_item_step": 2,
 }
 
+# dsdgen SF1 volumes (the reference ITCase's actual scale,
+# TpcDsBatchExecITCase.scala:106 — ``dsdgen -SCALE 1``): fact tables at
+# the published SF1 row counts, dimension tables at dsdgen's SF1 sizes
+# where they scale (item/customer/address/pages) and unchanged where
+# they don't (store/call_center/warehouse already equal dsdgen SF1).
+# The demographic cross-product dims keep the reduced micro
+# cardinality — their size is SF-independent in dsdgen and only the
+# filtered values matter to the corpus. Planted cohorts (absolute
+# low row indices) survive unchanged at this scale.
+SIZES_SF1 = {
+    **SIZES_N,
+    "item": 18_000,
+    "customer": 100_000,
+    "customer_address": 50_000,
+    "catalog_page": 11_718,
+    "web_site": 30,
+    "web_page": 60,
+    "promotion": 300,
+    "ss_tickets": 240_000,
+    "ss_lines": 2_880_000,
+    "cs_orders": 160_000,
+    "cs_lines": 1_440_000,
+    "ws_orders": 72_000,
+    "ws_lines": 720_000,
+    # weekly snapshots of every 2nd item × 5 warehouses ≈ 14.1M rows
+    # (dsdgen SF1: 11.7M)
+    "inv_item_step": 2,
+}
+
 # Density knobs: micro-scale data needs deliberate correlation for
 # the most selective query families to return rows (at dsdgen SF1 the
 # sheer row count provides it).
@@ -1791,12 +1820,29 @@ def plant_cohorts(tables: dict) -> dict:
     return tables
 
 
-def generate(out_dir: str = DEFAULT_DIR, force: bool = False) -> str:
+def generate(
+    out_dir: str = DEFAULT_DIR,
+    force: bool = False,
+    sizes: dict | None = None,
+) -> str:
     """Generate all 24 tables as parquet under ``out_dir`` (cached:
-    re-generation is skipped when the marker file exists)."""
+    re-generation is skipped when the marker file exists).
+
+    ``sizes`` overrides the row-count dict for the run (e.g.
+    ``SIZES_SF1`` for the reference ITCase's dsdgen -SCALE 1 volumes);
+    the module global is swapped for the duration because the
+    cohort-planting helpers read ``SIZES_N`` directly."""
+    global SIZES_N
     marker = os.path.join(out_dir, MARKER)
     if os.path.exists(marker) and not force:
         return out_dir
+    if sizes is not None:
+        prev = SIZES_N
+        SIZES_N = dict(sizes)
+        try:
+            return generate(out_dir, force=force, sizes=None)
+        finally:
+            SIZES_N = prev
     os.makedirs(out_dir, exist_ok=True)
     s = SIZES_N
     dims = {
