@@ -69,6 +69,16 @@ def query_names() -> list[str]:
 # an ORDER BY reference ambiguous that Spark resolves to the
 # single output column.
 DUCK_PATCHES = {
+    # (c) decimal→int CAST semantics: Spark (and the reference's
+    # Calcite/Flink planner) truncate toward zero; DuckDB rounds.
+    # q54's revenue/50 segment hits a .5+ boundary at SF1 volumes
+    # (micro data never did) — make the oracle truncate explicitly.
+    "q54": [
+        (
+            "cast((revenue/50) as int)",
+            "cast(trunc(revenue/50) as int)",
+        )
+    ],
     "q58": [("order by item_id", "order by ss_items.item_id")],
     "q72": [
         (

@@ -1,0 +1,52 @@
+#!/usr/bin/env python
+"""Decade-up CORRECTNESS check: every corpus query must still match
+DuckDB on the SF1-volume data (scripts/bench_sf1.py timed it; this
+verifies it). Same comparator as the sf-micro gate
+(tests/test_tpcds.py) — value-canonicalized rows, subset check for
+the reference's UNCERTAIN ties-in-LIMIT set.
+
+Usage: python scripts/check_tpcds_sf1_parity.py [--data-dir DIR]
+Prints one line per failing query and a final verdict line.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m")
+
+from flink_tpcds_spark.session import get_spark  # noqa: E402
+from flink_tpcds_spark.tpcds import runner  # noqa: E402
+from flink_tpcds_spark.tpcds.datagen import SIZES_SF1, generate  # noqa: E402
+
+
+def main() -> None:
+    data_dir = "/tmp/tpcds_sf1"
+    if "--data-dir" in sys.argv:
+        data_dir = sys.argv[sys.argv.index("--data-dir") + 1]
+    generate(data_dir, sizes=SIZES_SF1)
+
+    spark = get_spark("sf1-parity")
+    runner.register_spark_views(spark, data_dir)
+    con = runner.duckdb_conn(data_dir)
+
+    t0 = time.time()
+    bad: list[str] = []
+    for name in runner.query_names():
+        res = runner.run_one(name, spark, con)
+        if not res.ok:
+            bad.append(name)
+            print(f"FAIL {name}: {res.detail}", flush=True)
+    print(
+        f"{len(bad)} failures of {len(runner.query_names())} "
+        f"in {time.time() - t0:.0f}s: {bad}"
+    )
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
