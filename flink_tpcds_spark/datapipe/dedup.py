@@ -262,13 +262,23 @@ def minhash_near_dup_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
+    # shuffle_hash hint: the shingle table is corpus-sized with fat
+    # array rows — its byte size is invisible to the optimizer's
+    # estimate (computed columns), so AQE can pick a broadcast join
+    # that OOMs the driver at ~500k docs. Never broadcast it; a
+    # per-partition hash build after the id shuffle is bounded by
+    # maxPartitionBytes at any corpus size.
     verified = (
         candidates.join(
-            sh_table.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
+            sh_table.select(
+                F.col("id").alias("id_a"), F.col("sh").alias("sh_a")
+            ).hint("shuffle_hash"),
             "id_a",
         )
         .join(
-            sh_table.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
+            sh_table.select(
+                F.col("id").alias("id_b"), F.col("sh").alias("sh_b")
+            ).hint("shuffle_hash"),
             "id_b",
         )
         .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
@@ -320,8 +330,11 @@ def ngram_jaccard_pairs_exact(
     dfreq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     by_rarity = Window.partitionBy("id").orderBy("df", "shingle")
     prefix_len = F.col("n") - F.ceil(F.col("n") * F.lit(threshold)) + 1
+    # dfreq is distinct-shingle-sized — grows with the corpus, so it
+    # must not be broadcast either (same class of mis-estimate as the
+    # verify join below).
     prefixes = (
-        exploded.join(dfreq, "shingle")
+        exploded.join(dfreq.hint("shuffle_hash"), "shingle")
         .withColumn("pos", F.row_number().over(by_rarity))
         .filter(F.col("pos") <= prefix_len)
         .select("blk", "shingle", "id", "n")
@@ -343,12 +356,21 @@ def ngram_jaccard_pairs_exact(
         .select("id_a", "id_b")
         .distinct()
     )
+    # shuffle_hash: same reasoning as minhash_near_dup_pairs' verify
+    # join — the shingle-array table must never be broadcast (measured
+    # driver OOM at 500k docs when AQE mis-estimated it).
     verified = (
         candidates.join(
-            base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+            base.select(
+                F.col("id").alias("id_a"), F.col("sh").alias("sh_a")
+            ).hint("shuffle_hash"),
+            "id_a",
         )
         .join(
-            base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b"
+            base.select(
+                F.col("id").alias("id_b"), F.col("sh").alias("sh_b")
+            ).hint("shuffle_hash"),
+            "id_b",
         )
         .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
     )

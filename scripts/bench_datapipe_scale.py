@@ -1,0 +1,169 @@
+#!/usr/bin/env python
+"""Decade-up scaling measurement for the LLM-datapipe stack.
+
+The corpus-side twin of scripts/bench_sf1.py: every 100 TB verdict on
+the dedup/ANN/text operators is a plan-shape argument verified at
+sf0.1 (5k docs / 2k vectors); this script MEASURES the same operators
+at ×10 and ×100 that volume and checks exact structural invariants.
+
+Scaled corpora are built by structure-preserving transforms so the
+expected results are known in closed form:
+
+- documents ×m: copy k gets a per-copy random character permutation
+  (a bijection on characters → a bijection on
+  tokens → a bijection on shingle sets). Jaccard similarity is
+  invariant under a token bijection, so every copy carries EXACTLY
+  the original duplicate structure, while cross-copy token spaces are
+  disjoint — near-dup pair count must be exactly m× the base count,
+  and length_histogram's fraction columns must be bit-identical.
+- embeddings ×m: copy k multiplies every vector elementwise by a
+  deterministic ±1 pattern (sign flip). Within-copy cosines are
+  EXACTLY preserved ((s⊙x)·(s⊙y) = x·y); cross-copy cosines
+  concentrate near 0 at dim=64.
+
+Usage: python scripts/bench_datapipe_scale.py [--scales 1,10,100]
+Prints one JSON line: per-op seconds at each scale + invariant checks.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from flink_tpcds_spark.session import get_spark  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+WORK = "/tmp/datapipe_scale"
+
+from flink_tpcds_spark.datapipe.scaling import (  # noqa: E402
+    COPY_OFFSET as OFF,
+    scaled_documents,
+    scaled_embeddings,
+)
+
+
+def build(spark, m: int) -> tuple[str, str]:
+    docs_path = f"{WORK}/documents_x{m}.parquet"
+    embs_path = f"{WORK}/embeddings_x{m}.parquet"
+    if os.path.exists(docs_path) and os.path.exists(embs_path):
+        return docs_path, embs_path
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    embs = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    scaled_documents(docs, m).repartition(32).write.mode(
+        "overwrite"
+    ).parquet(docs_path)
+    scaled_embeddings(embs, m).repartition(32).write.mode(
+        "overwrite"
+    ).parquet(embs_path)
+    return docs_path, embs_path
+
+
+def main() -> None:
+    scales = [1, 10, 100]
+    if "--scales" in sys.argv:
+        scales = [
+            int(x)
+            for x in sys.argv[sys.argv.index("--scales") + 1].split(",")
+        ]
+    spark = get_spark("datapipe-scale")
+
+    from flink_tpcds_spark.datapipe.curate import length_histogram
+    from flink_tpcds_spark.datapipe.dedup import (
+        exact_dedup_stats,
+        minhash_near_dup_pairs,
+        ngram_jaccard_pairs_exact,
+        release_caches,
+        simhash_fingerprints,
+    )
+    from flink_tpcds_spark.datapipe.similarity import (
+        knn_bruteforce,
+        knn_ivf,
+        semantic_dedup,
+    )
+    from flink_tpcds_spark.datapipe.text import (
+        add_quality_columns,
+        token_stats,
+    )
+
+    out: dict = {"metric": "datapipe_scale", "scales": {}}
+    base_vals: dict = {}
+    for m in scales:
+        docs_path, embs_path = build(spark, m)
+        docs = spark.read.parquet(docs_path)
+        embs = spark.read.parquet(embs_path)
+        n_embs = embs.count()
+        # FIXED query set (copy-0 only): knn timing then measures how
+        # the CORPUS side scales, not query fan-out.
+        qf = (F.col("vec_id") < OFF) & (F.col("vec_id") % 20 == 0)
+        # scale posture: cells of ~256 vectors, like any real IVF
+        # deployment (fixed cell size → linear total compute)
+        n_cells = max(16, n_embs // 256)
+
+        ops = {
+            "token_stats_sum": lambda: token_stats(docs)
+            .agg(F.sum("n_tokens"))
+            .collect()[0][0],
+            "quality_rows": lambda: add_quality_columns(docs).count(),
+            "length_hist": lambda: sorted(
+                (r.bucket, r.n_docs, round(r.frac_docs, 12))
+                for r in length_histogram(docs).collect()
+            ),
+            "exact_dup_docs": lambda: exact_dedup_stats(docs)
+            .agg(F.sum("n_dups"))
+            .collect()[0][0],
+            "minhash_pairs": lambda: minhash_near_dup_pairs(docs).count(),
+            "jaccard_pairs": lambda: ngram_jaccard_pairs_exact(docs).count(),
+            "simhash_rows": lambda: simhash_fingerprints(docs).count(),
+            "knn_bf_rows": lambda: knn_bruteforce(embs, qf, k=10).count(),
+            "knn_ivf_rows": lambda: knn_ivf(
+                embs, qf, k=10, n_clusters=n_cells
+            ).count(),
+            "semantic_kept": lambda: semantic_dedup(
+                embs, n_clusters=n_cells
+            ).count(),
+        }
+        res: dict = {}
+        for name, fn in ops.items():
+            release_caches()
+            t0 = time.time()
+            val = fn()
+            res[name] = {"sec": round(time.time() - t0, 2), "val": val}
+        out["scales"][m] = {
+            "rows_docs": docs.count(),
+            "rows_embs": embs.count(),
+            "ops": {
+                n: {
+                    "sec": r["sec"],
+                    "val": r["val"] if not isinstance(r["val"], list) else "hist",
+                }
+                for n, r in res.items()
+            },
+        }
+        if m == scales[0] and m == 1:
+            base_vals = {n: r["val"] for n, r in res.items()}
+        elif base_vals:
+            inv = {}
+            for n in ("exact_dup_docs", "minhash_pairs", "jaccard_pairs"):
+                inv[n] = res[n]["val"] == m * base_vals[n]
+            if "length_hist" in base_vals:
+                base_h = {b: (nd, f) for b, nd, f in base_vals["length_hist"]}
+                got_h = {b: (nd, f) for b, nd, f in res["length_hist"]["val"]}
+                inv["length_hist_fracs"] = set(base_h) == set(got_h) and all(
+                    got_h[b][0] == m * base_h[b][0]
+                    and got_h[b][1] == base_h[b][1]
+                    for b in base_h
+                )
+            out["scales"][m]["invariants_x_base"] = inv
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

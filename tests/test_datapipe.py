@@ -959,3 +959,82 @@ def test_length_histogram_all_empty_corpus(spark):
     rows = length_histogram(df).collect()
     assert len(rows) == 1 and rows[0].bucket == -1
     assert rows[0].frac_docs == 1.0 and rows[0].frac_tokens == 0.0
+
+
+def test_scaled_corpus_invariants(spark, sf_dir):
+    """Structure-preserving corpus replication (datapipe/scaling.py):
+    a character-bijection copy carries EXACTLY the base duplicate
+    structure (Jaccard is invariant under token bijection), and a
+    sign-flip copy preserves within-copy cosines exactly. The scale
+    bench (scripts/bench_datapipe_scale.py) leans on these
+    invariants; this pins them at m=3."""
+    from flink_tpcds_spark.datapipe.curate import length_histogram
+    from flink_tpcds_spark.datapipe.dedup import (
+        minhash_near_dup_pairs,
+        release_caches,
+    )
+    from flink_tpcds_spark.datapipe.scaling import (
+        COPY_OFFSET,
+        scaled_documents,
+        scaled_embeddings,
+    )
+    from flink_tpcds_spark.datapipe.similarity import knn_bruteforce
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = 3
+    big = scaled_documents(docs, m)
+    assert big.count() == m * docs.count()
+
+    # near-dup pairs: every copy contributes exactly the base pair set
+    release_caches()
+    base_pairs = {
+        (r.id_a, r.id_b) for r in minhash_near_dup_pairs(docs).collect()
+    }
+    release_caches()
+    got = {(r.id_a, r.id_b) for r in minhash_near_dup_pairs(big).collect()}
+    release_caches()
+    expect = {
+        (a + k * COPY_OFFSET, b + k * COPY_OFFSET)
+        for k in range(m)
+        for a, b in base_pairs
+    }
+    assert got == expect
+
+    # length histogram: per-bucket counts ×m, fractions bit-identical
+    base_h = {r.bucket: r for r in length_histogram(docs).collect()}
+    big_h = {r.bucket: r for r in length_histogram(big).collect()}
+    assert set(base_h) == set(big_h)
+    for b in base_h:
+        assert big_h[b].n_docs == m * base_h[b].n_docs
+        assert big_h[b].frac_docs == base_h[b].frac_docs
+        assert big_h[b].frac_tokens == base_h[b].frac_tokens
+
+    # embeddings: the sign flip preserves WITHIN-copy cosines exactly
+    # ((s⊙x)·(s⊙y) = x·y) and keeps CROSS-copy cosines of the same
+    # base vector centered near zero (unbiased pattern)
+    from flink_tpcds_spark.datapipe.similarity import cosine
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    bige = scaled_embeddings(embs, m).filter(F.col("vec_id") % 10 == 0)
+    a = bige.selectExpr("vec_id AS ia", "embedding AS va")
+    b = bige.selectExpr("vec_id AS ib", "embedding AS vb")
+    within = (
+        a.join(b, (F.col("ib") == F.col("ia") + 10))  # same copy, next id
+        .select(
+            (F.col("ia") % COPY_OFFSET).alias("base_id"),
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
+        )
+        .groupBy("base_id")
+        .agg(F.count_distinct("cos").alias("n_distinct"))
+    )
+    # every copy computes the identical cosine for the same base pair
+    assert within.filter(F.col("n_distinct") != 1).count() == 0
+    cross = (
+        a.join(b, F.col("ib") == F.col("ia") + COPY_OFFSET)  # next copy
+        .select(F.abs(cosine(F.col("va"), F.col("vb"))).alias("c"))
+        .agg(F.avg("c"))
+        .collect()[0][0]
+    )
+    # unbiased ±1 pattern: |cos| between copies of the SAME vector is
+    # ~E|N(0, 1/sqrt(64))| ≈ 0.1; a biased pattern sits at 2p-1
+    assert cross < 0.25, f"cross-copy mean |cos| {cross:.3f}"
