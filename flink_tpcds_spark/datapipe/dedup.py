@@ -262,23 +262,24 @@ def minhash_near_dup_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
-    # shuffle_hash hint: the shingle table is corpus-sized with fat
-    # array rows — its byte size is invisible to the optimizer's
-    # estimate (computed columns), so AQE can pick a broadcast join
-    # that OOMs the driver at ~500k docs. Never broadcast it; a
-    # per-partition hash build after the id shuffle is bounded by
-    # maxPartitionBytes at any corpus size.
+    # merge hint: the shingle table is corpus-sized with fat array
+    # rows — its byte size is invisible to the optimizer's estimate
+    # (computed columns), so AQE can pick a broadcast join that OOMs
+    # the driver at ~500k docs (measured). Sort-merge, not
+    # shuffle-hash: SMJ spills, while a shuffled-hash build side is a
+    # monolithic in-memory hash relation that fails under concurrent
+    # memory pressure (measured in the CC-loop consumer at x100).
     verified = (
         candidates.join(
             sh_table.select(
                 F.col("id").alias("id_a"), F.col("sh").alias("sh_a")
-            ).hint("shuffle_hash"),
+            ).hint("merge"),
             "id_a",
         )
         .join(
             sh_table.select(
                 F.col("id").alias("id_b"), F.col("sh").alias("sh_b")
-            ).hint("shuffle_hash"),
+            ).hint("merge"),
             "id_b",
         )
         .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
@@ -332,9 +333,9 @@ def ngram_jaccard_pairs_exact(
     prefix_len = F.col("n") - F.ceil(F.col("n") * F.lit(threshold)) + 1
     # dfreq is distinct-shingle-sized — grows with the corpus, so it
     # must not be broadcast either (same class of mis-estimate as the
-    # verify join below).
+    # verify join below); merge so the build can spill.
     prefixes = (
-        exploded.join(dfreq.hint("shuffle_hash"), "shingle")
+        exploded.join(dfreq.hint("merge"), "shingle")
         .withColumn("pos", F.row_number().over(by_rarity))
         .filter(F.col("pos") <= prefix_len)
         .select("blk", "shingle", "id", "n")
@@ -356,20 +357,20 @@ def ngram_jaccard_pairs_exact(
         .select("id_a", "id_b")
         .distinct()
     )
-    # shuffle_hash: same reasoning as minhash_near_dup_pairs' verify
-    # join — the shingle-array table must never be broadcast (measured
-    # driver OOM at 500k docs when AQE mis-estimated it).
+    # merge: same reasoning as minhash_near_dup_pairs' verify join —
+    # the shingle-array table must never be broadcast (measured driver
+    # OOM at 500k docs) and SMJ spills where a hash build cannot.
     verified = (
         candidates.join(
             base.select(
                 F.col("id").alias("id_a"), F.col("sh").alias("sh_a")
-            ).hint("shuffle_hash"),
+            ).hint("merge"),
             "id_a",
         )
         .join(
             base.select(
                 F.col("id").alias("id_b"), F.col("sh").alias("sh_b")
-            ).hint("shuffle_hash"),
+            ).hint("merge"),
             "id_b",
         )
         .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
