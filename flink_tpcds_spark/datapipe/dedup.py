@@ -254,8 +254,11 @@ def minhash_near_dup_pairs(
         )
         bands = bands.join(F.broadcast(over_cap), ["band", "bucket"], "left_anti")
     candidates = (
-        bands.alias("x")
-        .join(bands.alias("y"), ["band", "bucket"])
+        # merge: the bands table is corpus-sized (16 rows/doc) and
+        # cached — its static estimate can still trip a broadcast of
+        # a corpus-proportional side; same policy as the verify joins.
+        bands.alias("x").hint("merge")
+        .join(bands.alias("y").hint("merge"), ["band", "bucket"])
         .select(
             F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b")
         )
@@ -347,7 +350,9 @@ def ngram_jaccard_pairs_exact(
         "blk", "shingle", F.col("id").alias("id_b"), F.col("n").alias("n_b")
     )
     candidates = (
-        a.join(b, ["blk", "shingle"])
+        # merge: the prefix postings list is corpus-proportional —
+        # never a broadcast candidate (same policy as the verify joins)
+        a.hint("merge").join(b.hint("merge"), ["blk", "shingle"])
         .filter(
             (F.col("id_a") < F.col("id_b"))
             # size-ratio bound: |A|/|B| ∈ [t, 1/t] is necessary for J ≥ t

@@ -487,3 +487,54 @@ def test_unpartitioned_rank_filter_is_flagged(spark):
     ).filter(F.col("rn") <= 5)
     assert "WindowGroupLimit" in explain_text(part_ranked)
     assert unpartitioned_windows(part_ranked) == []
+
+
+def test_neardup_plans_never_broadcast_corpus_sized_sides(spark, sf_dir):
+    """Round-7 scale fix, pinned: in minhash_near_dup_pairs and
+    ngram_jaccard_pairs_exact, every corpus-proportional join side
+    (shingle arrays, band postings, prefix postings) carries a merge
+    hint — the ONLY broadcast allowed in either plan is minhash's
+    over-cap bucket guard (a LeftAnti join against a tiny outlier
+    set). Both failure modes were measured at 500k docs before the
+    fix: an AQE broadcast OOM on the fat-array verify side, and an
+    unspillable shuffled-hash build dying under CC-loop memory
+    pressure."""
+    import re
+
+    from flink_tpcds_spark.datapipe.dedup import (
+        minhash_near_dup_pairs,
+        ngram_jaccard_pairs_exact,
+        release_caches,
+    )
+    from flink_tpcds_spark.plans import explain_text
+    from flink_tpcds_spark.schemas import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    try:
+        for name, q, allowed_bhj in (
+            # the over-cap anti guard materializes once per self-join
+            # side of the cached bands table → up to 2 LeftAnti BHJs
+            ("minhash", minhash_near_dup_pairs(docs), 2),
+            ("jaccard", ngram_jaccard_pairs_exact(docs), 0),
+        ):
+            text = explain_text(q)
+            blocks = re.split(r"\n\n", text)
+            bhj = [
+                b
+                for b in blocks
+                if re.match(r"\(\d+\) BroadcastHashJoin", b.strip())
+            ]
+            assert len(bhj) <= allowed_bhj, (
+                f"{name}: {len(bhj)} BroadcastHashJoin nodes "
+                f"(allowed {allowed_bhj}):\n" + "\n---\n".join(bhj)
+            )
+            for b in bhj:
+                assert "LeftAnti" in b, f"{name}: non-guard broadcast:\n{b}"
+            # and no broadcast exchange may carry an array column
+            for b in blocks:
+                if "BroadcastExchange" in b.split("\n")[0]:
+                    assert "sh_a" not in b and "sh_b" not in b and (
+                        "shingles" not in b
+                    ), f"{name}: array-carrying broadcast:\n{b}"
+    finally:
+        release_caches()
