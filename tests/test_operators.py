@@ -574,3 +574,71 @@ def test_psi_statistic_semantics(spark, sf_dir):
     s = psi_statistic(old, shifted, "value").collect()[0]
     assert s.psi > 0.25
     assert s.n_new == row.n_old
+
+
+def test_tpch_scale_invariant_m3(spark, sf_dir, tmp_path):
+    """Key-shifted ×3 replication of lineitem: h01's per-group counts
+    and decimal sums are exactly ×3 with identical averages (to 1 ulp
+    — decimal division derives its result scale from operand
+    precision). Pins the closed-form invariant behind
+    scripts/bench_tpch_scale.py."""
+    import math
+
+    from flink_tpcds_spark.queries.tpch import QUERIES
+
+    li = load_table(spark, sf_dir, "lineitem")
+    OFF = 100_000_000
+    parts = [
+        li.select(
+            *[
+                (F.col(c) + k * OFF).alias(c)
+                if c in ("l_orderkey", "l_partkey", "l_suppkey")
+                else F.col(c)
+                for c in li.columns
+            ]
+        )
+        for k in range(3)
+    ]
+    big = parts[0].unionAll(parts[1]).unionAll(parts[2])
+    big.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+
+    b = {
+        (r[0], r[1]): r.asDict()
+        for r in QUERIES["h01_pricing_summary"](spark, sf_dir).collect()
+    }
+    g = {
+        (r[0], r[1]): r.asDict()
+        for r in QUERIES["h01_pricing_summary"](spark, str(tmp_path)).collect()
+    }
+    assert set(b) == set(g)
+    for k in b:
+        assert g[k]["count_order"] == 3 * b[k]["count_order"]
+        assert math.isclose(g[k]["sum_qty"], 3 * b[k]["sum_qty"], rel_tol=1e-12)
+        assert math.isclose(g[k]["avg_qty"], b[k]["avg_qty"], rel_tol=1e-12)
+        assert math.isclose(g[k]["avg_price"], b[k]["avg_price"], rel_tol=1e-12)
+
+
+def test_session_window_scale_invariant_m3(spark, sf_dir, tmp_path):
+    """User-shifted ×3 events: per-copy session structure is identical,
+    so the session count is exactly ×3 — sessionization is per-user
+    work, independent of how many other users exist."""
+    from flink_tpcds_spark.queries.events import QUERIES as EV
+
+    ev = load_table(spark, sf_dir, "events")
+    OFF = 10_000_000
+    parts = [
+        ev.select(
+            (F.col("event_id") + k * OFF).alias("event_id"),
+            "ts",
+            (F.col("user_id") + k * OFF).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        for k in range(3)
+    ]
+    big = parts[0].unionAll(parts[1]).unionAll(parts[2])
+    big.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    n_base = EV["ev_session_window"](spark, sf_dir).count()
+    n_big = EV["ev_session_window"](spark, str(tmp_path)).count()
+    assert n_big == 3 * n_base
