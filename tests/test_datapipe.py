@@ -1038,3 +1038,35 @@ def test_scaled_corpus_invariants(spark, sf_dir):
     # unbiased ±1 pattern: |cos| between copies of the SAME vector is
     # ~E|N(0, 1/sqrt(64))| ≈ 0.1; a biased pattern sits at 2p-1
     assert cross < 0.25, f"cross-copy mean |cos| {cross:.3f}"
+
+
+def test_ivf_cells_scale_with_corpus(spark, sf_dir):
+    """FAISS-posture IVF: the cell count scales with the corpus, so
+    centroid training must auto-scale its sample (8·n_clusters) and
+    degrade gracefully when clusters ≥ corpus. Recall vs brute force
+    must hold at a cell count near the auto-sample boundary."""
+    from flink_tpcds_spark.datapipe.similarity import (
+        knn_bruteforce,
+        knn_ivf,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qf = F.col("vec_id") % 20 == 0
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_bruteforce(e, qf, k=10).collect()
+    }
+    # 64 cells on a 2000-vector corpus: sample auto-scales to 512
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_ivf(e, qf, k=10, n_clusters=64, nprobe=8).collect()
+    }
+    recall = len(bf & ivf) / len(bf)
+    assert recall >= 0.5, f"IVF recall {recall:.3f} at 64 cells"
+
+    # clusters ≥ corpus: degrade to corpus-sized centroid set, no crash
+    tiny = e.filter(F.col("vec_id") < 50)
+    got = knn_ivf(
+        tiny, F.col("vec_id") % 10 == 0, k=3, n_clusters=500, nprobe=4
+    )
+    assert got.count() > 0
