@@ -1070,3 +1070,44 @@ def test_ivf_cells_scale_with_corpus(spark, sf_dir):
         tiny, F.col("vec_id") % 10 == 0, k=3, n_clusters=500, nprobe=4
     )
     assert got.count() > 0
+
+
+def test_ivf_hierarchical_path_recall(spark, sf_dir):
+    """Above _HIER_THRESHOLD cells both training and assignment go
+    hierarchical (two-level Lloyd + meta-cell coarse quantizer) —
+    pin that the path activates and still clears a recall floor, and
+    that the pair source stays sound (subset of exact pairs)."""
+    from flink_tpcds_spark.datapipe.similarity import (
+        _HIER_THRESHOLD,
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_ivf,
+        knn_bruteforce,
+        knn_ivf,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cells = _HIER_THRESHOLD + 44  # force the hierarchical branch
+    qf = F.col("vec_id") % 20 == 0
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_bruteforce(e, qf, k=10).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_ivf(e, qf, k=10, n_clusters=cells, nprobe=16).collect()
+    }
+    recall = len(bf & ivf) / len(bf)
+    assert recall >= 0.4, f"hier-IVF recall {recall:.3f}"
+
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(e, threshold=0.4).collect()
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs_ivf(
+            e, threshold=0.4, n_clusters=cells, n_probe=4
+        ).collect()
+    }
+    assert got <= exact  # soundness: every emitted pair is real
+    assert len(got) >= 0.3 * len(exact)  # and recall is non-trivial
