@@ -79,7 +79,18 @@ def scaled_documents(
 ) -> DataFrame:
     """m bijection-ciphered copies with disjoint id ranges (copy 0
     pristine). Scale shape: a union of narrow projections — one scan
-    per copy, no shuffle; the writer repartitions."""
+    per copy, no shuffle; the writer repartitions.
+
+    Precondition (ADVICE r7): the cipher is the identity on
+    non-alphanumeric characters, so a document containing NO letters
+    or digits (punctuation/whitespace-only) would be byte-identical
+    across copies — breaking the closed-form invariants (disjoint
+    cross-copy token spaces, exact m× dup counts). Such docs carry no
+    dedup structure anyway, so they are filtered out here; callers
+    measuring invariants should count from the returned frame."""
+    docs = docs.filter(
+        F.col(text_col).rlike("[A-Za-z0-9]")
+    )
     parts = []
     others = [c for c in docs.columns if c not in (id_col, text_col)]
     for k in range(m):
@@ -105,7 +116,13 @@ def scaled_embeddings(
 ) -> DataFrame:
     """m sign-flipped copies with disjoint id ranges (copy 0
     pristine). Element type is preserved (cast back to float)."""
-    dim = len(embs.select(vec_col).first()[0])
+    first = embs.select(vec_col).first()
+    if first is None or first[0] is None:
+        raise ValueError(
+            "scaled_embeddings: input has no rows (or a null first "
+            f"vector) — cannot derive the dimension from {vec_col!r}"
+        )
+    dim = len(first[0])
     parts = []
     others = [c for c in embs.columns if c not in (id_col, vec_col)]
     for k in range(m):

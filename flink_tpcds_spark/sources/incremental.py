@@ -68,7 +68,24 @@ class IncrementalAggState:
             else:
                 shutil.rmtree(backup)
 
-    def update(self, spark, batch_df: DataFrame) -> None:
+    #: filename of the last-applied-batch marker INSIDE the state dir
+    #: (underscore prefix → invisible to Spark's parquet reader, and
+    #: promoted atomically with the state it describes)
+    BATCH_MARKER = "_LAST_BATCH"
+
+    def _last_batch(self) -> int:
+        """Last batch id merged into the live state (−1 if none /
+        batch tracking unused). Reading after ``_recover`` means the
+        marker always describes the state that is actually live."""
+        p = os.path.join(self.path, self.BATCH_MARKER)
+        if os.path.isfile(p):
+            with open(p) as f:
+                return int(f.read().strip())
+        return -1
+
+    def update(
+        self, spark, batch_df: DataFrame, batch_id: int | None = None
+    ) -> None:
         """Merge one new batch into the state (one batch-sized agg +
         one state-sized keyed merge; history is never re-read)."""
         self._recover()
@@ -116,6 +133,12 @@ class IncrementalAggState:
             merged = part
         tmp = self.path + ".updating"
         merged.write.mode("overwrite").parquet(tmp)
+        if batch_id is not None:
+            # written into the candidate dir BEFORE the swap, so the
+            # marker and the state it describes promote atomically —
+            # no window where the state is new but the marker is old
+            with open(os.path.join(tmp, self.BATCH_MARKER), "w") as f:
+                f.write(f"{int(batch_id)}\n")
         # Crash-safe swap: move the live state aside before promoting
         # the new one, so a crash at any point leaves either the old
         # state (at .old, recoverable) or the new state in place —
@@ -133,8 +156,18 @@ class IncrementalAggState:
         """``writeStream.foreachBatch`` adapter: the same merge serves
         a Structured Streaming micro-batch pipeline — batch and
         stream maintain identical state (update-mode aggregation with
-        parquet state instead of the state store)."""
-        self.update(batch_df.sparkSession, batch_df)
+        parquet state instead of the state store).
+
+        Replay-idempotent (ADVICE r7): ``foreachBatch`` is
+        at-least-once, and a +-merge is NOT naturally idempotent — a
+        post-promote/pre-checkpoint crash replays the same
+        ``batch_id`` and would double-count it. The last applied id
+        is persisted inside the state dir (promoted atomically with
+        the state) and replayed batches are skipped."""
+        self._recover()
+        if batch_id <= self._last_batch():
+            return
+        self.update(batch_df.sparkSession, batch_df, batch_id=batch_id)
 
     def result(self, spark) -> DataFrame:
         """The maintained rollup: count, sum, min, max + derived avg."""

@@ -162,7 +162,10 @@ class ParquetUpsertSink:
     def _recover(self) -> None:
         """Heal a crash mid-``compact``: backup-only → restore it;
         backup alongside a live log (crash after promote) → stale,
-        remove it."""
+        remove it. An orphaned ``.compacting`` temp dir (crash after
+        the temp write but before the swap) is also removed — it is
+        never the source of truth, and a sink that never compacts
+        again would otherwise leak a full snapshot's storage."""
         import os
         import shutil
 
@@ -172,6 +175,9 @@ class ParquetUpsertSink:
                 shutil.move(backup, self.path)
             else:
                 shutil.rmtree(backup)
+        compacting = self.path + ".compacting"
+        if os.path.isdir(compacting):
+            shutil.rmtree(compacting)
 
     def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         import os
@@ -187,18 +193,37 @@ class ParquetUpsertSink:
         self._recover()
         return spark.read.parquet(self.path)
 
-    def snapshot(self, spark) -> DataFrame:
+    def _keep_last(self, log: DataFrame) -> DataFrame:
+        """Rank-1-per-key over batch id, with a deterministic
+        within-batch tie-break.
+
+        The sink's contract is one row per key per micro-batch (true
+        for update-mode aggregation output). If a caller violates it
+        (``foreachBatch`` on a non-aggregated stream), ties inside a
+        batch break on ``xxhash64`` of the value columns — arbitrary
+        but STABLE, so snapshot/replay/compact all pick the same row
+        instead of a partition-order-dependent one."""
         from pyspark.sql import functions as F
         from pyspark.sql.window import Window
 
-        log = self.changelog(spark)
-        w = Window.partitionBy(*self.key_cols).orderBy(
-            F.desc(self.BATCH_COL)
-        )
+        value_cols = [
+            c
+            for c in log.columns
+            if c not in self.key_cols and c != self.BATCH_COL
+        ]
+        order = [F.desc(self.BATCH_COL)]
+        if value_cols:
+            order.append(F.desc(F.xxhash64(*value_cols)))
+        w = Window.partitionBy(*self.key_cols).orderBy(*order)
         return (
             log.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
-            .drop("__rn", self.BATCH_COL)
+            .drop("__rn")
+        )
+
+    def snapshot(self, spark) -> DataFrame:
+        return self._keep_last(self.changelog(spark)).drop(
+            self.BATCH_COL
         )
 
     def compact(self, spark) -> None:
@@ -208,18 +233,7 @@ class ParquetUpsertSink:
         import os
         import shutil
 
-        from pyspark.sql import functions as F
-        from pyspark.sql.window import Window
-
-        log = self.changelog(spark)
-        w = Window.partitionBy(*self.key_cols).orderBy(
-            F.desc(self.BATCH_COL)
-        )
-        latest = (
-            log.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
+        latest = self._keep_last(self.changelog(spark))
         tmp = self.path + ".compacting"
         latest.write.partitionBy(self.BATCH_COL).mode("overwrite").parquet(
             tmp

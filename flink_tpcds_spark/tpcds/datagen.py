@@ -1820,6 +1820,17 @@ def plant_cohorts(tables: dict) -> dict:
     return tables
 
 
+def _sizes_fingerprint(sizes: dict) -> str:
+    """Stable hash of a size dict — recorded in the cache marker so a
+    directory generated at one scale is never mistaken for another."""
+    import hashlib
+    import json
+
+    return hashlib.md5(
+        json.dumps(sizes, sort_keys=True, default=str).encode()
+    ).hexdigest()
+
+
 def generate(
     out_dir: str = DEFAULT_DIR,
     force: bool = False,
@@ -1834,8 +1845,19 @@ def generate(
     cohort-planting helpers read ``SIZES_N`` directly."""
     global SIZES_N
     marker = os.path.join(out_dir, MARKER)
+    # The marker records a fingerprint of the size dict that produced
+    # the data (ADVICE r7): generate(dir, sizes=SIZES_SF1) on a dir
+    # previously generated at micro sizes must regenerate, not
+    # silently return the wrong-scale data. A legacy "ok" marker
+    # (pre-fingerprint) is treated as a mismatch.
+    fingerprint = _sizes_fingerprint(
+        sizes if sizes is not None else SIZES_N
+    )
     if os.path.exists(marker) and not force:
-        return out_dir
+        with open(marker) as f:
+            on_disk = f.read().strip()
+        if on_disk == fingerprint:
+            return out_dir
     if sizes is not None:
         prev = SIZES_N
         SIZES_N = dict(sizes)
@@ -1905,7 +1927,7 @@ def generate(
     for name, t in tables.items():
         pq.write_table(t, os.path.join(out_dir, f"{name}.parquet"))
     with open(marker, "w") as f:
-        f.write("ok\n")
+        f.write(fingerprint + "\n")
     return out_dir
 
 

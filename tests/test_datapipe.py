@@ -1111,3 +1111,78 @@ def test_ivf_hierarchical_path_recall(spark, sf_dir):
     }
     assert got <= exact  # soundness: every emitted pair is real
     assert len(got) >= 0.3 * len(exact)  # and recall is non-trivial
+
+
+def test_hier_centroid_share_allocation_exact(spark):
+    """ADVICE r7: the hierarchical training branch must return
+    exactly n_clusters centroids when the sample is large enough —
+    the old greedy per-meta share rounding could leave a leftover
+    with no redistribution."""
+    import numpy as np
+
+    from flink_tpcds_spark.datapipe.similarity import (
+        _HIER_THRESHOLD,
+        _ivf_centroids,
+    )
+
+    rng = np.random.RandomState(7)
+    n, dim = 6000, 16
+    rows = [
+        (i, [float(x) for x in rng.randn(dim)]) for i in range(n)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    for k in (_HIER_THRESHOLD + 1, _HIER_THRESHOLD + 77, 400):
+        cents = _ivf_centroids(
+            emb, k, "vec_id", "embedding", sample=max(2048, 8 * k)
+        )
+        assert len(cents) == k, (k, len(cents))
+        # and they are unit-normalized (spherical k-means invariant)
+        norms = np.linalg.norm(cents, axis=1)
+        assert np.allclose(norms, 1.0, atol=1e-6)
+
+
+def test_scaled_documents_filters_tokenless_docs(spark):
+    """ADVICE r7: the copy cipher is the identity on non-alphanumeric
+    text, so punctuation/whitespace-only docs would be byte-identical
+    across copies — they carry no dedup structure and are filtered
+    before replication, preserving the exact m-times invariants."""
+    from flink_tpcds_spark.datapipe.scaling import (
+        COPY_OFFSET,
+        scaled_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello world 42"),
+            (2, "!!! ... ---"),  # tokenless: must not replicate
+            (3, "   "),
+            (4, "mixed: punct & words"),
+        ],
+        "doc_id long, text string",
+    )
+    m = 3
+    big = scaled_documents(docs, m)
+    assert big.count() == m * 2  # only docs 1 and 4 replicate
+    texts = [
+        r.text
+        for r in big.filter(
+            (F.col("doc_id") % COPY_OFFSET) == 1
+        ).collect()
+    ]
+    assert len(texts) == m and len(set(texts)) == m  # all distinct
+
+
+def test_scaled_embeddings_empty_input_raises(spark):
+    """ADVICE r7: empty input used to die with an opaque TypeError
+    from first()[0]; now a clear ValueError."""
+    import pytest as _pytest
+
+    from flink_tpcds_spark.datapipe.scaling import scaled_embeddings
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match="no rows"):
+        scaled_embeddings(empty, 2)

@@ -804,3 +804,93 @@ def test_incremental_state_orphaned_backup_restored(spark, tmp_path):
     row = state.result(spark).collect()[0]
     assert (row.k, row.cnt, row.total) == ("a", 3, 7.0)
     assert not os.path.isdir(path + ".old")
+
+
+def test_parquet_upsert_sink_orphaned_compacting_dir_cleaned(
+    spark, tmp_path
+):
+    """VERDICT r7: a crash after compact()'s temp write but before
+    the swap leaves ``path.compacting`` on disk; _recover must remove
+    it (it is never the source of truth) so a sink that never
+    compacts again doesn't leak a snapshot's worth of storage."""
+    import os
+
+    from flink_tpcds_spark.streaming.sinks import ParquetUpsertSink
+
+    path = str(tmp_path / "log")
+    sink = ParquetUpsertSink(path, ["k"])
+    sink.foreach_batch(
+        spark.createDataFrame([("a", 1), ("b", 2)], "k string, v long"), 0
+    )
+    # simulate the crash window: temp snapshot written, swap lost
+    orphan = path + ".compacting"
+    os.makedirs(os.path.join(orphan, f"{sink.BATCH_COL}=0"))
+    with open(os.path.join(orphan, "part-junk.parquet"), "wb") as f:
+        f.write(b"x")
+    snap = {tuple(r) for r in sink.snapshot(spark).collect()}
+    assert snap == {("a", 1), ("b", 2)}
+    assert not os.path.isdir(orphan)
+    # a later real compact() is unaffected
+    sink.foreach_batch(
+        spark.createDataFrame([("a", 7)], "k string, v long"), 1
+    )
+    sink.compact(spark)
+    assert not os.path.isdir(orphan)
+    assert dict(sink.snapshot(spark).collect()) == {"a": 7, "b": 2}
+
+
+def test_parquet_upsert_sink_within_batch_tie_deterministic(
+    spark, tmp_path
+):
+    """VERDICT r7: the contract is one row per key per batch, but a
+    contract-violating caller must still get a DETERMINISTIC winner —
+    snapshot() ties break on xxhash64 of the value columns, so
+    repeated snapshots (and compact-then-snapshot) agree."""
+    from flink_tpcds_spark.streaming.sinks import ParquetUpsertSink
+
+    path = str(tmp_path / "log")
+    sink = ParquetUpsertSink(path, ["k"])
+    # one batch carrying THREE rows for the same key, shuffled layout
+    dup = spark.createDataFrame(
+        [("a", 10), ("a", 30), ("a", 20), ("b", 1)], "k string, v long"
+    ).repartition(4)
+    sink.foreach_batch(dup, 0)
+    first = {tuple(r) for r in sink.snapshot(spark).collect()}
+    for _ in range(3):
+        assert {
+            tuple(r) for r in sink.snapshot(spark).collect()
+        } == first
+    # compacting keeps the same winner
+    sink.compact(spark)
+    assert {tuple(r) for r in sink.snapshot(spark).collect()} == first
+
+
+def test_incremental_state_replay_idempotent(spark, tmp_path):
+    """ADVICE r7: foreachBatch is at-least-once and a +-merge is not
+    idempotent — replaying the same batch_id (post-promote/
+    pre-checkpoint crash) must be a no-op, not a double-count. The
+    last applied id lives INSIDE the state dir so it promotes
+    atomically with the state."""
+    from flink_tpcds_spark.sources.incremental import IncrementalAggState
+
+    path = str(tmp_path / "state")
+    state = IncrementalAggState(path, ["k"], "v")
+    b0 = spark.createDataFrame([("a", 1.0), ("a", 2.0)], "k string, v double")
+    b1 = spark.createDataFrame([("a", 4.0)], "k string, v double")
+    state.foreach_batch(b0, 0)
+    state.foreach_batch(b1, 1)
+    row = state.result(spark).collect()[0]
+    assert (row.k, row.cnt, row.total) == ("a", 3, 7.0)
+
+    # replay the last batch — must be skipped
+    state.foreach_batch(b1, 1)
+    row = state.result(spark).collect()[0]
+    assert (row.k, row.cnt, row.total) == ("a", 3, 7.0)
+
+    # an out-of-order stale id is also skipped; a NEW id applies
+    state.foreach_batch(b0, 0)
+    state.foreach_batch(
+        spark.createDataFrame([("a", 10.0)], "k string, v double"), 2
+    )
+    row = state.result(spark).collect()[0]
+    assert (row.k, row.cnt, row.total) == ("a", 4, 17.0)

@@ -78,3 +78,34 @@ def test_catalog_stats_hook(spark):
     finally:
         for t in names:
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_datagen_marker_records_size_fingerprint(tmp_path):
+    """ADVICE r7: the cache marker must record WHICH size dict
+    produced the data — generate(dir, sizes=X) on a directory
+    previously generated at different sizes regenerates instead of
+    silently returning wrong-scale data. Same sizes → cache hit."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "gen")
+    datagen.generate(d)
+    item = os.path.join(d, "item.parquet")
+    assert pq.read_metadata(item).num_rows == datagen.SIZES_N["item"]
+    mtime = os.path.getmtime(item)
+
+    # same sizes → cache hit, no rewrite
+    datagen.generate(d)
+    assert os.path.getmtime(item) == mtime
+
+    # different sizes → regenerated at the new scale
+    bigger = {**datagen.SIZES_N, "item": datagen.SIZES_N["item"] * 2}
+    datagen.generate(d, sizes=bigger)
+    assert pq.read_metadata(item).num_rows == bigger["item"]
+
+    # legacy pre-fingerprint marker ("ok") is treated as a mismatch
+    with open(os.path.join(d, datagen.MARKER), "w") as f:
+        f.write("ok\n")
+    datagen.generate(d)
+    assert pq.read_metadata(item).num_rows == datagen.SIZES_N["item"]
