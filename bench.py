@@ -44,6 +44,15 @@ HEADLINE = [
     "dp_text_quality",
 ]
 
+# Fixed SF1 regression subset: union of the sf0.1 top-10-slowest in
+# both postures (BENCH_r07) + the decade-up CBO canaries (q72's 3.6×
+# stats win and q64's stats-posture tail exist only at SF1). Fixed so
+# the per-round numbers are comparable round over round.
+SF1_SUBSET = [
+    "q2", "q4", "q5", "q14a", "q14b", "q23a", "q23b",
+    "q47", "q58", "q64", "q72", "q77",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -139,6 +148,126 @@ def main() -> None:
         except Exception:  # noqa: BLE001 — never break the bench contract
             pass
 
+    # Bucketed posture (VERDICT r7 item 4): lineitem+orders bucketed
+    # on their order keys, every registry query inheriting the
+    # shuffle-free fact⋈fact join via the load_table redirect. At
+    # sf0.1 the session broadcasts everything, so BOTH variants are
+    # timed in the forced sort-merge regime (autoBroadcastJoinThreshold
+    # -1) — the plan shape that exists at corpus scale, where the ×100
+    # h21 core measured 22.3 s → 4.9 s (BENCH_NOTES r7). The per-round
+    # signal is the plain-SMJ vs bucketed-SMJ delta on the
+    # order-key-join subset.
+    bucketed: dict | None = None
+    if os.environ.get("SPARK_GRAFT_SKIP_BUCKETED") != "1":
+        try:
+            from flink_tpcds_spark.sources.bucketing import (
+                install_bucketed_posture,
+                uninstall_bucketed_posture,
+            )
+
+            subset = [
+                "h03_shipping_priority",
+                "h18_large_volume_customer",
+                "h21_suppliers_waiting",
+            ]
+            confs = (
+                "spark.sql.autoBroadcastJoinThreshold",
+                "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            )
+            prev = {k: spark.conf.get(k, None) for k in confs}
+
+            def smj_pass() -> dict[str, float]:
+                per_q = {}
+                for name in subset:
+                    best = float("inf")
+                    for _ in range(2):
+                        t0 = time.time()
+                        qs[name](spark, sf_dir).collect()
+                        best = min(best, time.time() - t0)
+                    per_q[name] = round(best, 3)
+                return per_q
+
+            try:
+                for k in confs:
+                    spark.conf.set(k, "-1")
+                plain_smj = smj_pass()
+                t0 = time.time()
+                write_info = install_bucketed_posture(spark, sf_dir)
+                bucket_sec = round(time.time() - t0, 3)
+                bkt_smj = smj_pass()
+            finally:
+                uninstall_bucketed_posture()
+                for k, v in prev.items():
+                    if v is None:
+                        spark.conf.unset(k)
+                    else:
+                        spark.conf.set(k, v)
+            bucketed = {
+                "plain_smj": plain_smj,
+                "bucketed_smj": bkt_smj,
+                "bucket_write_sec": bucket_sec,
+                "cached": all(v == 0.0 for v in write_info.values()),
+            }
+        except Exception:  # noqa: BLE001 — never break the bench contract
+            pass
+
+    # One-decade-up regression canary (VERDICT r7 item 3 of "What's
+    # missing"): the q72 CBO join-order win (9.96 s views → 2.78 s
+    # stats at SF1) exists ONLY at SF1 volumes — the sf0.1 corpus pass
+    # above cannot see a join-order regression (q72 reads ~1 s in both
+    # postures at micro scale). Every round therefore re-times a fixed
+    # 12-query SF1 subset (the sf0.1 top-10-slowest union + q72/q64 —
+    # the decade-up tails) in both postures. Data is generated once
+    # and cached by size-fingerprint marker. SPARK_GRAFT_SKIP_SF1=1
+    # skips (e.g. when iterating on the headline suite locally).
+    sf1: dict | None = None
+    if (
+        os.environ.get("SPARK_GRAFT_SKIP_SF1") != "1"
+        and os.environ.get("SPARK_GRAFT_SKIP_TPCDS") != "1"
+        and not stats_only
+    ):
+        try:
+            from flink_tpcds_spark.tpcds import datagen, runner
+            from flink_tpcds_spark.tpcds.datagen import SIZES_SF1
+
+            sf1_dir = os.environ.get(
+                "SPARK_GRAFT_SF1_DIR", "/tmp/tpcds_sf1"
+            )
+            t0 = time.time()
+            datagen.generate(sf1_dir, sizes=SIZES_SF1)
+            gen_sec = round(time.time() - t0, 1)
+
+            def sf1_pass() -> dict[str, float]:
+                per_q: dict[str, float] = {}
+                for name in SF1_SUBSET:
+                    q0 = time.time()
+                    runner.run_spark(name, spark)
+                    per_q[name] = round(time.time() - q0, 3)
+                return per_q
+
+            runner.register_spark_views(spark, sf1_dir)
+            runner.run_spark("q96", spark)  # warmup at SF1 volumes
+            t0 = time.time()
+            v = sf1_pass()
+            v_sec = round(time.time() - t0, 3)
+            t0 = time.time()
+            runner.register_catalog_tables(spark, sf1_dir, analyze=True)
+            analyze_sec = round(time.time() - t0, 3)
+            t0 = time.time()
+            s = sf1_pass()
+            s_sec = round(time.time() - t0, 3)
+            sf1 = {
+                "subset": len(SF1_SUBSET),
+                "gen_sec": gen_sec,
+                "views": v,
+                "views_total_sec": v_sec,
+                "stats": s,
+                "stats_total_sec": s_sec,
+                "analyze_sec": analyze_sec,
+            }
+        except Exception:  # noqa: BLE001 — never break the bench contract
+            pass
+
     total = round(sum(times.values()), 3)
     out = {
         "metric": "headline_suite_wall_clock",
@@ -152,6 +281,10 @@ def main() -> None:
         out["tpcds_corpus"] = tpcds
     if tpcds_stats is not None:
         out["tpcds_corpus_stats"] = tpcds_stats
+    if bucketed is not None:
+        out["bucketed_posture"] = bucketed
+    if sf1 is not None:
+        out["sf1"] = sf1
     print(json.dumps(out))
 
 

@@ -227,3 +227,134 @@ def st_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, events.filter(F.pmod("event_id", F.lit(4)) == i)
         )
     return state.result(spark).orderBy("event_type")
+
+
+@_q(
+    "st_session_scale10",
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), base AS (
+      SELECT CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM marked
+    )
+    SELECT t.copy_id, base.n_sessions, base.n_events
+    FROM base, (SELECT CAST(g AS BIGINT) AS copy_id
+                FROM generate_series(0, 9) s(g)) t
+    ORDER BY copy_id
+    """,
+)
+def st_session_scale10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decade-up STREAMING invariant (VERDICT r7 item 7): event-time
+    sessionization over a ×10 corpus, run as a REAL Structured
+    Streaming query in the documented production shape — append mode
+    + 30-minute watermark over a time-ordered file stream.
+
+    The ×10 corpus is 10 user-shifted copies of the events table
+    (timestamps and values untouched), so every copy carries EXACTLY
+    the base session structure and the closed-form oracle is the base
+    gaps-and-islands session count repeated per copy — the driver
+    checks 10 rows of (copy_id, n_sessions, n_events) against DuckDB
+    computing the base counts once.
+
+    Streaming mechanics: the corpus is split into 4 time-range
+    batches (sessions spanning a boundary merge in the session-window
+    state before the watermark passes them) plus one far-future
+    sentinel event that advances the final watermark past every real
+    session so append mode flushes them — the standard end-of-stream
+    pattern for bounded replays of session streams. Scale shape: the
+    session_window aggregation shuffles once on user_id; state is
+    per-open-session, not per-history.
+
+    Reference analog: SessionWindowAssigner.java:37 merging windows +
+    the append-mode StreamTableSink contract.
+    """
+    work = _workdir("st_sess10_")
+    src = os.path.join(work, "in")
+    os.makedirs(src)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    m, user_off, ev_off = 10, 1_000_000, 100_000_000
+    copies = [
+        e.select(
+            (F.col("event_id") + k * ev_off).alias("event_id"),
+            (F.col("user_id") + k * user_off).alias("user_id"),
+            "ts",
+            "value",
+        )
+        for k in range(m)
+    ]
+    big = copies[0]
+    for c in copies[1:]:
+        big = big.unionAll(c)
+
+    lo, hi = e.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) / 4
+    bounds = [lo + span * i for i in range(1, 4)]
+    cuts = [F.lit(b).cast("timestamp") for b in bounds]
+    filters = [
+        F.col("ts") < cuts[0],
+        (F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1]),
+        (F.col("ts") >= cuts[1]) & (F.col("ts") < cuts[2]),
+        F.col("ts") >= cuts[2],
+    ]
+    for i, flt in enumerate(filters):
+        big.filter(flt).coalesce(2).write.parquet(
+            os.path.join(src, f"b{i}")
+        )
+    # watermark-advancing sentinel: one far-future event for a user
+    # outside every copy's id range; its own (still-open) session is
+    # the only one not flushed
+    spark.createDataFrame(
+        [(-1, -1, hi, 0.0)], "event_id long, user_id long, ts timestamp, value double"
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 10 HOURS")).coalesce(
+        1
+    ).write.parquet(os.path.join(src, "b4_sentinel"))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    sessions = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .select(
+            "user_id", F.col("w.start").alias("session_start"), "cnt"
+        )
+    )
+    out_dir = os.path.join(work, "sessions")
+    (
+        sessions.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return (
+        spark.read.parquet(out_dir)
+        .filter(F.col("user_id") >= 0)
+        .groupBy(
+            F.floor(F.col("user_id") / user_off)
+            .cast("bigint")
+            .alias("copy_id")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum("cnt").cast("bigint").alias("n_events"),
+        )
+        .orderBy("copy_id")
+    )

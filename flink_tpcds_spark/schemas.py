@@ -131,8 +131,27 @@ ALL_TABLES: dict[str, T.StructType] = {**TPCH_TABLES, **AUX_TABLES}
 BROADCASTABLE_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
 
 
+# Posture redirects: table name → catalog table that serves it
+# instead of the parquet path (installed by
+# sources.bucketing.install_bucketed_posture — the warehouse stance
+# where fact tables are bucketed on their join keys so fact⋈fact
+# joins read shuffle-free). Process-wide by design: a posture is a
+# session-level storage decision, not a per-query one. Callers that
+# install a redirect own scoping it (try/finally around the block).
+_TABLE_REDIRECTS: dict[str, str] = {}
+
+
+def set_table_redirect(name: str, catalog_table: str) -> None:
+    _TABLE_REDIRECTS[name] = catalog_table
+
+
+def clear_table_redirects() -> None:
+    _TABLE_REDIRECTS.clear()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one declared table from ``{sf_dir}/{name}.parquet``.
+    """Load one declared table from ``{sf_dir}/{name}.parquet``
+    (or its redirect target — see ``set_table_redirect``).
 
     The read path keeps Spark's vectorized parquet reader + pushdown:
     we do NOT apply the declared schema with a projection/cast wrapper
@@ -140,6 +159,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in ALL_TABLES:
         raise KeyError(f"undeclared table {name!r}; declared: {sorted(ALL_TABLES)}")
+    if name in _TABLE_REDIRECTS:
+        t = spark.table(_TABLE_REDIRECTS[name])
+        # fresh expression ids per load: the catalog relation cache
+        # hands every spark.table() call the SAME attribute ids, so a
+        # query loading the table twice (h18/h21 self-joins) trips the
+        # ambiguous-self-join check that path reads never hit. A
+        # rename-to-itself Project mints new ids; ProjectExec is
+        # alias-aware, so bucketing-derived output partitioning
+        # survives and bucketed joins stay exchange-free.
+        return t.select([F.col(c).alias(c) for c in t.columns])
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # The driver's events.ts parquet type has varied across

@@ -1186,3 +1186,61 @@ def test_scaled_embeddings_empty_input_raises(spark):
     )
     with _pytest.raises(ValueError, match="no rows"):
         scaled_embeddings(empty, 2)
+
+
+def test_ivf_distributed_training_bounds_driver_collect(spark, monkeypatch):
+    """VERDICT r7 item 1: above _DRIVER_TRAIN_BUDGET training rows,
+    centroid training must go distributed — the driver never collects
+    the 8·C sample, only O(C) rows (init centroids + one stats row
+    per cell per Lloyd iteration). Pinned by counting every
+    DataFrame.collect() row-wise during a forced-distributed build."""
+    import numpy as np
+
+    from flink_tpcds_spark.datapipe import similarity as S
+
+    rng = np.random.RandomState(11)
+    n, dim, C = 6000, 12, 300
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.randn(dim)]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    # force the distributed branch (8·C = 2400 > 2000)
+    monkeypatch.setattr(S, "_DRIVER_TRAIN_BUDGET", 2000)
+
+    df_cls = type(emb)
+    real_collect = df_cls.collect
+    sizes = []
+
+    def counting_collect(self):
+        rows = real_collect(self)
+        sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(df_cls, "collect", counting_collect)
+    cents = S._ivf_centroids(emb, C, "vec_id", "embedding")
+    monkeypatch.setattr(df_cls, "collect", real_collect)
+
+    assert len(cents) == C
+    # every driver-side collect is centroid-matrix-sized: ≤ 2·C rows
+    # (init over-sample + per-cell stats), never the 8·C sample
+    assert sizes, "distributed path did no collects?"
+    assert max(sizes) <= 2 * C, sizes
+    # and the training itself clears a recall floor end-to-end
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in S.knn_bruteforce(
+            emb, F.col("vec_id") % 40 == 0, k=10
+        ).collect()
+    }
+    iv = {
+        (r.query_id, r.neighbor_id)
+        for r in S.knn_ivf(
+            emb,
+            F.col("vec_id") % 40 == 0,
+            k=10,
+            n_clusters=C,
+            nprobe=16,
+            centroids=cents,
+        ).collect()
+    }
+    assert len(bf & iv) / len(bf) >= 0.4
