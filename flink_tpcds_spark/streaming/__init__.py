@@ -3,7 +3,7 @@ from .joins import (
     streaming_over_running_sum,
     streaming_semi_join,
 )
-from .sinks import RetractSink, UpsertSink
+from .sinks import ParquetRetractSink, ParquetUpsertSink
 from .sort import event_time_sorted
 from .source import event_stream
 from .windows import (
@@ -17,8 +17,8 @@ from .windows import (
 __all__ = [
     "event_stream",
     "event_time_sorted",
-    "RetractSink",
-    "UpsertSink",
+    "ParquetRetractSink",
+    "ParquetUpsertSink",
     "tumbling_window_agg",
     "sliding_window_counts",
     "session_window_agg",

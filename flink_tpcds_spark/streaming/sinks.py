@@ -6,120 +6,36 @@ Flink models a continuously-updated table as a changelog the sink
 consumes: appends only (AppendStreamTableSink), (+/-) retraction pairs
 (RetractStreamTableSink), or keyed upserts (UpsertStreamTableSink).
 Structured Streaming's native analog is output mode (append/update/
-complete); these helpers materialize the two non-trivial contracts on
-top of ``foreachBatch``:
+complete); append is native (``writeStream.format(...)``), and the
+two non-trivial contracts are materialized here ON TOP of
+``foreachBatch`` in their 100 TB shapes:
 
-- ``UpsertSink`` — keyed last-write-wins table: each update-mode
-  micro-batch merges into the maintained state; ``snapshot()`` is the
-  current table (what a Kafka-compacted-topic or JDBC-upsert sink
-  would hold).
-- ``RetractSink`` — a true changelog: each micro-batch diffs against
-  the previous state and appends (-old, +new) operations;
-  ``changelog()`` is the full (+/-) history and replaying it yields
-  exactly the upsert snapshot.
+- :class:`ParquetUpsertSink` — keyed last-write-wins table as an
+  executor-written parquet changelog (compacted-Kafka-topic / CDC
+  layout): replay-idempotent appends, distributed keep-last
+  snapshot, crash-safe log compaction.
+- :class:`ParquetRetractSink` — a true (+/-) retraction changelog:
+  each micro-batch diffs against the maintained state with a keyed
+  outer join, appends (-old, +new) ops, and swaps the state
+  crash-safely; folding the log distributedly reproduces the
+  snapshot exactly.
 
-Both run their merge logic inside ``foreachBatch`` on small *deltas*
-(update mode emits only changed keys per batch), the same incremental
-contract the reference's sinks receive.
-
-**Scale ledger.** ``UpsertSink``/``RetractSink`` keep state
-driver-side as a Python dict: the right shape for validating the
-changelog contract (what these classes exist for, and what the tests
-replay/diff against) but a driver OOM at high key cardinality. A
-production deployment keeps the same ``foreachBatch`` skeleton and
-swaps the dict for the external keyed store (JDBC/HBase/ES — exactly
-the stores the reference's sink interfaces front). ``max_keys``
-enforces the boundary: exceeding it raises instead of silently
-eating driver memory. ``ParquetUpsertSink`` (round 5) IS the scale
-path: the changelog lives in the filesystem, every write and the
-snapshot/compaction reads are executor-side, and nothing scales with
-key cardinality on the driver.
+Neither holds a row on the driver — every write, diff, and read is
+executor-side, so key cardinality scales with the cluster, not the
+driver (the r2-era driver-dict contract demos now live in
+tests/test_streaming.py as the oracle models these sinks are
+checked against).
 """
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame
-
-
-class UpsertSink:
-    """Keyed last-write-wins materialization of an update-mode stream."""
-
-    #: Driver-side key-cardinality bound (contract-demo posture; see
-    #: module docstring). Override per-instance for bigger tests.
-    DEFAULT_MAX_KEYS = 1_000_000
-
-    def __init__(self, key_cols: list[str], max_keys: int | None = None):
-        self.key_cols = key_cols
-        self.max_keys = self.DEFAULT_MAX_KEYS if max_keys is None else max_keys
-        self._rows: dict[tuple, tuple] = {}
-        self.columns: list[str] | None = None
-
-    def _check_bound(self) -> None:
-        if len(self._rows) > self.max_keys:
-            raise RuntimeError(
-                f"{type(self).__name__} exceeded max_keys={self.max_keys}: "
-                "this sink holds its keyed state driver-side (contract "
-                "demo); route high-cardinality streams to an external "
-                "keyed store instead."
-            )
-
-    def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        pdf = batch_df.toPandas()
-        if self.columns is None:
-            self.columns = list(pdf.columns)
-        ki = [self.columns.index(k) for k in self.key_cols]
-        for row in pdf.itertuples(index=False):
-            self._rows[tuple(row[i] for i in ki)] = tuple(row)
-        self._check_bound()
-
-    def snapshot(self) -> pd.DataFrame:
-        return pd.DataFrame(list(self._rows.values()), columns=self.columns)
-
-
-class RetractSink(UpsertSink):
-    """Changelog materialization: (+/-) operation per value change."""
-
-    def __init__(self, key_cols: list[str], max_keys: int | None = None):
-        super().__init__(key_cols, max_keys)
-        self._log: list[tuple] = []
-
-    def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        pdf = batch_df.toPandas()
-        if self.columns is None:
-            self.columns = list(pdf.columns)
-        ki = [self.columns.index(k) for k in self.key_cols]
-        for row in pdf.itertuples(index=False):
-            row = tuple(row)
-            key = tuple(row[i] for i in ki)
-            old = self._rows.get(key)
-            if old == row:
-                continue
-            if old is not None:
-                self._log.append(("-", *old))  # retract the old value
-            self._log.append(("+", *row))
-            self._rows[key] = row
-        self._check_bound()
-
-    def changelog(self) -> pd.DataFrame:
-        return pd.DataFrame(self._log, columns=["op", *self.columns])
-
-    def replay(self) -> pd.DataFrame:
-        """Fold the changelog; must equal ``snapshot()``."""
-        state: dict[tuple, tuple] = {}
-        ki = [self.columns.index(k) for k in self.key_cols]
-        for op, *row in self._log:
-            key = tuple(row[i] for i in ki)
-            if op == "+":
-                state[key] = tuple(row)
-            elif state.get(key) == tuple(row):
-                del state[key]
-        return pd.DataFrame(list(state.values()), columns=self.columns)
 
 
 class ParquetUpsertSink:
     """Distributed keyed-upsert sink — the 100 TB shape of
-    :class:`UpsertSink` (no driver-side state at all).
+    :class:`UpsertStreamTableSink` contract (no driver-side state at
+    all; the dict-backed contract model lives in tests).
 
     Each update-mode micro-batch APPENDS its delta, stamped with the
     micro-batch id, to a parquet changelog directory: the write is
@@ -248,3 +164,163 @@ class ParquetUpsertSink:
         shutil.move(self.path, backup)
         shutil.move(tmp, self.path)
         shutil.rmtree(backup)
+
+
+class ParquetRetractSink:
+    """Distributed retract-changelog sink — the 100 TB shape of
+    :class:`RetractSink` (reference RetractStreamTableSink.java: a
+    (+/-) operation pair per value change), with no driver-side state.
+
+    Layout under ``path``:
+
+    - ``state/``  — the current keyed table (parquet, swapped
+      crash-safely like :class:`~..sources.incremental.IncrementalAggState`);
+    - ``log/__batch_id=N/`` — the (+/-) ops each micro-batch emitted,
+      one hive-partition dir per batch.
+
+    Per batch (update-mode deltas, one row per key per batch): the
+    delta full-outer-joins the current state on the key — changed
+    keys emit ``(-old, +new)``, new keys emit ``(+new)``, unchanged
+    keys emit nothing — then the state is upserted and swapped. Both
+    the diff and the state rewrite are state-sized keyed joins on the
+    executors; the driver never holds a row.
+
+    **Replay idempotency** differs from :class:`ParquetUpsertSink`:
+    a retraction diff is computed AGAINST the pre-batch state, so a
+    replayed batch cannot simply overwrite its partition (the state
+    has already advanced and the re-diff would be empty). Instead the
+    last applied batch id is persisted INSIDE the state dir (promoted
+    atomically with the state, same marker pattern as
+    ``IncrementalAggState``) and replayed batches are skipped whole.
+
+    ``replay(spark)`` folds the changelog distributedly (keep the
+    last op per key, ``+`` outranking ``-`` within a batch) and must
+    equal ``snapshot(spark)`` — the contract the driver-dict
+    reference model (tests) pins.
+    """
+
+    BATCH_COL = "__batch_id"
+    BATCH_MARKER = "_LAST_BATCH"
+
+    def __init__(self, path: str, key_cols: list[str]):
+        import os
+
+        self.path = path
+        self.key_cols = list(key_cols)
+        self.state_dir = os.path.join(path, "state")
+        self.log_dir = os.path.join(path, "log")
+
+    def _recover(self) -> None:
+        import os
+        import shutil
+
+        backup = self.state_dir + ".old"
+        if os.path.isdir(backup):
+            if not os.path.isdir(self.state_dir):
+                shutil.move(backup, self.state_dir)
+            else:
+                shutil.rmtree(backup)
+        updating = self.state_dir + ".updating"
+        if os.path.isdir(updating):
+            shutil.rmtree(updating)
+
+    def _last_batch(self) -> int:
+        import os
+
+        p = os.path.join(self.state_dir, self.BATCH_MARKER)
+        if os.path.isfile(p):
+            with open(p) as f:
+                return int(f.read().strip())
+        return -1
+
+    def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        import os
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        self._recover()
+        if batch_id <= self._last_batch():
+            return  # at-least-once replay: already applied
+        spark = batch_df.sparkSession
+        cols = batch_df.columns
+        value_cols = [c for c in cols if c not in self.key_cols]
+        has_state = os.path.isdir(self.state_dir)
+        new = batch_df
+        if has_state:
+            old = spark.read.parquet(self.state_dir)
+            j = old.select(
+                *[F.col(k) for k in self.key_cols],
+                *[F.col(c).alias(f"__old_{c}") for c in value_cols],
+            ).join(new, self.key_cols, "full_outer")
+            changed = (
+                F.struct(*[F.col(f"__old_{c}") for c in value_cols])
+                != F.struct(*[F.col(c) for c in value_cols])
+            )
+            in_old = F.col(f"__old_{value_cols[0]}").isNotNull()
+            in_new = F.col(value_cols[0]).isNotNull()
+            minus = (
+                j.filter(in_old & in_new & changed)
+                .select(
+                    F.lit("-").alias("op"),
+                    *self.key_cols,
+                    *[
+                        F.col(f"__old_{c}").alias(c)
+                        for c in value_cols
+                    ],
+                )
+            )
+            plus = (
+                j.filter(in_new & (~in_old | changed))
+                .select(F.lit("+").alias("op"), *cols)
+            )
+            ops = minus.unionByName(plus)
+            next_state = (
+                old.join(new.select(*self.key_cols), self.key_cols, "left_anti")
+                .unionByName(new)
+            )
+        else:
+            ops = new.select(F.lit("+").alias("op"), *cols)
+            next_state = new
+        (
+            ops.write.mode("overwrite").parquet(
+                os.path.join(self.log_dir, f"{self.BATCH_COL}={int(batch_id)}")
+            )
+        )
+        updating = self.state_dir + ".updating"
+        next_state.write.mode("overwrite").parquet(updating)
+        with open(os.path.join(updating, self.BATCH_MARKER), "w") as f:
+            f.write(f"{int(batch_id)}\n")
+        backup = self.state_dir + ".old"
+        if os.path.isdir(backup):
+            shutil.rmtree(backup)
+        if os.path.isdir(self.state_dir):
+            shutil.move(self.state_dir, backup)
+        shutil.move(updating, self.state_dir)
+        if os.path.isdir(backup):
+            shutil.rmtree(backup)
+
+    def snapshot(self, spark) -> DataFrame:
+        self._recover()
+        return spark.read.parquet(self.state_dir)
+
+    def changelog(self, spark) -> DataFrame:
+        return spark.read.parquet(self.log_dir)
+
+    def replay(self, spark) -> DataFrame:
+        """Fold the (+/-) log to the live table: last op per key in
+        (batch, '+'>'-') order; a key whose final op is '+' is live.
+        Must equal ``snapshot`` — the retract-changelog contract."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        log = self.changelog(spark)
+        rank = F.when(F.col("op") == "+", 1).otherwise(0)
+        w = Window.partitionBy(*self.key_cols).orderBy(
+            F.desc(self.BATCH_COL), rank.desc()
+        )
+        return (
+            log.withColumn("__rn", F.row_number().over(w))
+            .filter((F.col("__rn") == 1) & (F.col("op") == "+"))
+            .drop("__rn", "op", self.BATCH_COL)
+        )

@@ -290,6 +290,31 @@ SIZES_SF1 = {
     "inv_item_step": 2,
 }
 
+# dsdgen -SCALE 10 volumes (VERDICT r7 item 3 — one more decade):
+# 28.8M store_sales / 14.4M catalog_sales / 7.2M web_sales lines,
+# ~160M inventory snapshots (dsdgen SF10: 133M), dims per the dsdgen
+# SF10 table (item 102k, customer 500k, 10 warehouses, 102 stores).
+SIZES_SF10 = {
+    **SIZES_SF1,
+    "item": 102_000,
+    "customer": 500_000,
+    "customer_address": 250_000,
+    "store": 102,
+    "warehouse": 10,
+    "web_site": 42,
+    "web_page": 200,
+    "catalog_page": 12_000,
+    "promotion": 500,
+    "call_center": 12,
+    "ss_tickets": 2_400_000,
+    "ss_lines": 28_800_000,
+    "cs_orders": 1_600_000,
+    "cs_lines": 14_400_000,
+    "ws_orders": 720_000,
+    "ws_lines": 7_200_000,
+    "inv_item_step": 2,
+}
+
 # Density knobs: micro-scale data needs deliberate correlation for
 # the most selective query families to return rows (at dsdgen SF1 the
 # sheer row count provides it).
@@ -659,7 +684,10 @@ def gen_store(n: int) -> pa.Table:
     rng = np.random.default_rng(104)
     sk = np.arange(1, n + 1, dtype=np.int64)
     names = [SYL[i % len(SYL)] for i in range(n)]  # includes 'ese'
-    states = ["TN"] * 8 + ["OH", "SD", "TN", "TN"]
+    # mostly-TN with an OH/SD sprinkle, repeated to any store count
+    # (the first 12 match the original micro/SF1 layout exactly)
+    states = (["TN"] * 8 + ["OH", "SD", "TN", "TN"]) * (n // 12 + 1)
+    states = states[:n]
     return _table(
         "store",
         {
@@ -793,7 +821,7 @@ def gen_warehouse(n: int) -> pa.Table:
             "w_suite_number": "Suite 0",
             "w_city": "Midway",
             "w_county": "Williamson County",
-            "w_state": ["TN", "OH", "SD", "TN", "TN"][:n],
+            "w_state": (["TN", "OH", "SD", "TN", "TN"] * (n // 5 + 1))[:n],
             "w_zip": [ZIPS[i] for i in rng.integers(0, len(ZIPS), n)],
             "w_country": "United States",
             "w_gmt_offset": _money(np.full(n, -500)),

@@ -5,7 +5,11 @@ scale, TpcDsBatchExecITCase.scala:106) in both catalog postures, with
 per-query wall-clock, and print ONE JSON line.
 
 Usage:
-    python scripts/bench_sf1.py [--data-dir DIR]
+    python scripts/bench_sf1.py [--data-dir DIR] [--scale sf1|sf10]
+
+``--scale sf10`` runs the same sweep at dsdgen -SCALE 10 volumes
+(SIZES_SF10: 28.8M store_sales / ~160M inventory — VERDICT r7
+item 3, one more decade).
 
 Data is generated once (cached by marker file) with
 ``datagen.generate(sizes=SIZES_SF1)`` — ~2.9M store_sales /
@@ -28,19 +32,23 @@ os.environ.setdefault("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m")
 
 from flink_tpcds_spark.session import get_spark  # noqa: E402
 from flink_tpcds_spark.tpcds import runner  # noqa: E402
-from flink_tpcds_spark.tpcds.datagen import SIZES_SF1, generate  # noqa: E402
+from flink_tpcds_spark.tpcds.datagen import SIZES_SF1, SIZES_SF10, generate  # noqa: E402
 
 
 def main() -> None:
-    data_dir = "/tmp/tpcds_sf1"
+    scale = "sf1"
+    if "--scale" in sys.argv:
+        scale = sys.argv[sys.argv.index("--scale") + 1]
+    sizes = {"sf1": SIZES_SF1, "sf10": SIZES_SF10}[scale]
+    data_dir = f"/tmp/tpcds_{scale}"
     if "--data-dir" in sys.argv:
         data_dir = sys.argv[sys.argv.index("--data-dir") + 1]
 
     t0 = time.time()
-    generate(data_dir, sizes=SIZES_SF1)
+    generate(data_dir, sizes=sizes)
     gen_sec = round(time.time() - t0, 1)
 
-    spark = get_spark("bench-sf1")
+    spark = get_spark(f"bench-{scale}")
     names = runner.query_names()
 
     def corpus_pass() -> dict:
@@ -69,7 +77,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "tpcds_corpus_sf1",
+                "metric": f"tpcds_corpus_{scale}",
                 "gen_sec": gen_sec,
                 "data_dir": data_dir,
                 "temp_views": views,
