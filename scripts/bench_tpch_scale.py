@@ -106,6 +106,26 @@ def main() -> None:
     base_t = run(BASE)
     big_t = run(scaled)
 
+    # --bucketed (VERDICT r7 item 4): rerun the suite with lineitem +
+    # orders bucketed on their order keys — the warehouse posture.
+    # At ×100 every order-key join is a sort-merge from plain parquet;
+    # the posture converts them to exchange-free bucketed joins.
+    bucketed_t = None
+    bucket_write = None
+    if "--bucketed" in sys.argv:
+        from flink_tpcds_spark.sources.bucketing import (
+            install_bucketed_posture,
+            uninstall_bucketed_posture,
+        )
+
+        try:
+            t0 = time.time()
+            install_bucketed_posture(spark, scaled)
+            bucket_write = round(time.time() - t0, 1)
+            bucketed_t = run(scaled)
+        finally:
+            uninstall_bucketed_posture()
+
     # h01 invariant: counts/sums ×m, averages identical
     b = {
         (r[0], r[1]): r.asDict()
@@ -140,6 +160,8 @@ def main() -> None:
                 "m": m,
                 "base_sec": base_t,
                 "scaled_sec": big_t,
+                "bucketed_sec": bucketed_t,
+                "bucket_write_sec": bucket_write,
                 "h01_invariant": inv,
             }
         )

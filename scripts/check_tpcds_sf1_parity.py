@@ -6,6 +6,12 @@ verifies it). Same comparator as the sf-micro gate
 the reference's UNCERTAIN ties-in-LIMIT set.
 
 Usage: python scripts/check_tpcds_sf1_parity.py [--data-dir DIR]
+       [--scale sf1|sf10] [--queries q1,q2,...]
+
+``--scale sf10`` checks at dsdgen -SCALE 10 volumes; ``--queries``
+restricts to a comma-separated subset (the DuckDB side of a few
+heavy queries dominates wall-clock at SF10 — the subset check is the
+documented posture there).
 Prints one line per failing query and a final verdict line.
 """
 
@@ -21,28 +27,37 @@ os.environ.setdefault("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m")
 
 from flink_tpcds_spark.session import get_spark  # noqa: E402
 from flink_tpcds_spark.tpcds import runner  # noqa: E402
-from flink_tpcds_spark.tpcds.datagen import SIZES_SF1, generate  # noqa: E402
+from flink_tpcds_spark.tpcds.datagen import SIZES_SF1, SIZES_SF10, generate  # noqa: E402
 
 
 def main() -> None:
-    data_dir = "/tmp/tpcds_sf1"
+    scale = "sf1"
+    if "--scale" in sys.argv:
+        scale = sys.argv[sys.argv.index("--scale") + 1]
+    sizes = {"sf1": SIZES_SF1, "sf10": SIZES_SF10}[scale]
+    data_dir = f"/tmp/tpcds_{scale}"
     if "--data-dir" in sys.argv:
         data_dir = sys.argv[sys.argv.index("--data-dir") + 1]
-    generate(data_dir, sizes=SIZES_SF1)
+    generate(data_dir, sizes=sizes)
 
-    spark = get_spark("sf1-parity")
+    names = runner.query_names()
+    if "--queries" in sys.argv:
+        want = sys.argv[sys.argv.index("--queries") + 1].split(",")
+        names = [n for n in names if n in want]
+
+    spark = get_spark(f"{scale}-parity")
     runner.register_spark_views(spark, data_dir)
     con = runner.duckdb_conn(data_dir)
 
     t0 = time.time()
     bad: list[str] = []
-    for name in runner.query_names():
+    for name in names:
         res = runner.run_one(name, spark, con)
         if not res.ok:
             bad.append(name)
             print(f"FAIL {name}: {res.detail}", flush=True)
     print(
-        f"{len(bad)} failures of {len(runner.query_names())} "
+        f"{len(bad)} failures of {len(names)} "
         f"in {time.time() - t0:.0f}s: {bad}"
     )
     sys.exit(1 if bad else 0)
