@@ -55,6 +55,20 @@ FACT_BUCKET_SPEC: dict[str, list[str]] = {
     "orders": ["o_orderkey"],
 }
 
+# TPC-DS fact⋈returns pair spec — the q24/q17/q25-class join that CBO
+# correctly refuses to broadcast at scale (store_returns is 3.9M rows
+# at SF10) and that then pays a 28.8M-row shuffle per query as SMJ.
+# Measured at SF10 (BENCH_NOTES "Round 8: SF10"): q24a 80.7 → 31.7 s,
+# q24b → 32.2 s from this spec — 2.5× over stats-SMJ and 1.6× over
+# the optimistic-broadcast views plan, identical results. Bucket per
+# the DOMINANT workload key: h05-class custkey-driven chains would
+# bucket on the customer key instead (the measured h05 regression
+# under the order-key spec, same BENCH_NOTES section).
+TPCDS_RETURNS_BUCKET_SPEC: dict[str, list[str]] = {
+    "store_sales": ["ss_ticket_number", "ss_item_sk"],
+    "store_returns": ["sr_ticket_number", "sr_item_sk"],
+}
+
 
 def install_bucketed_posture(
     spark: SparkSession,
