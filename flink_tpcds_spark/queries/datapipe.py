@@ -445,6 +445,29 @@ def dp_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("dp_knn_ivf_dist", _KNN_INVARIANT_ORACLE)
+def dp_knn_ivf_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with the DISTRIBUTED centroid trainer forced
+    (``sample`` above ``_DRIVER_TRAIN_BUDGET`` routes training to
+    ``_ivf_centroids_distributed`` — meta-partitioned Lloyd's, driver
+    holds only O(C) rows; VERDICT r7 item 1). Same recall@10 invariant
+    as ``dp_knn_ivf``, so the scale-path trainer is certified by the
+    driver gate, not only by pytest/bench
+    (``scripts/bench_ivf_distributed.py`` measures it at 10M
+    vectors / 40k cells)."""
+    from ..datapipe.similarity import _DRIVER_TRAIN_BUDGET, knn_ivf
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qf = F.col("vec_id") % 20 == 0
+    return _recall_invariant(
+        knn_ivf(
+            e, qf, k=10, sample=_DRIVER_TRAIN_BUDGET + 1
+        ).select("query_id", "neighbor_id"),
+        knn_bruteforce(e, qf, k=10).select("query_id", "neighbor_id"),
+        floor=0.35,
+    )
+
+
 @_q(
     "dp_multimodal_framesample",
     """

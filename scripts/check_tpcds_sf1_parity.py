@@ -45,14 +45,42 @@ def main() -> None:
         want = sys.argv[sys.argv.index("--queries") + 1].split(",")
         names = [n for n in names if n in want]
 
+    heavy = "--heavy-rewrites" in sys.argv
+
     spark = get_spark(f"{scale}-parity")
     runner.register_spark_views(spark, data_dir)
     con = runner.duckdb_conn(data_dir)
+    # At SF10 the heaviest oracles (q64: 2.3M output rows through a
+    # 20-way join) need out-of-core room and must not buffer results
+    # in insertion order; with these set q64 completes in ~300 s
+    # where the defaults died on temp-spill disk exhaustion.
+    con.execute("SET temp_directory='/tmp/duck_tmp'")
+    con.execute("SET preserve_insertion_order=false")
+    con.execute("SET memory_limit='90GB'")
+
+    if "--certify-rewrites" in sys.argv:
+        # Prove the heavy-oracle rewrites ARE the vendored queries:
+        # run both forms in DuckDB itself at this scale and compare
+        # with the same canonicalizer used for Spark-vs-DuckDB.
+        for name, rewrite in runner.HEAVY_ORACLE_REWRITES.items():
+            t0 = time.time()
+            vend = con.execute(runner.query_text(name, "duckdb")).fetchall()
+            rewr = con.execute(rewrite).fetchall()
+            res = runner.compare_rows(name, rewr, vend)
+            print(
+                f"certify {name}: ok={res.ok} rows={res.spark_rows}/"
+                f"{res.duck_rows} in {time.time() - t0:.0f}s",
+                flush=True,
+            )
+            if not res.ok:
+                print(f"  {res.detail}")
+                sys.exit(1)
+        sys.exit(0)
 
     t0 = time.time()
     bad: list[str] = []
     for name in names:
-        res = runner.run_one(name, spark, con)
+        res = runner.run_one(name, spark, con, heavy_rewrites=heavy)
         if not res.ok:
             bad.append(name)
             print(f"FAIL {name}: {res.detail}", flush=True)

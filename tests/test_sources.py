@@ -486,3 +486,65 @@ def test_bucketed_posture_removes_fact_join_exchanges(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_returns_pair_bucket_spec_removes_ticket_exchanges(spark):
+    """The TPC-DS analog of the order-key posture: store_sales ⋈
+    store_returns on (ticket, item) — the q24/q17-class join CBO
+    correctly refuses to broadcast at SF10 (BENCH_NOTES "Round 8:
+    SF10": q24a 80.7 → 31.7 s from this spec). Gate: bucketing both
+    facts per TPCDS_RETURNS_BUCKET_SPEC removes the ticket-key
+    exchanges in the forced-SMJ regime and keeps results identical."""
+    from flink_tpcds_spark.sources.bucketing import (
+        TPCDS_RETURNS_BUCKET_SPEC,
+        bucket_table,
+    )
+    from flink_tpcds_spark.tpcds import datagen
+
+    data_dir = datagen.generate()
+    ss = spark.read.parquet(os.path.join(data_dir, "store_sales.parquet"))
+    sr = spark.read.parquet(os.path.join(data_dir, "store_returns.parquet"))
+    on = [
+        ss["ss_ticket_number"] == sr["sr_ticket_number"],
+        ss["ss_item_sk"] == sr["sr_item_sk"],
+    ]
+    prev = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        plain = ss.join(sr, on).select("ss_ticket_number", "ss_item_sk", "sr_return_amt")
+        plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning(ss_ticket_number" in plain_plan
+        plain_rows = sorted(tuple(r) for r in plain.collect())
+
+        for t, cols in TPCDS_RETURNS_BUCKET_SPEC.items():
+            df = spark.read.parquet(os.path.join(data_dir, f"{t}.parquet"))
+            bucket_table(df, f"b_{t}", cols, n_buckets=8, sort_cols=cols)
+        bss, bsr = spark.table("b_store_sales"), spark.table("b_store_returns")
+        bkt = bss.join(
+            bsr,
+            [
+                bss["ss_ticket_number"] == bsr["sr_ticket_number"],
+                bss["ss_item_sk"] == bsr["sr_item_sk"],
+            ],
+        ).select("ss_ticket_number", "ss_item_sk", "sr_return_amt")
+        bkt_plan = bkt._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning(ss_ticket_number" not in bkt_plan, (
+            "returns-pair posture must not shuffle on its bucket keys"
+        )
+        assert bkt_plan.count("Exchange") < plain_plan.count("Exchange")
+        assert sorted(tuple(r) for r in bkt.collect()) == plain_rows
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        spark.sql("DROP TABLE IF EXISTS b_store_sales")
+        spark.sql("DROP TABLE IF EXISTS b_store_returns")

@@ -109,3 +109,19 @@ def test_datagen_marker_records_size_fingerprint(tmp_path):
         f.write("ok\n")
     datagen.generate(d)
     assert pq.read_metadata(item).num_rows == datagen.SIZES_N["item"]
+
+
+def test_heavy_oracle_rewrites_match_vendored(tpcds_env):
+    """The q24a/q24b decade-up oracle rewrites (aggregate pushed
+    through the many-to-many customer_address join — see
+    runner.HEAVY_ORACLE_REWRITES) must be value-identical to the
+    vendored SQL. Certified here in DuckDB alone at micro scale;
+    check_tpcds_sf1_parity.py --certify-rewrites repeats this at SF1
+    before the rewrite is trusted as the SF10 oracle."""
+    _, con = tpcds_env
+    for name, rewrite in runner.HEAVY_ORACLE_REWRITES.items():
+        vend = con.execute(runner.query_text(name, "duckdb")).fetchall()
+        rewr = con.execute(rewrite).fetchall()
+        res = runner.compare_rows(name, rewr, vend)
+        assert res.ok, f"{name}: {res.detail}"
+        assert res.spark_rows > 0, f"{name}: empty result certifies nothing"
