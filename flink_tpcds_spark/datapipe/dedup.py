@@ -727,3 +727,132 @@ def remove_boilerplate_ngrams(
         )
     )
     return cleaned
+
+
+def _deletion_variants(col: Column) -> Column:
+    """All strings obtained by deleting exactly ONE character of
+    ``col`` — the depth-1 FastSS deletion neighborhood. Pure JVM
+    expression (sequence → transform → substr/concat), no UDF. The
+    zero-length case is guarded explicitly: Spark's ``sequence(1, 0)``
+    would generate a DESCENDING sequence, not an empty one."""
+    one_deleted = F.transform(
+        F.sequence(F.lit(1), F.length(col)),
+        lambda i: F.concat(
+            col.substr(F.lit(1), i - F.lit(1)),
+            col.substr(i + F.lit(1), F.length(col)),
+        ),
+    )
+    return F.when(F.length(col) > 0, one_deleted).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _deletion_neighborhood(col: Column, k: int) -> Column:
+    """Strings reachable from ``col`` by deleting 0..k characters
+    (duplicates removed). Size ≤ 1 + len + len·(len−1)/2 + … —
+    (len+1)^k in the worst case, so keys are meant to be short."""
+    nb = F.array(col)
+    for _ in range(k):
+        nb = F.array_union(
+            nb,
+            F.array_distinct(F.flatten(F.transform(nb, _deletion_variants))),
+        )
+    return nb
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    key_col: str = "text",
+    max_dist: int = 1,
+) -> DataFrame:
+    """EXACT edit-distance-≤k similarity self-join (entity resolution
+    / fuzzy key matching) via FastSS deletion-neighborhood blocking.
+
+    Blocking guarantee (Bocek et al. 2007, "Fast Similarity Search in
+    Big Dictionaries"): if lev(s, t) ≤ k, deleting the ≤k edited
+    positions from each side yields a COMMON string, so the depth-k
+    deletion neighborhoods of s and t intersect — neighborhood
+    blocking is lossless. Candidates are then verified with the exact
+    ``levenshtein`` built-in in its threshold form (the DP
+    early-aborts above ``max_dist``), so the result is identical to
+    the O(n²) all-pairs oracle. Flink exposes no such operator; the
+    reference's scalar surface stops at per-row similarity functions
+    (flink-docs similarity UDFs) — this is the set-level join a
+    curation pipeline actually needs.
+
+    Scale design (100 TB): the variant equi-join runs over DISTINCT
+    keys, so identical-key clusters — the classic adversarial skew,
+    m copies of one title ⇒ m² candidates — never enter the block
+    join at all; they re-expand afterwards as dist-0 pairs, which is
+    the true output size, not intermediate state. Shuffle volume is
+    O(distinct_keys × neighborhood), never O(n²). Corpus-sized join
+    sides carry the module's ``merge`` hint (spillable SMJ — computed
+    exploded columns make byte estimates meaningless, the r7-measured
+    broadcast/SHJ failure modes). Keys are meant to be SHORT entity
+    keys (names, titles, normalized prefixes): the neighborhood is
+    ~(len+1)^k variants per key, so len 16 / k=1 is 17 rows per
+    distinct key and len 12 / k=2 is ~79.
+
+    Returns ``(id_a, id_b, dist)`` with ``id_a < id_b``, one row per
+    unordered pair, ``dist ≤ max_dist``.
+    """
+    if max_dist < 1:
+        raise ValueError("max_dist must be ≥ 1 — use exact dedup for 0")
+    keyed = _register_cache(
+        df.select(F.col(id_col).alias("id"), F.col(key_col).alias("k")).filter(
+            F.col("k").isNotNull()
+        )
+    )
+    # The block join sees each key ONCE regardless of multiplicity.
+    variants = (
+        keyed.select("k")
+        .distinct()
+        .select(
+            "k",
+            F.explode(_deletion_neighborhood(F.col("k"), max_dist)).alias("v"),
+        )
+    )
+    key_pairs = (
+        variants.alias("x")
+        .hint("merge")
+        .join(variants.alias("y").hint("merge"), "v")
+        .filter(F.col("x.k") < F.col("y.k"))
+        .select(F.col("x.k").alias("k_a"), F.col("y.k").alias("k_b"))
+        .distinct()
+        .withColumn("dist", F.levenshtein("k_a", "k_b", max_dist))
+        .filter(F.col("dist") >= 0)  # threshold form returns -1 above k
+    )
+    # dist-0 pairs: identical keys never reach the variant join; their
+    # quadratic fan-out IS the requested output, produced directly.
+    same_key = (
+        keyed.alias("p")
+        .hint("merge")
+        .join(keyed.alias("q").hint("merge"), "k")
+        .filter(F.col("p.id") < F.col("q.id"))
+        .select(
+            F.col("p.id").alias("id_a"),
+            F.col("q.id").alias("id_b"),
+            F.lit(0).alias("dist"),
+        )
+    )
+    cross_key = (
+        key_pairs.join(
+            keyed.select(F.col("k").alias("k_a"), F.col("id").alias("ia")).hint(
+                "merge"
+            ),
+            "k_a",
+        )
+        .join(
+            keyed.select(F.col("k").alias("k_b"), F.col("id").alias("ib")).hint(
+                "merge"
+            ),
+            "k_b",
+        )
+        .select(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+            "dist",
+        )
+    )
+    return same_key.unionByName(cross_key)

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..datapipe.dedup import (
+    edit_distance_pairs,
     exact_dedup_stats,
     minhash_near_dup_pairs,
     ngram_jaccard_pairs_exact,
@@ -1713,3 +1714,51 @@ def dp_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return length_histogram(d).orderBy("bucket")
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy entity-resolution join (oracle = brute-force all-pairs levenshtein)
+# ---------------------------------------------------------------------------
+@_q(
+    "dp_fuzzy_join",
+    """
+    WITH t AS (SELECT doc_id, substr(text, 1, 16) AS k
+               FROM documents WHERE text IS NOT NULL)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.k, b.k) AS INT) AS dist
+    FROM t a JOIN t b ON a.doc_id < b.doc_id
+    WHERE levenshtein(a.k, b.k) <= 1
+    """,
+)
+def dp_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact edit-distance-≤1 entity-resolution self-join on a 16-char
+    document key via FastSS deletion-neighborhood blocking
+    (datapipe/dedup.py:edit_distance_pairs). The oracle is the O(n²)
+    all-pairs levenshtein join — the blocked plan must reproduce it
+    EXACTLY (the deletion neighborhood is a lossless filter, then the
+    threshold-form levenshtein verifies)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 16).alias("k")
+    )
+    return edit_distance_pairs(d, key_col="k", max_dist=1)
+
+
+@_q(
+    "dp_fuzzy_join_k2",
+    """
+    WITH t AS (SELECT doc_id, substr(text, 1, 12) AS k
+               FROM documents WHERE text IS NOT NULL)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.k, b.k) AS INT) AS dist
+    FROM t a JOIN t b ON a.doc_id < b.doc_id
+    WHERE levenshtein(a.k, b.k) <= 2
+    """,
+)
+def dp_fuzzy_join_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-2 variant of dp_fuzzy_join (ed ≤ 2 on a 12-char key):
+    exercises the iterated deletion neighborhood (~79 variants/key)
+    and the dist-2 verify band against the same brute-force oracle."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 12).alias("k")
+    )
+    return edit_distance_pairs(d, key_col="k", max_dist=2)

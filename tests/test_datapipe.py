@@ -4,6 +4,7 @@ SimHash hamming behavior, multimodal crc parity, quality gate sanity.
 
 from __future__ import annotations
 
+import os
 import zlib
 
 from pyspark.sql import functions as F
@@ -1244,3 +1245,65 @@ def test_ivf_distributed_training_bounds_driver_collect(spark, monkeypatch):
         ).collect()
     }
     assert len(bf & iv) / len(bf) >= 0.4
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy entity-resolution join (FastSS deletion-neighborhood blocking)
+# ---------------------------------------------------------------------------
+def _brute_pairs(df, k):
+    a, b = df.alias("a"), df.alias("b")
+    return sorted(
+        tuple(r)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.levenshtein(F.col("a.k"), F.col("b.k")).alias("dist"),
+        )
+        .filter(F.col("dist") <= k)
+        .collect()
+    )
+
+
+def test_edit_distance_pairs_matches_bruteforce(spark):
+    """Blocked fuzzy join == O(n²) all-pairs levenshtein, including
+    the edge cases: empty keys, single chars, identical keys (dist-0
+    multiplicity), transpositions (ed=2, must NOT appear at k=1), and
+    nulls (dropped)."""
+    from flink_tpcds_spark.datapipe.dedup import edit_distance_pairs
+
+    rows = [
+        (0, "spark"), (1, "spank"), (2, "spark"), (3, "park"),
+        (4, "sparkk"), (5, ""), (6, "a"), (7, "b"), (8, "ab"),
+        (9, "ba"), (10, None), (11, "window"), (12, "windows"),
+        (13, "indow"), (14, "wndow"), (15, "spark"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, k string")
+    for k in (1, 2):
+        got = sorted(
+            tuple(r)
+            for r in edit_distance_pairs(df, key_col="k", max_dist=k).collect()
+        )
+        assert got == _brute_pairs(df, k), f"k={k}"
+    # transposition sanity: ("ab","ba") is ed=2 — present at k=2 only
+    k1 = set(map(tuple, edit_distance_pairs(df, key_col="k", max_dist=1).collect()))
+    assert (8, 9, 2) not in k1
+
+
+def test_edit_distance_pairs_corpus_plan_and_volume(spark, sf_dir):
+    """Plan gate: the variant block join must be a spillable SMJ with
+    no cartesian/broadcast-nested-loop anywhere (computed exploded
+    columns defeat size estimates — the r7-measured failure modes);
+    and the sf0.001 result matches brute force on real documents."""
+    from flink_tpcds_spark.datapipe.dedup import edit_distance_pairs
+
+    d = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", F.substring("text", 1, 16).alias("k"))
+    )
+    pairs = edit_distance_pairs(d, key_col="k", max_dist=1)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan
+    assert sorted(tuple(r) for r in pairs.collect()) == _brute_pairs(d, 1)
