@@ -22,6 +22,7 @@ expected results are known in closed form:
   concentrate near 0 at dim=64.
 
 Usage: python scripts/bench_datapipe_scale.py [--scales 1,10,100]
+       [--ops name1,name2]   (restrict to a subset of operators)
 Prints one JSON line: per-op seconds at each scale + invariant checks.
 """
 
@@ -77,6 +78,7 @@ def main() -> None:
 
     from flink_tpcds_spark.datapipe.curate import length_histogram
     from flink_tpcds_spark.datapipe.dedup import (
+        edit_distance_pairs,
         exact_dedup_stats,
         minhash_near_dup_pairs,
         ngram_jaccard_pairs_exact,
@@ -122,6 +124,14 @@ def main() -> None:
             "minhash_pairs": lambda: minhash_near_dup_pairs(docs).count(),
             "jaccard_pairs": lambda: ngram_jaccard_pairs_exact(docs).count(),
             "simhash_rows": lambda: simhash_fingerprints(docs).count(),
+            # 16-char key, ed≤1: the per-copy cipher is a character
+            # bijection, and levenshtein is invariant under one, so
+            # within-copy pairs replicate exactly; cross-copy keys
+            # differ in (almost) every letter → pair count = m× base.
+            "fuzzy_pairs": lambda: edit_distance_pairs(
+                docs.select("doc_id", F.substring("text", 1, 16).alias("k")),
+                key_col="k",
+            ).count(),
             "knn_bf_rows": lambda: knn_bruteforce(embs, qf, k=10).count(),
             "knn_ivf_rows": lambda: knn_ivf(
                 embs, qf, k=10, n_clusters=n_cells
@@ -130,6 +140,9 @@ def main() -> None:
                 embs, n_clusters=n_cells
             ).count(),
         }
+        if "--ops" in sys.argv:
+            want = sys.argv[sys.argv.index("--ops") + 1].split(",")
+            ops = {n: f for n, f in ops.items() if n in want}
         res: dict = {}
         for name, fn in ops.items():
             release_caches()
@@ -151,8 +164,14 @@ def main() -> None:
             base_vals = {n: r["val"] for n, r in res.items()}
         elif base_vals:
             inv = {}
-            for n in ("exact_dup_docs", "minhash_pairs", "jaccard_pairs"):
-                inv[n] = res[n]["val"] == m * base_vals[n]
+            for n in (
+                "exact_dup_docs",
+                "minhash_pairs",
+                "jaccard_pairs",
+                "fuzzy_pairs",
+            ):
+                if n in res:
+                    inv[n] = res[n]["val"] == m * base_vals[n]
             if "length_hist" in base_vals:
                 base_h = {b: (nd, f) for b, nd, f in base_vals["length_hist"]}
                 got_h = {b: (nd, f) for b, nd, f in res["length_hist"]["val"]}
