@@ -1398,3 +1398,59 @@ def ops_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("user_id") % 2 == 1),
         "value",
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable frequent-items sketch (Misra-Gries heavy hitters —
+# operators/sketch.py; the count counterpart of ops_hll_mergeable)
+# ---------------------------------------------------------------------------
+@_q(
+    "ops_freq_items_sketch",
+    """
+    WITH tok AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS item
+      FROM documents
+    ),
+    tot AS (SELECT count(*) AS n FROM tok)
+    SELECT item, CAST(count(*) AS BIGINT) AS true_cnt,
+           TRUE AS bounds_ok
+    FROM tok, tot
+    GROUP BY item, n
+    HAVING count(*) * 65 > n
+    ORDER BY item
+    """,
+)
+def ops_freq_items_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Misra-Gries heavy hitters over document tokens
+    (k=64): per-partition Arrow-batched summaries, merged by one
+    O(partitions × k) groupBy — never a full-vocabulary shuffle.
+    Hard-gate invariant: every token with true count > n/(k+1)
+    (computed exactly in-job; at most k such tokens can exist) is
+    PRESENT in the sketch with 0 ≤ true − est ≤ n/(k+1). All
+    comparisons are exact integer arithmetic (·65, no floats); the
+    oracle pins the heavy-hitter set and true counts."""
+    from ..datapipe.text import tokens
+    from ..operators.sketch import frequent_items_sketch
+
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.explode(tokens(F.col("text"))).alias("item")
+    )
+    sk = frequent_items_sketch(toks, "item", k=64)
+    exact = toks.groupBy("item").agg(F.count(F.lit(1)).alias("true_cnt"))
+    n = toks.agg(F.count(F.lit(1)).alias("n"))
+    hh = exact.crossJoin(F.broadcast(n)).filter(
+        F.col("true_cnt") * 65 > F.col("n")
+    )
+    return (
+        hh.join(sk, "item", "left")
+        .select(
+            "item",
+            "true_cnt",
+            (
+                F.col("est").isNotNull()
+                & (F.col("est") <= F.col("true_cnt"))
+                & ((F.col("true_cnt") - F.col("est")) * 65 <= F.col("n"))
+            ).alias("bounds_ok"),
+        )
+        .orderBy("item")
+    )

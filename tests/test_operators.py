@@ -642,3 +642,53 @@ def test_session_window_scale_invariant_m3(spark, sf_dir, tmp_path):
     n_base = EV["ev_session_window"](spark, sf_dir).count()
     n_big = EV["ev_session_window"](spark, str(tmp_path)).count()
     assert n_big == 3 * n_base
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries frequent-items sketch (operators/sketch.py)
+# ---------------------------------------------------------------------------
+def test_frequent_items_sketch_bounds(spark):
+    """MG guarantees on an adversarially skewed stream: one dominant
+    item, a mid band, and a long uniform tail of distinct items, laid
+    out across many partitions. Every estimate must satisfy
+    true − n/(k+1) ≤ est ≤ true, and every item with
+    true > n/(k+1) must be present."""
+    from flink_tpcds_spark.operators.sketch import frequent_items_sketch
+
+    # 10_000 rows: "hot" ×3000, ten "warm_i" ×300 each, 4000 distinct
+    # singletons. k=16 → threshold n/(k+1) ≈ 588: hot is the only
+    # guaranteed hitter; warm items may or may not survive.
+    rows = (
+        [("hot",)] * 3000
+        + [(f"warm_{i}",) for i in range(10) for _ in range(300)]
+        + [(f"tail_{j}",) for j in range(4000)]
+    )
+    df = spark.createDataFrame(rows, "item string").repartition(13)
+    k, n = 16, len(rows)
+    sk = {r.item: r.est for r in frequent_items_sketch(df, "item", k=k).collect()}
+    true = {"hot": 3000, **{f"warm_{i}": 300 for i in range(10)}}
+    err = n // (k + 1) + 1
+    assert "hot" in sk
+    for item, est in sk.items():
+        t = true.get(item, 1)
+        assert est <= t, (item, est, t)
+        assert t - est <= err, (item, est, t)
+    # absent items are bounded too: true("warm_i") = 300 < err, fine;
+    # nothing with true > n/(k+1) may be missing
+    for item, t in true.items():
+        if t * (k + 1) > n:
+            assert item in sk, item
+
+
+def test_frequent_items_sketch_output_is_small(spark):
+    """Scale contract: the merged summary never exceeds
+    partitions × k rows even with a huge distinct domain (the whole
+    point vs an exact groupBy over every key)."""
+    from flink_tpcds_spark.operators.sketch import frequent_items_sketch
+
+    df = (
+        spark.range(0, 50_000, 1, 8)
+        .select(F.concat(F.lit("u"), F.col("id")).alias("item"))
+    )
+    out = frequent_items_sketch(df, "item", k=32)
+    assert out.count() <= 8 * 32
