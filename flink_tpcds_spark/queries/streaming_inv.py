@@ -20,6 +20,10 @@ queries with full-value DuckDB oracles — not literal-TRUE rows:
   update-mode rollup) fed the events table in 4 batches; the
   maintained rollup must equal the single-pass aggregation exactly
   (decimal-bridged sums make the merge associative).
+- ``st_freq_items`` — ``StreamingFrequentItems`` (micro-batch
+  Misra-Gries accumulation with a mid-stream replay); every token
+  above the accumulated-summary threshold must be present within the
+  documented bound, in exact integer arithmetic.
 
 Each callable materializes its stream state under a temp work dir;
 the returned DataFrame reads from that state, so the dir must outlive
@@ -357,4 +361,73 @@ def st_session_scale10(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cnt").cast("bigint").alias("n_events"),
         )
         .orderBy("copy_id")
+    )
+
+
+@_q(
+    "st_freq_items",
+    """
+    WITH tok AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS item
+      FROM documents
+    ),
+    tot AS (SELECT count(*) AS n FROM tok)
+    SELECT item, CAST(count(*) AS BIGINT) AS true_cnt,
+           TRUE AS bounds_ok
+    FROM tok, tot
+    GROUP BY item, n
+    HAVING count(*) * 33345 > n * 578
+    ORDER BY item
+    """,
+)
+def st_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters: document tokens fed to
+    ``StreamingFrequentItems`` (k=64, cap=512) in 4 replay-idempotent
+    micro-batches (batch 1 applied twice — the at-least-once
+    ``foreachBatch`` contract). Hard-gate invariant: every token with
+    true count > n/(k+1) + n/(cap+1) — the accumulated-summary
+    guarantee threshold, evaluated in exact integer arithmetic
+    (·33345 = 65·513, ·578 = 513 + 65) — is PRESENT in the final
+    summary with 0 ≤ true − est ≤ n/65 + n/513, and the replay did
+    not double-count (n marker == exact token count). The oracle pins
+    the heavy-hitter set and true counts — streaming/freqitems.py."""
+    from ..streaming.freqitems import StreamingFrequentItems
+
+    work = _workdir("st_freq_")
+    docs = load_table(spark, sf_dir, "documents")
+    from ..datapipe.text import tokens as _tokens
+
+    toks = docs.select(
+        F.col("doc_id"), F.explode(_tokens(F.col("text"))).alias("item")
+    )
+    st = StreamingFrequentItems(
+        os.path.join(work, "state"), "item", k=64, cap=512
+    )
+    for i in range(4):
+        st.foreach_batch(toks.filter(F.pmod("doc_id", F.lit(4)) == i), i)
+        if i == 1:  # at-least-once replay — must be a no-op
+            st.foreach_batch(
+                toks.filter(F.pmod("doc_id", F.lit(4)) == i), i
+            )
+    sk = st.result(spark)
+    n = st.total_rows()
+    exact = toks.groupBy("item").agg(F.count(F.lit(1)).alias("true_cnt"))
+    n_exact = toks.count()
+    hh = exact.filter(F.col("true_cnt") * 33345 > F.lit(n_exact) * 578)
+    return (
+        hh.join(sk, "item", "left")
+        .select(
+            "item",
+            "true_cnt",
+            (
+                F.lit(n == n_exact)
+                & F.col("est").isNotNull()
+                & (F.col("est") <= F.col("true_cnt"))
+                & (
+                    (F.col("true_cnt") - F.col("est")) * 33345
+                    <= F.lit(n_exact) * 578
+                )
+            ).alias("bounds_ok"),
+        )
+        .orderBy("item")
     )

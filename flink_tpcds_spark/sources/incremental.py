@@ -30,28 +30,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-class IncrementalAggState:
-    """Maintains ``groupBy(keys).agg(count, sum(v), min(v), max(v))``
-    over an append-only stream of batches, with state persisted at
-    ``path``. ``result()`` exposes the rollup including the derived
-    average.
-    """
+class CrashSafeParquetState:
+    """Shared machinery for parquet-backed incremental state with a
+    crash-safe directory swap and replay-idempotent batch tracking.
+    Subclasses call ``_swap_in(merged, batch_id, markers)``; markers
+    are small text files written INSIDE the candidate dir so they
+    promote atomically with the state they describe (underscore
+    prefix → invisible to Spark's parquet reader)."""
 
-    def __init__(self, path: str, key_cols: list[str], value_col: str):
+    def __init__(self, path: str):
         self.path = path
-        self.key_cols = list(key_cols)
-        self.value_col = value_col
-
-    def _partial(self, df: DataFrame) -> DataFrame:
-        v = F.col(self.value_col)
-        return df.groupBy(*self.key_cols).agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            # decimal-bridged sum: merging must be associative across
-            # any batch arrival order, like every float agg here
-            F.sum(v.cast("decimal(18,6)")).alias("s"),
-            F.min(v).alias("mn"),
-            F.max(v).alias("mx"),
-        )
 
     def _recover(self) -> None:
         """Heal the one non-atomic crash window of the swap below: a
@@ -82,6 +70,68 @@ class IncrementalAggState:
             with open(p) as f:
                 return int(f.read().strip())
         return -1
+
+    def _marker(self, name: str) -> str | None:
+        """Read an auxiliary marker from the live state dir."""
+        p = os.path.join(self.path, name)
+        if os.path.isfile(p):
+            with open(p) as f:
+                return f.read().strip()
+        return None
+
+    def _swap_in(
+        self,
+        merged: DataFrame,
+        batch_id: int | None = None,
+        markers: dict[str, str] | None = None,
+    ) -> None:
+        tmp = self.path + ".updating"
+        merged.write.mode("overwrite").parquet(tmp)
+        if batch_id is not None:
+            # written into the candidate dir BEFORE the swap, so the
+            # marker and the state it describes promote atomically —
+            # no window where the state is new but the marker is old
+            with open(os.path.join(tmp, self.BATCH_MARKER), "w") as f:
+                f.write(f"{int(batch_id)}\n")
+        for name, val in (markers or {}).items():
+            with open(os.path.join(tmp, name), "w") as f:
+                f.write(f"{val}\n")
+        # Crash-safe swap: move the live state aside before promoting
+        # the new one, so a crash at any point leaves either the old
+        # state (at .old, recoverable) or the new state in place —
+        # never a window with no state at all.
+        backup = self.path + ".old"
+        if os.path.isdir(backup):
+            shutil.rmtree(backup)
+        if os.path.isdir(self.path):
+            shutil.move(self.path, backup)
+        shutil.move(tmp, self.path)
+        if os.path.isdir(backup):
+            shutil.rmtree(backup)
+
+
+class IncrementalAggState(CrashSafeParquetState):
+    """Maintains ``groupBy(keys).agg(count, sum(v), min(v), max(v))``
+    over an append-only stream of batches, with state persisted at
+    ``path``. ``result()`` exposes the rollup including the derived
+    average.
+    """
+
+    def __init__(self, path: str, key_cols: list[str], value_col: str):
+        super().__init__(path)
+        self.key_cols = list(key_cols)
+        self.value_col = value_col
+
+    def _partial(self, df: DataFrame) -> DataFrame:
+        v = F.col(self.value_col)
+        return df.groupBy(*self.key_cols).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            # decimal-bridged sum: merging must be associative across
+            # any batch arrival order, like every float agg here
+            F.sum(v.cast("decimal(18,6)")).alias("s"),
+            F.min(v).alias("mn"),
+            F.max(v).alias("mx"),
+        )
 
     def update(
         self, spark, batch_df: DataFrame, batch_id: int | None = None
@@ -131,26 +181,7 @@ class IncrementalAggState:
             )
         else:
             merged = part
-        tmp = self.path + ".updating"
-        merged.write.mode("overwrite").parquet(tmp)
-        if batch_id is not None:
-            # written into the candidate dir BEFORE the swap, so the
-            # marker and the state it describes promote atomically —
-            # no window where the state is new but the marker is old
-            with open(os.path.join(tmp, self.BATCH_MARKER), "w") as f:
-                f.write(f"{int(batch_id)}\n")
-        # Crash-safe swap: move the live state aside before promoting
-        # the new one, so a crash at any point leaves either the old
-        # state (at .old, recoverable) or the new state in place —
-        # never a window with no state at all.
-        backup = self.path + ".old"
-        if os.path.isdir(backup):
-            shutil.rmtree(backup)
-        if os.path.isdir(self.path):
-            shutil.move(self.path, backup)
-        shutil.move(tmp, self.path)
-        if os.path.isdir(backup):
-            shutil.rmtree(backup)
+        self._swap_in(merged, batch_id)
 
     def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """``writeStream.foreachBatch`` adapter: the same merge serves

@@ -1075,3 +1075,71 @@ def test_parquet_retract_sink_replay_idempotent_and_recovers(spark, tmp_path):
     assert {
         tuple(r) for r in sink.replay(spark).collect()
     } == {("a", 5), ("b", 9)}
+
+
+# ---------------------------------------------------------------------------
+# Streaming heavy hitters (streaming/freqitems.py)
+# ---------------------------------------------------------------------------
+def test_streaming_frequent_items_bounds_and_replay(spark, tmp_path):
+    """The micro-batch-accumulated MG summary keeps the documented
+    bound true − n/(k+1) − n/(cap+1) ≤ est ≤ true over a skewed
+    multi-batch stream; a replayed batch_id is a no-op (at-least-once
+    foreachBatch contract)."""
+    from flink_tpcds_spark.streaming.freqitems import StreamingFrequentItems
+
+    st = StreamingFrequentItems(str(tmp_path / "hh_state"), "item", k=16)
+    # 3 batches, 6000 rows each: "hot" in all batches, one rotating
+    # mid item per batch, a distinct tail per batch
+    batches = []
+    for b in range(3):
+        rows = (
+            [("hot",)] * 2000
+            + [(f"mid_{b}",)] * 1000
+            + [(f"tail_{b}_{j}",) for j in range(3000)]
+        )
+        batches.append(spark.createDataFrame(rows, "item string").repartition(7))
+    for b, df in enumerate(batches):
+        st.foreach_batch(df, b)
+    st.foreach_batch(batches[1], 1)  # replay — must be skipped
+    n = st.total_rows()
+    assert n == 18_000  # replay did not double-count
+    sk = {r.item: r.est for r in st.result(spark).collect()}
+    true = {"hot": 6000, "mid_0": 1000, "mid_1": 1000, "mid_2": 1000}
+    err = n // 17 + n // 129 + 2  # n/(k+1) + n/(cap+1), cap = 8k
+    for item, est in sk.items():
+        t = true.get(item, 1)
+        assert est <= t, (item, est, t)
+    for item, t in true.items():
+        assert t - sk.get(item, 0) <= err, (item, t, sk.get(item))
+    # hot is a guaranteed hitter: 6000 > 18000/17 + 18000/129 ≈ 1198
+    assert "hot" in sk
+    assert len(sk) <= st.cap
+
+
+def test_streaming_frequent_items_matches_batch_bound(spark, tmp_path):
+    """Stream accumulation and the one-shot batch sketch over the
+    concatenated input certify the SAME heavy-hitter set for items
+    above the streaming threshold (batch-equivalence in the bound,
+    not in raw counters — summaries are layout-dependent)."""
+    from flink_tpcds_spark.operators.sketch import frequent_items_sketch
+    from flink_tpcds_spark.streaming.freqitems import StreamingFrequentItems
+
+    rows = [(f"w{i % 40}",) for i in range(8000)] + [("mega",)] * 4000
+    full = spark.createDataFrame(rows, "item string").repartition(5)
+    st = StreamingFrequentItems(str(tmp_path / "hh_eq"), "item", k=16)
+    thirds = full.randomSplit([1.0, 1.0, 1.0], seed=7)
+    for b, part in enumerate(thirds):
+        st.foreach_batch(part, b)
+    n = st.total_rows()
+    assert n == 12_000
+    stream_sk = {r.item: r.est for r in st.result(spark).collect()}
+    batch_sk = {
+        r.item: r.est
+        for r in frequent_items_sketch(full, "item", k=16).collect()
+    }
+    # every item above the stream threshold must be in BOTH summaries
+    thr = n // 17 + n // 129 + 2
+    for item in ("mega",):
+        assert item in stream_sk and item in batch_sk
+        assert 4000 - thr <= stream_sk[item] <= 4000
+        assert 4000 - thr <= batch_sk[item] <= 4000
