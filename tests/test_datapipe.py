@@ -1307,3 +1307,36 @@ def test_edit_distance_pairs_corpus_plan_and_volume(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" in plan
     assert sorted(tuple(r) for r in pairs.collect()) == _brute_pairs(d, 1)
+
+
+def test_edit_distance_pairs_random_property():
+    """Property test: the FastSS-blocked join equals brute force on
+    random low-alphabet string multisets (dense edit-distance
+    collisions, duplicates, empties) for k ∈ {1, 2}."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from flink_tpcds_spark.datapipe.dedup import edit_distance_pairs
+    from flink_tpcds_spark.session import get_spark
+
+    spark = get_spark("fuzzy-prop")
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        st.lists(st.text(alphabet="ab!", max_size=5), min_size=2, max_size=9),
+        st.integers(1, 2),
+    )
+    def check(strings, k):
+        rows = list(enumerate(strings))
+        df = spark.createDataFrame(rows, "doc_id long, k string")
+        got = sorted(
+            tuple(r)
+            for r in edit_distance_pairs(df, key_col="k", max_dist=k).collect()
+        )
+        assert got == _brute_pairs(df, k), (strings, k)
+
+    check()

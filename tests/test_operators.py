@@ -692,3 +692,47 @@ def test_frequent_items_sketch_output_is_small(spark):
     )
     out = frequent_items_sketch(df, "item", k=32)
     assert out.count() <= 8 * 32
+
+
+def test_frequent_items_sketch_random_property():
+    """Property test: MG bounds hold on random streams across random
+    partition layouts — est ≤ true always, deficit ≤ n/(k+1), and no
+    item with true > n/(k+1) missing."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from flink_tpcds_spark.operators.sketch import frequent_items_sketch
+    from flink_tpcds_spark.session import get_spark
+
+    spark = get_spark("mg-prop")
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=120),
+        st.integers(1, 6),
+        st.integers(1, 5),
+    )
+    def check(items, k, parts):
+        from collections import Counter
+
+        true = Counter(items)
+        n = len(items)
+        df = spark.createDataFrame(
+            [(x,) for x in items], "item string"
+        ).repartition(parts)
+        sk = {
+            r.item: r.est
+            for r in frequent_items_sketch(df, "item", k=k).collect()
+        }
+        for item, est in sk.items():
+            assert est <= true[item], (items, k, parts, item)
+            assert true[item] - est <= n // (k + 1), (items, k, parts, item)
+        for item, t in true.items():
+            if t * (k + 1) > n:
+                assert item in sk, (items, k, parts, item)
+
+    check()
