@@ -1,0 +1,354 @@
+"""SQLite connector via Spark 4's Python DataSource API
+(``format("sqlitedb")``): a REAL database connector — schema
+discovery, JDBC-style range-partitioned parallel reads, source-side
+filter pushdown, and a two-phase-commit writer — against an actual
+SQL engine (stdlib ``sqlite3``), no JVM driver or live service
+needed.
+
+This closes the engine-side of the reference's JDBC connector
+(`flink-connectors/flink-jdbc`: JDBCInputFormat's
+``setParametersProvider`` range splits + JDBCOutputFormat's batched
+writes): every contract that connector demonstrates is exercised here
+against a file-backed database —
+
+- **schema discovery** from the database catalog (``PRAGMA
+  table_info``), declared affinities mapped to Spark types;
+- **partitioned reads** in the exact Spark-JDBC model
+  (``partition_column`` / ``num_partitions`` stride over
+  min/max bounds — default ``rowid``, which SQLite btrees index
+  natively, so each task reads a contiguous range);
+- **filter pushdown**: comparison / null / IN / string-match
+  predicates are compiled into each partition's WHERE clause and
+  evaluated INSIDE the database (absorbed; everything else is
+  returned to Spark) — and a pushed range on the partition column
+  also narrows the planned stride, so fewer tasks are launched;
+- **transactional writes**: SQLite allows one writer per file, so
+  concurrent executor INSERTs would serialize on the file lock.
+  Each task instead writes its rows to a private staging database
+  and returns its path as the commit message; ``commit()`` attaches
+  every staging file and applies them in ONE transaction (with the
+  optional truncate for overwrite mode), ``abort()`` deletes them —
+  a faithful two-phase-commit in the V2 writer protocol, and the
+  same topology a cluster JDBC sink uses (per-task batches, one
+  transactional apply).
+
+Single-file SQLite is not a 100 TB target — the point is the
+CONTRACT: swap the connection factory for a service client and every
+Spark-side mechanism here (planning, pushdown, commit protocol)
+carries over unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+import sqlite3
+import uuid
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+    StringContains,
+    StringEndsWith,
+    StringStartsWith,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+
+def _spark_type(declared: str) -> str:
+    d = (declared or "").upper()
+    if "INT" in d:
+        return "bigint"
+    if any(t in d for t in ("REAL", "FLOA", "DOUB", "DECIMAL", "NUMERIC")):
+        return "double"
+    if "BLOB" in d or d == "":
+        return "binary" if "BLOB" in d else "string"
+    return "string"
+
+
+def _sqlite_type(spark_type: str) -> str:
+    s = spark_type.lower()
+    if s in ("tinyint", "smallint", "int", "integer", "bigint", "long"):
+        return "INTEGER"
+    if s in ("float", "double"):
+        return "REAL"
+    if s == "binary":
+        return "BLOB"
+    return "TEXT"
+
+
+def _q(ident: str) -> str:
+    return '"' + ident.replace('"', '""') + '"'
+
+
+def _lit(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "1" if v else "0"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, (bytes, bytearray)):
+        return "X'" + bytes(v).hex() + "'"
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def _filter_sql(f) -> str | None:
+    """Compile one DataSource filter to a SQLite WHERE fragment;
+    None = not pushable (returned to Spark)."""
+    attr = getattr(f, "attribute", None)
+    if not attr or len(attr) != 1:  # nested columns not pushed
+        return None
+    col = _q(attr[0])
+    if isinstance(f, EqualTo):
+        return f"{col} = {_lit(f.value)}"
+    if isinstance(f, GreaterThan):
+        return f"{col} > {_lit(f.value)}"
+    if isinstance(f, GreaterThanOrEqual):
+        return f"{col} >= {_lit(f.value)}"
+    if isinstance(f, LessThan):
+        return f"{col} < {_lit(f.value)}"
+    if isinstance(f, LessThanOrEqual):
+        return f"{col} <= {_lit(f.value)}"
+    if isinstance(f, IsNull):
+        return f"{col} IS NULL"
+    if isinstance(f, IsNotNull):
+        return f"{col} IS NOT NULL"
+    if isinstance(f, In):
+        return f"{col} IN (" + ",".join(_lit(v) for v in f.value) + ")"
+    if isinstance(f, StringStartsWith):
+        return f"{col} LIKE {_lit(str(f.value) + '%')}"
+    if isinstance(f, StringEndsWith):
+        return f"{col} LIKE {_lit('%' + str(f.value))}"
+    if isinstance(f, StringContains):
+        return f"{col} LIKE {_lit('%' + str(f.value) + '%')}"
+    return None
+
+
+@dataclass
+class _Range(InputPartition):
+    lo: int  # inclusive
+    hi: int  # exclusive
+
+
+class SQLiteReader(DataSourceReader):
+    def __init__(self, options: dict, schema: StructType):
+        self.path = options["path"]
+        self.table = options["table"]
+        self.part_col = options.get("partition_column", "rowid")
+        self.n_parts = int(options.get("num_partitions", 4))
+        self.cols = [f.name for f in schema.fields]
+        self.where: list[str] = []
+        # range narrowing on the partition column (pushdown → fewer
+        # planned tasks, not just less data per task)
+        self.lo: int | None = None
+        self.hi: int | None = None  # exclusive
+
+    def pushFilters(self, filters):
+        for f in filters:
+            frag = _filter_sql(f)
+            if frag is None:
+                yield f
+                continue
+            self.where.append(frag)
+            attr = getattr(f, "attribute", None)
+            if attr == (self.part_col,) and isinstance(
+                getattr(f, "value", None), int
+            ):
+                if isinstance(f, LessThan):
+                    v = int(f.value)
+                    self.hi = v if self.hi is None else min(self.hi, v)
+                elif isinstance(f, LessThanOrEqual):
+                    v = int(f.value) + 1
+                    self.hi = v if self.hi is None else min(self.hi, v)
+                elif isinstance(f, GreaterThan):
+                    v = int(f.value) + 1
+                    self.lo = v if self.lo is None else max(self.lo, v)
+                elif isinstance(f, GreaterThanOrEqual):
+                    v = int(f.value)
+                    self.lo = v if self.lo is None else max(self.lo, v)
+                elif isinstance(f, EqualTo):
+                    v = int(f.value)
+                    self.lo = v if self.lo is None else max(self.lo, v)
+                    self.hi = v + 1 if self.hi is None else min(self.hi, v + 1)
+
+    def partitions(self) -> list[InputPartition]:
+        con = sqlite3.connect(self.path)
+        try:
+            pc = _q(self.part_col) if self.part_col != "rowid" else "rowid"
+            lo, hi = con.execute(
+                f"SELECT min({pc}), max({pc}) FROM {_q(self.table)}"
+            ).fetchone()
+        finally:
+            con.close()
+        if lo is None:
+            return [_Range(0, 0)]
+        hi = int(hi) + 1  # exclusive
+        lo = int(lo)
+        if self.lo is not None:
+            lo = max(lo, self.lo)
+        if self.hi is not None:
+            hi = min(hi, self.hi)
+        n = max(0, hi - lo)
+        if n == 0:
+            return [_Range(0, 0)]
+        parts = min(self.n_parts, n)
+        per = -(-n // parts)  # ceil
+        return [
+            _Range(lo + i * per, min(lo + (i + 1) * per, hi))
+            for i in range(parts)
+            if lo + i * per < hi
+        ]
+
+    def read(self, partition: _Range) -> Iterator[tuple]:
+        if partition.lo >= partition.hi:
+            return
+        con = sqlite3.connect(self.path)
+        try:
+            pc = _q(self.part_col) if self.part_col != "rowid" else "rowid"
+            where = [
+                f"{pc} >= {partition.lo}",
+                f"{pc} < {partition.hi}",
+                *self.where,
+            ]
+            sql = (
+                "SELECT "
+                + ", ".join(_q(c) for c in self.cols)
+                + f" FROM {_q(self.table)} WHERE "
+                + " AND ".join(where)
+            )
+            yield from con.execute(sql)
+        finally:
+            con.close()
+
+
+@dataclass
+class _Staged(WriterCommitMessage):
+    path: str
+    rows: int
+
+
+class SQLiteWriter(DataSourceWriter):
+    def __init__(self, options: dict, schema: StructType, overwrite: bool):
+        self.path = options["path"]
+        self.table = options["table"]
+        self.schema = schema
+        self.overwrite = overwrite
+        self.stage_dir = self.path + ".staging"
+
+    def _ddl(self) -> str:
+        cols = ", ".join(
+            f"{_q(f.name)} {_sqlite_type(f.dataType.simpleString())}"
+            for f in self.schema.fields
+        )
+        return f"CREATE TABLE IF NOT EXISTS {_q(self.table)} ({cols})"
+
+    def write(self, iterator) -> _Staged:
+        """Per-task: batch rows into a PRIVATE staging database —
+        no lock contention between concurrent tasks; nothing touches
+        the target until commit."""
+        os.makedirs(self.stage_dir, exist_ok=True)
+        staged = os.path.join(self.stage_dir, f"task-{uuid.uuid4().hex}.db")
+        con = sqlite3.connect(staged)
+        n_cols = len(self.schema.fields)
+        ph = "(" + ",".join("?" * n_cols) + ")"
+        try:
+            con.execute(self._ddl())
+            rows = 0
+            batch: list[tuple] = []
+            for row in iterator:
+                batch.append(tuple(row))
+                if len(batch) >= 10_000:
+                    con.executemany(
+                        f"INSERT INTO {_q(self.table)} VALUES {ph}", batch
+                    )
+                    rows += len(batch)
+                    batch = []
+            if batch:
+                con.executemany(
+                    f"INSERT INTO {_q(self.table)} VALUES {ph}", batch
+                )
+                rows += len(batch)
+            con.commit()
+        finally:
+            con.close()
+        return _Staged(path=staged, rows=rows)
+
+    def commit(self, messages) -> None:
+        """Driver-side atomic apply: every staging db is attached and
+        copied inside ONE transaction (plus the overwrite truncate),
+        so readers see either the old table or the complete new
+        write — never a partial job."""
+        con = sqlite3.connect(self.path)
+        try:
+            con.execute(self._ddl())
+            con.execute("BEGIN")
+            if self.overwrite:
+                con.execute(f"DELETE FROM {_q(self.table)}")
+            for i, m in enumerate(messages):
+                if m is None:
+                    continue
+                alias = f"s{i}"
+                con.execute(f"ATTACH {_lit(m.path)} AS {alias}")
+                con.execute(
+                    f"INSERT INTO {_q(self.table)} "
+                    f"SELECT * FROM {alias}.{_q(self.table)}"
+                )
+            con.commit()
+            for i, m in enumerate(messages):
+                if m is not None:
+                    con.execute(f"DETACH s{i}")
+        finally:
+            con.close()
+        self._cleanup()
+
+    def abort(self, messages) -> None:
+        self._cleanup()
+
+    def _cleanup(self) -> None:
+        import shutil
+
+        shutil.rmtree(self.stage_dir, ignore_errors=True)
+
+
+class SQLiteDataSource(DataSource):
+    """``spark.dataSource.register(SQLiteDataSource)`` then
+    ``spark.read.format("sqlitedb").option("path", db).option("table",
+    t).load()`` / ``df.write.format("sqlitedb")...save()``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "sqlitedb"
+
+    def schema(self) -> str:
+        con = sqlite3.connect(self.options["path"])
+        try:
+            info = con.execute(
+                f"PRAGMA table_info({_q(self.options['table'])})"
+            ).fetchall()
+        finally:
+            con.close()
+        if not info:
+            raise ValueError(
+                f"sqlitedb: table {self.options['table']!r} not found in "
+                f"{self.options['path']!r}"
+            )
+        return ", ".join(f"{r[1]} {_spark_type(r[2])}" for r in info)
+
+    def reader(self, schema: StructType) -> SQLiteReader:
+        return SQLiteReader(self.options, schema)
+
+    def writer(self, schema: StructType, overwrite: bool) -> SQLiteWriter:
+        return SQLiteWriter(self.options, schema, overwrite)

@@ -548,3 +548,111 @@ def test_returns_pair_bucket_spec_removes_ticket_exchanges(spark):
                 spark.conf.set(k, v)
         spark.sql("DROP TABLE IF EXISTS b_store_sales")
         spark.sql("DROP TABLE IF EXISTS b_store_returns")
+
+
+# ---------------------------------------------------------------------------
+# SQLite connector (sources/sqlite.py) — the JDBC-connector contract
+# against a real SQL database
+# ---------------------------------------------------------------------------
+def _sqlite_events(spark, sf_dir, db, n=2000):
+    from flink_tpcds_spark.sources.sqlite import SQLiteDataSource
+
+    spark.dataSource.register(SQLiteDataSource)
+    ev = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .select("event_id", "user_id", "event_type", "value")
+        .withColumn("value", F.col("value").cast("double"))
+        .limit(n)
+    )
+    ev.write.format("sqlitedb").option("path", db).option(
+        "table", "events"
+    ).mode("append").save()
+    return ev
+
+
+def test_sqlite_connector_roundtrip_and_schema(spark, sf_dir, tmp_path):
+    """Write → catalog schema discovery → partitioned read back:
+    value-exact round trip through a real SQL database, types mapped
+    from declared affinities."""
+    db = str(tmp_path / "rt.db")
+    ev = _sqlite_events(spark, sf_dir, db)
+    back = (
+        spark.read.format("sqlitedb")
+        .option("path", db)
+        .option("table", "events")
+        .option("num_partitions", 5)
+        .load()
+    )
+    assert back.schema.simpleString() == (
+        "struct<event_id:bigint,user_id:bigint,"
+        "event_type:string,value:double>"
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, ev.collect())
+    )
+
+
+def test_sqlite_connector_filter_pushdown(spark, sf_dir, tmp_path):
+    """Pushable predicates are ABSORBED into the database query (no
+    Spark-side Filter over the scan) and a range on the partition
+    column narrows the planned stride to fewer tasks."""
+    db = str(tmp_path / "pd.db")
+    ev = _sqlite_events(spark, sf_dir, db)
+    back = (
+        spark.read.format("sqlitedb")
+        .option("path", db)
+        .option("table", "events")
+        .option("partition_column", "event_id")
+        .option("num_partitions", 8)
+        .load()
+    )
+    flt = back.filter(
+        (F.col("event_type") == "click") & (F.col("value") > 50.0)
+    )
+    plan = flt._jdf.queryExecution().executedPlan().toString()
+    assert "Filter " not in plan, f"pushable filters must be absorbed:\n{plan}"
+    want = [
+        t
+        for t in map(tuple, ev.collect())
+        if t[2] == "click" and t[3] > 50.0
+    ]
+    assert sorted(map(tuple, flt.collect())) == sorted(want)
+    # partition-column range pushdown narrows PLANNING, not just rows:
+    # a point lookup plans exactly ONE task (stride = min(parts, range))
+    full_parts = back.rdd.getNumPartitions()
+    some_id = ev.agg(F.min("event_id")).first()[0]
+    pt = back.filter(F.col("event_id") == some_id)
+    assert pt.rdd.getNumPartitions() == 1 < full_parts
+    assert pt.count() == 1
+
+
+def test_sqlite_connector_commit_protocol(spark, sf_dir, tmp_path):
+    """Two-phase commit: a job that fails mid-write leaves the target
+    table untouched (staged files never applied); overwrite applies
+    truncate + all task batches in one transaction."""
+    db = str(tmp_path / "tp.db")
+    ev = _sqlite_events(spark, sf_dir, db, n=500)
+    import sqlite3
+
+    con = sqlite3.connect(db)
+    assert con.execute("select count(*) from events").fetchone() == (500,)
+
+    @F.udf("double")
+    def boom(v):
+        raise RuntimeError("mid-write failure")
+
+    bad = ev.withColumn("value", boom("value"))
+    try:
+        bad.write.format("sqlitedb").option("path", db).option(
+            "table", "events"
+        ).mode("append").save()
+        raise AssertionError("job should have failed")
+    except Exception:
+        pass
+    assert con.execute("select count(*) from events").fetchone() == (500,)
+
+    ev.limit(50).write.format("sqlitedb").option("path", db).option(
+        "table", "events"
+    ).mode("overwrite").save()
+    assert con.execute("select count(*) from events").fetchone() == (50,)
+    assert not os.path.exists(db + ".staging")
