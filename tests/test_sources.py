@@ -656,3 +656,54 @@ def test_sqlite_connector_commit_protocol(spark, sf_dir, tmp_path):
     ).mode("overwrite").save()
     assert con.execute("select count(*) from events").fetchone() == (50,)
     assert not os.path.exists(db + ".staging")
+
+
+def test_sqlite_upsert_sink_exactly_once(spark, sf_dir, tmp_path):
+    """JDBCUpsertTableSink analog: update-mode batches land as keyed
+    INSERT OR REPLACE; a replayed batch_id is a transactional no-op
+    (the applied-batch marker commits WITH the data); the table holds
+    the keep-last snapshot."""
+    from flink_tpcds_spark.sources.sqlite import (
+        SQLiteDataSource,
+        SQLiteUpsertSink,
+    )
+
+    spark.dataSource.register(SQLiteDataSource)
+    db = str(tmp_path / "ups.db")
+    sink = SQLiteUpsertSink(db, "agg", ["event_type"])
+    ev = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .select("event_id", "event_type", F.col("value").cast("double"))
+    )
+    # 3 cumulative update-mode batches over growing prefixes (the
+    # shape an update-mode agg emits), batch 1 replayed
+    for b, cut in enumerate((1000, 2000, 3000)):
+        batch = (
+            ev.filter(F.col("event_id") < cut)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(F.col("value").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("total"),
+            )
+        )
+        sink.foreach_batch(batch, b)
+        if b == 1:
+            stale = batch.withColumn("cnt", F.lit(-1).cast("bigint"))
+            sink.foreach_batch(stale, 1)  # replay: must be skipped
+    want = sorted(
+        tuple(r)
+        for r in ev.filter(F.col("event_id") < 3000)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .collect()
+    )
+    got = sorted(tuple(r) for r in sink.snapshot(spark).collect())
+    assert got == want
+    assert all(r[1] > 0 for r in got)  # the stale replay never landed
