@@ -55,6 +55,12 @@ class CrashSafeParquetState:
                 shutil.move(backup, self.path)
             else:
                 shutil.rmtree(backup)
+        # a crash between the tmp write and the swap leaves a
+        # state-sized orphan; the next write would overwrite it, but a
+        # state that is never written again would leak it forever
+        updating = self.path + ".updating"
+        if os.path.isdir(updating):
+            shutil.rmtree(updating)
 
     #: filename of the last-applied-batch marker INSIDE the state dir
     #: (underscore prefix → invisible to Spark's parquet reader, and

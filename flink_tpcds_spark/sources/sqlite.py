@@ -17,20 +17,25 @@ against a file-backed database —
   (``partition_column`` / ``num_partitions`` stride over
   min/max bounds — default ``rowid``, which SQLite btrees index
   natively, so each task reads a contiguous range);
-- **filter pushdown**: comparison / null / IN / string-match
-  predicates are compiled into each partition's WHERE clause and
-  evaluated INSIDE the database (absorbed; everything else is
-  returned to Spark) — and a pushed range on the partition column
-  also narrows the planned stride, so fewer tasks are launched;
+- **filter pushdown**: comparison / null / IN predicates are
+  compiled into each partition's WHERE clause and evaluated INSIDE
+  the database (absorbed; everything else — including string
+  matches, whose LIKE semantics differ from Spark's — is returned to
+  Spark), and a pushed range on the partition column also narrows
+  the planned stride, so fewer tasks are launched; NULL
+  partition-column rows ride the first stride (Spark-JDBC
+  convention) so nothing silently vanishes;
 - **transactional writes**: SQLite allows one writer per file, so
   concurrent executor INSERTs would serialize on the file lock.
   Each task instead writes its rows to a private staging database
-  and returns its path as the commit message; ``commit()`` attaches
-  every staging file and applies them in ONE transaction (with the
-  optional truncate for overwrite mode), ``abort()`` deletes them —
-  a faithful two-phase-commit in the V2 writer protocol, and the
-  same topology a cluster JDBC sink uses (per-task batches, one
-  transactional apply).
+  and returns its path as the commit message; ``commit()`` drains
+  the staging files into an in-target staging TABLE (one ATTACH at
+  a time — SQLite caps attached dbs at 10) and promotes it in ONE
+  transaction (with the optional truncate for overwrite mode),
+  ``abort()`` deletes the staging files — a faithful
+  two-phase-commit in the V2 writer protocol, the same topology a
+  cluster JDBC sink uses (per-task batches, one transactional
+  apply).
 
 Single-file SQLite is not a 100 TB target — the point is the
 CONTRACT: swap the connection factory for a service client and every
@@ -59,9 +64,6 @@ from pyspark.sql.datasource import (
     IsNull,
     LessThan,
     LessThanOrEqual,
-    StringContains,
-    StringEndsWith,
-    StringStartsWith,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
@@ -128,12 +130,11 @@ def _filter_sql(f) -> str | None:
         return f"{col} IS NOT NULL"
     if isinstance(f, In):
         return f"{col} IN (" + ",".join(_lit(v) for v in f.value) + ")"
-    if isinstance(f, StringStartsWith):
-        return f"{col} LIKE {_lit(str(f.value) + '%')}"
-    if isinstance(f, StringEndsWith):
-        return f"{col} LIKE {_lit('%' + str(f.value))}"
-    if isinstance(f, StringContains):
-        return f"{col} LIKE {_lit('%' + str(f.value) + '%')}"
+    # StringStartsWith/EndsWith/Contains are deliberately NOT pushed:
+    # SQLite LIKE is case-insensitive for ASCII and treats %/_ in the
+    # pattern value as wildcards, so compiling them would silently
+    # change semantics ('cl%' matches 'Click'; contains('50%') matches
+    # '50xoff'). Spark evaluates them post-scan instead.
     return None
 
 
@@ -141,6 +142,12 @@ def _filter_sql(f) -> str | None:
 class _Range(InputPartition):
     lo: int  # inclusive
     hi: int  # exclusive
+    # the first stride also reads the NULL stratum (Spark's JDBC
+    # reader does the same: NULL partition-column rows must belong to
+    # exactly one partition or they silently vanish). False when a
+    # user predicate on the partition column narrowed the range —
+    # such a predicate excludes NULLs semantically.
+    with_nulls: bool = False
 
 
 class SQLiteReader(DataSourceReader):
@@ -193,8 +200,11 @@ class SQLiteReader(DataSourceReader):
             ).fetchone()
         finally:
             con.close()
+        nulls = self.lo is None and self.hi is None
         if lo is None:
-            return [_Range(0, 0)]
+            # empty table, or ONLY NULL partition-column rows: one
+            # partition that reads just the NULL stratum (or nothing)
+            return [_Range(0, 0, with_nulls=nulls)]
         hi = int(hi) + 1  # exclusive
         lo = int(lo)
         if self.lo is not None:
@@ -203,26 +213,29 @@ class SQLiteReader(DataSourceReader):
             hi = min(hi, self.hi)
         n = max(0, hi - lo)
         if n == 0:
-            return [_Range(0, 0)]
+            return [_Range(0, 0, with_nulls=nulls)]
         parts = min(self.n_parts, n)
         per = -(-n // parts)  # ceil
         return [
-            _Range(lo + i * per, min(lo + (i + 1) * per, hi))
+            _Range(
+                lo + i * per,
+                min(lo + (i + 1) * per, hi),
+                with_nulls=(nulls and i == 0),
+            )
             for i in range(parts)
             if lo + i * per < hi
         ]
 
     def read(self, partition: _Range) -> Iterator[tuple]:
-        if partition.lo >= partition.hi:
+        if partition.lo >= partition.hi and not partition.with_nulls:
             return
         con = sqlite3.connect(self.path)
         try:
             pc = _q(self.part_col) if self.part_col != "rowid" else "rowid"
-            where = [
-                f"{pc} >= {partition.lo}",
-                f"{pc} < {partition.hi}",
-                *self.where,
-            ]
+            rng = f"({pc} >= {partition.lo} AND {pc} < {partition.hi})"
+            if partition.with_nulls:
+                rng = f"({rng} OR {pc} IS NULL)"
+            where = [rng, *self.where]
             sql = (
                 "SELECT "
                 + ", ".join(_q(c) for c in self.cols)
@@ -248,12 +261,14 @@ class SQLiteWriter(DataSourceWriter):
         self.overwrite = overwrite
         self.stage_dir = self.path + ".staging"
 
-    def _ddl(self) -> str:
+    def _ddl(self, name: str | None = None) -> str:
         cols = ", ".join(
             f"{_q(f.name)} {_sqlite_type(f.dataType.simpleString())}"
             for f in self.schema.fields
         )
-        return f"CREATE TABLE IF NOT EXISTS {_q(self.table)} ({cols})"
+        return (
+            f"CREATE TABLE IF NOT EXISTS {_q(name or self.table)} ({cols})"
+        )
 
     def write(self, iterator) -> _Staged:
         """Per-task: batch rows into a PRIVATE staging database —
@@ -287,29 +302,42 @@ class SQLiteWriter(DataSourceWriter):
         return _Staged(path=staged, rows=rows)
 
     def commit(self, messages) -> None:
-        """Driver-side atomic apply: every staging db is attached and
-        copied inside ONE transaction (plus the overwrite truncate),
-        so readers see either the old table or the complete new
-        write — never a partial job."""
+        """Driver-side atomic apply in two phases. Phase 1 copies each
+        task's staging db into a staging TABLE inside the target file
+        (attach → copy → detach, one db at a time — SQLite caps
+        concurrent ATTACHes at 10, and a written-to db cannot DETACH
+        inside an open transaction, so a single-transaction
+        all-ATTACHed apply breaks above 10 tasks). The staging table
+        is invisible to connector readers, so phase 1 needs no
+        atomicity; a crash leaves only the staging table, which the
+        next job drops. Phase 2 is ONE transaction — the overwrite
+        truncate + the staging→target INSERT — so readers see either
+        the old table or the complete new write, never a partial
+        job."""
+        staging = f"__staging_{self.table}"
         con = sqlite3.connect(self.path)
         try:
             con.execute(self._ddl())
+            con.execute(f"DROP TABLE IF EXISTS {_q(staging)}")
+            con.execute(self._ddl(staging))
+            for m in messages:
+                if m is None:
+                    continue
+                con.execute(f"ATTACH {_lit(m.path)} AS src")
+                con.execute(
+                    f"INSERT INTO {_q(staging)} "
+                    f"SELECT * FROM src.{_q(self.table)}"
+                )
+                con.commit()
+                con.execute("DETACH src")
             con.execute("BEGIN")
             if self.overwrite:
                 con.execute(f"DELETE FROM {_q(self.table)}")
-            for i, m in enumerate(messages):
-                if m is None:
-                    continue
-                alias = f"s{i}"
-                con.execute(f"ATTACH {_lit(m.path)} AS {alias}")
-                con.execute(
-                    f"INSERT INTO {_q(self.table)} "
-                    f"SELECT * FROM {alias}.{_q(self.table)}"
-                )
+            con.execute(
+                f"INSERT INTO {_q(self.table)} SELECT * FROM {_q(staging)}"
+            )
             con.commit()
-            for i, m in enumerate(messages):
-                if m is not None:
-                    con.execute(f"DETACH s{i}")
+            con.execute(f"DROP TABLE IF EXISTS {_q(staging)}")
         finally:
             con.close()
         self._cleanup()

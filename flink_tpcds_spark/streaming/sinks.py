@@ -31,6 +31,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+from ..sources.incremental import CrashSafeParquetState
+
 
 class ParquetUpsertSink:
     """Distributed keyed-upsert sink — the 100 TB shape of
@@ -166,7 +168,7 @@ class ParquetUpsertSink:
         shutil.rmtree(backup)
 
 
-class ParquetRetractSink:
+class ParquetRetractSink(CrashSafeParquetState):
     """Distributed retract-changelog sink — the 100 TB shape of
     :class:`RetractSink` (reference RetractStreamTableSink.java: a
     (+/-) operation pair per value change), with no driver-side state.
@@ -200,42 +202,19 @@ class ParquetRetractSink:
     """
 
     BATCH_COL = "__batch_id"
-    BATCH_MARKER = "_LAST_BATCH"
 
     def __init__(self, path: str, key_cols: list[str]):
         import os
 
-        self.path = path
+        # state-dir swap / .old recovery / batch marker all come from
+        # the shared crash-safe base (sources/incremental.py)
+        super().__init__(os.path.join(path, "state"))
         self.key_cols = list(key_cols)
-        self.state_dir = os.path.join(path, "state")
+        self.state_dir = self.path
         self.log_dir = os.path.join(path, "log")
-
-    def _recover(self) -> None:
-        import os
-        import shutil
-
-        backup = self.state_dir + ".old"
-        if os.path.isdir(backup):
-            if not os.path.isdir(self.state_dir):
-                shutil.move(backup, self.state_dir)
-            else:
-                shutil.rmtree(backup)
-        updating = self.state_dir + ".updating"
-        if os.path.isdir(updating):
-            shutil.rmtree(updating)
-
-    def _last_batch(self) -> int:
-        import os
-
-        p = os.path.join(self.state_dir, self.BATCH_MARKER)
-        if os.path.isfile(p):
-            with open(p) as f:
-                return int(f.read().strip())
-        return -1
 
     def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         import os
-        import shutil
 
         from pyspark.sql import functions as F
 
@@ -249,16 +228,28 @@ class ParquetRetractSink:
         new = batch_df
         if has_state:
             old = spark.read.parquet(self.state_dir)
+            # explicit presence markers: inferring side-presence from a
+            # value column's NULLness corrupts the diff when values are
+            # legitimately NULL (a (k, 5)→(k, NULL) update would emit
+            # no retraction), and crashes on keys-only rows
             j = old.select(
                 *[F.col(k) for k in self.key_cols],
+                F.lit(True).alias("__in_old"),
                 *[F.col(c).alias(f"__old_{c}") for c in value_cols],
-            ).join(new, self.key_cols, "full_outer")
-            changed = (
-                F.struct(*[F.col(f"__old_{c}") for c in value_cols])
-                != F.struct(*[F.col(c) for c in value_cols])
+            ).join(
+                new.withColumn("__in_new", F.lit(True)),
+                self.key_cols,
+                "full_outer",
             )
-            in_old = F.col(f"__old_{value_cols[0]}").isNotNull()
-            in_new = F.col(value_cols[0]).isNotNull()
+            if value_cols:
+                changed = (
+                    F.struct(*[F.col(f"__old_{c}") for c in value_cols])
+                    != F.struct(*[F.col(c) for c in value_cols])
+                )
+            else:
+                changed = F.lit(False)  # keys-only table: membership
+            in_old = F.col("__in_old").isNotNull()
+            in_new = F.col("__in_new").isNotNull()
             minus = (
                 j.filter(in_old & in_new & changed)
                 .select(
@@ -287,18 +278,7 @@ class ParquetRetractSink:
                 os.path.join(self.log_dir, f"{self.BATCH_COL}={int(batch_id)}")
             )
         )
-        updating = self.state_dir + ".updating"
-        next_state.write.mode("overwrite").parquet(updating)
-        with open(os.path.join(updating, self.BATCH_MARKER), "w") as f:
-            f.write(f"{int(batch_id)}\n")
-        backup = self.state_dir + ".old"
-        if os.path.isdir(backup):
-            shutil.rmtree(backup)
-        if os.path.isdir(self.state_dir):
-            shutil.move(self.state_dir, backup)
-        shutil.move(updating, self.state_dir)
-        if os.path.isdir(backup):
-            shutil.rmtree(backup)
+        self._swap_in(next_state, batch_id)
 
     def snapshot(self, spark) -> DataFrame:
         self._recover()

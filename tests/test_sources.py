@@ -707,3 +707,78 @@ def test_sqlite_upsert_sink_exactly_once(spark, sf_dir, tmp_path):
     got = sorted(tuple(r) for r in sink.snapshot(spark).collect())
     assert got == want
     assert all(r[1] > 0 for r in got)  # the stale replay never landed
+
+
+def test_sqlite_connector_review_regressions(spark, sf_dir, tmp_path):
+    """Round-8 review fixes: (1) >10 write tasks survive SQLite's
+    10-ATTACH cap; (2) string-match predicates are NOT pushed (SQLite
+    LIKE is case-insensitive and wildcard-leaky) — Spark semantics
+    win; (3) NULL partition-column rows ride the first stride instead
+    of silently vanishing."""
+    import sqlite3
+
+    from flink_tpcds_spark.sources.sqlite import SQLiteDataSource
+
+    spark.dataSource.register(SQLiteDataSource)
+
+    # (1) 16 tasks > SQLITE_MAX_ATTACHED=10
+    db = str(tmp_path / "many.db")
+    big = spark.range(0, 4000).select(
+        F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("s")
+    ).repartition(16)
+    big.write.format("sqlitedb").option("path", db).option(
+        "table", "t"
+    ).mode("append").save()
+    con = sqlite3.connect(db)
+    assert con.execute("select count(*), count(distinct k) from t").fetchone() == (
+        4000,
+        4000,
+    )
+    assert con.execute(
+        "select count(*) from sqlite_master where name like '__staging%'"
+    ).fetchone() == (0,)
+
+    # (2) case-sensitive startswith through the connector
+    db2 = str(tmp_path / "case.db")
+    spark.createDataFrame(
+        [(1, "Click"), (2, "click"), (3, "c%lick"), (4, None)],
+        "k long, s string",
+    ).coalesce(1).write.format("sqlitedb").option("path", db2).option(
+        "table", "t"
+    ).mode("append").save()
+    t2 = (
+        spark.read.format("sqlitedb")
+        .option("path", db2)
+        .option("table", "t")
+        .load()
+    )
+    assert [r.k for r in t2.filter(F.col("s").startswith("cl")).collect()] == [2]
+    assert [r.k for r in t2.filter(F.col("s").contains("%")).collect()] == [3]
+
+    # (3) NULL partition-column rows are read (first stride), and a
+    # range predicate on the partition column still excludes them
+    t3 = (
+        spark.read.format("sqlitedb")
+        .option("path", db2)
+        .option("table", "t")
+        .option("partition_column", "k")
+        .option("num_partitions", 3)
+        .load()
+    )
+    db3 = str(tmp_path / "nullpc.db")
+    spark.createDataFrame(
+        [(None, "a"), (None, "b"), (5, "c")], "k long, s string"
+    ).coalesce(1).write.format("sqlitedb").option("path", db3).option(
+        "table", "t"
+    ).mode("append").save()
+    t4 = (
+        spark.read.format("sqlitedb")
+        .option("path", db3)
+        .option("table", "t")
+        .option("partition_column", "k")
+        .option("num_partitions", 3)
+        .load()
+    )
+    assert t4.count() == 3  # NULL rows not dropped
+    assert t4.filter(F.col("k") >= 0).count() == 1  # predicate excludes NULLs
+    assert t3.count() == 4

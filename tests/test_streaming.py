@@ -1143,3 +1143,34 @@ def test_streaming_frequent_items_matches_batch_bound(spark, tmp_path):
         assert item in stream_sk and item in batch_sk
         assert 4000 - thr <= stream_sk[item] <= 4000
         assert 4000 - thr <= batch_sk[item] <= 4000
+
+
+def test_retract_sink_null_values_and_keys_only(spark, tmp_path):
+    """Round-8 review fix: presence in the state diff is tracked with
+    explicit markers, not value-column NULLness — a (k,5)→(k,NULL)
+    update must emit the (-,5)/(+,NULL) pair and keep
+    replay == snapshot; a keys-only table works as set membership."""
+    from flink_tpcds_spark.streaming.sinks import ParquetRetractSink
+
+    sink = ParquetRetractSink(str(tmp_path / "rn"), ["k"])
+    b0 = spark.createDataFrame([(1, 5.0), (2, 7.0)], "k long, v double")
+    b1 = spark.createDataFrame(
+        [(1, None), (3, 9.0)], "k long, v double"
+    )
+    sink.foreach_batch(b0, 0)
+    sink.foreach_batch(b1, 1)
+    snap = sorted((r.k, r.v) for r in sink.snapshot(spark).collect())
+    assert snap == [(1, None), (2, 7.0), (3, 9.0)]
+    rep = sorted((r.k, r.v) for r in sink.replay(spark).collect())
+    assert rep == snap, "replay must equal snapshot with NULL values"
+    log = sink.changelog(spark)
+    minus_1 = [
+        (r.k, r.v)
+        for r in log.filter("op = '-' and __batch_id = 1").collect()
+    ]
+    assert minus_1 == [(1, 5.0)], "the old value must be retracted"
+
+    ksink = ParquetRetractSink(str(tmp_path / "rk"), ["k"])
+    ksink.foreach_batch(spark.createDataFrame([(1,), (2,)], "k long"), 0)
+    ksink.foreach_batch(spark.createDataFrame([(2,), (3,)], "k long"), 1)
+    assert sorted(r.k for r in ksink.snapshot(spark).collect()) == [1, 2, 3]
