@@ -27,7 +27,12 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 from pyspark.sql.types import StructType
 
 _WORDS = (
@@ -128,3 +133,97 @@ class DocGenDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DocGenReader:
         return DocGenReader(self.options)
+
+    def streamReader(self, schema: StructType) -> "DocGenStreamReader":
+        return DocGenStreamReader(self.options)
+
+
+class DocGenStreamReader(DataSourceStreamReader):
+    """Offset-based replayable STREAMING source — the engine-side
+    contract of the reference's Kafka connector
+    (`flink-connectors/flink-connector-kafka-base`:
+    FlinkKafkaConsumerBase's checkpointed partition offsets): the
+    stream's progress is a monotone offset dict; each micro-batch is
+    the half-open offset range [start, end); ``partitions`` splits
+    that range into executor tasks; and REPLAYING a range after a
+    failure yields byte-identical rows (determinism does here what
+    Kafka's log does there), so checkpoint recovery is exactly-once
+    with no sink-side dedup.
+
+    ``commit(end)`` is the offset-commit callback (Kafka's
+    commitAsync analog) — progress below ``end`` may be reclaimed.
+
+    **Monotonicity across restarts.** ``latestOffset`` must never
+    move backward past the checkpointed offset, or the engine
+    re-plans already-delivered ranges (measured: a fresh reader whose
+    tip restarted at 0 made a clean-restart re-emit two quanta). A
+    real source gets this for free from its external system — the
+    Kafka broker's log tip IS monotone state. The generator's
+    stand-in is ``progress_path``: ``commit`` persists the
+    high-water mark there and a restarted reader resumes from it
+    (plus in-memory clamping from every ``partitions`` range it is
+    asked to replay). A single run is exact without the option, but
+    RESTART REQUIRES IT: one backward ``latestOffset`` return is
+    enough to rewind the engine's write-ahead offset log, after
+    which re-emission is the engine's own (correct) behavior — the
+    same duplication Kafka shows when committed offsets are lost and
+    ``auto.offset.reset`` rewinds. Restart-correctness is
+    pytest-gated with the option set.
+
+    Options: ``docs_per_batch`` rows admitted per trigger (default
+    100), ``n_docs`` total cap (stream idles at the cap),
+    ``n_shards`` tasks per batch, ``seed``, ``progress_path``.
+    """
+
+    def __init__(self, options: dict):
+        self.docs_per_batch = int(options.get("docs_per_batch", 100))
+        self.n_docs = int(options.get("n_docs", 10**6))
+        self.n_shards = int(options.get("n_shards", 4))
+        self.seed = options.get("seed", "docgen")
+        self.progress_path = options.get("progress_path")
+        self.committed = -1  # test-visible commit high-water mark
+        self._tip = 0
+        if self.progress_path:
+            import os
+
+            if os.path.isfile(self.progress_path):
+                with open(self.progress_path) as f:
+                    self._tip = int(f.read().strip())
+
+    def initialOffset(self) -> dict:
+        return {"doc_id": 0}
+
+    def latestOffset(self) -> dict:
+        # advance one batch quantum per trigger, capped at the corpus
+        # end — the available-data probe a real source answers from
+        # its log tip
+        nxt = min(self._tip + self.docs_per_batch, self.n_docs)
+        self._tip = nxt
+        return {"doc_id": nxt}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["doc_id"]), int(end["doc_id"])
+        # any range the engine asks for is proven progress — clamp the
+        # tip so a restarted reader can never fall behind it
+        self._tip = max(self._tip, lo, hi)
+        n = hi - lo
+        if n <= 0:
+            return [_Shard(lo, lo)]
+        shards = min(self.n_shards, n)
+        per = -(-n // shards)
+        return [
+            _Shard(lo + i * per, min(lo + (i + 1) * per, hi))
+            for i in range(shards)
+            if lo + i * per < hi
+        ]
+
+    def read(self, partition: _Shard) -> Iterator[tuple]:
+        for doc_id in range(partition.start, partition.end):
+            yield _row(self.seed, doc_id)
+
+    def commit(self, end: dict) -> None:
+        self.committed = int(end["doc_id"])
+        self._tip = max(self._tip, self.committed)
+        if self.progress_path:
+            with open(self.progress_path, "w") as f:
+                f.write(f"{self.committed}\n")
