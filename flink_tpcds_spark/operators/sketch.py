@@ -73,3 +73,53 @@ def frequent_items_sketch(
         F.col(item_col).cast("string").alias("item")
     ).mapInPandas(summarize, "item string, est long")
     return partials.groupBy("item").agg(F.sum("est").alias("est"))
+
+
+def quantile_sketch(
+    df: DataFrame, value_col: str, key_col: str, size: int = 256
+) -> DataFrame:
+    """Mergeable quantile sketch: the deterministic bottom-``size``
+    rows by ``md5(key)`` rank — a fixed-hash bottom-k sample
+    (Cohen & Kaplan's bottom-k sketches), i.e. a uniform sample
+    whose membership is a pure function of the keys. Returns
+    ``(v, rk)``.
+
+    Why this shape: Spark's ``percentile_approx`` is mergeable only
+    INSIDE one aggregation — there is no sketch-valued surface to
+    store per-shard and roll up later (the HLL sketch column has
+    ``hll_sketch_agg``/``hll_union_agg``; quantiles have nothing).
+    The bottom-k sample closes that gap with an EXACT merge law:
+
+        sketch(A ∪ B) = bottom_k(sketch(A) ∪ sketch(B))
+
+    — set identity, not an approximation — because the k smallest
+    hash ranks of a union are among the k smallest of each side. So
+    per-shard/per-day sketches of k rows each roll up to the exact
+    corpus-wide sketch without rescanning, and any quantile of the
+    merged sample estimates the population quantile with the usual
+    uniform-sample error O(sqrt(q(1-q)/k)).
+
+    Execution: ``orderBy(rk).limit(k)`` is TakeOrdered — each
+    partition ships only its local bottom-k, the driver keeps k rows.
+    Determinism (same keys → same sample → same estimates on any
+    cluster) is what makes the driver gate a full-value oracle, not a
+    tolerance check.
+    """
+    return (
+        df.select(
+            F.col(value_col).alias("v"),
+            F.md5(F.col(key_col).cast("string")).alias("rk"),
+        )
+        .orderBy("rk")
+        .limit(size)
+    )
+
+
+def merge_quantile_sketches(sketches: list[DataFrame], size: int) -> DataFrame:
+    """Union per-slice sketches and keep the global bottom-k — by the
+    merge law above this equals the sketch of the concatenated
+    input EXACTLY."""
+    import functools
+
+    merged = functools.reduce(lambda a, b: a.unionByName(b), sketches)
+    return merged.orderBy("rk").limit(size)

@@ -1454,3 +1454,95 @@ def ops_freq_items_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("item")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch (bottom-k-by-md5 uniform sample —
+# operators/sketch.py; completes the sketch trio: HLL distinct,
+# Misra-Gries frequency, bottom-k quantiles)
+# ---------------------------------------------------------------------------
+@_q(
+    "ops_quantile_sketch",
+    """
+    WITH ranked AS (
+      SELECT n_chars AS v, md5(CAST(doc_id AS VARCHAR)) AS rk
+      FROM documents
+    ),
+    sk AS (SELECT v, rk FROM ranked ORDER BY rk LIMIT 64),
+    est AS (SELECT CAST(quantile_cont(v, 0.5) AS DOUBLE) AS med,
+                   CAST(quantile_cont(v, 0.9) AS DOUBLE) AS p90,
+                   md5(string_agg(rk, ',' ORDER BY rk)) AS fp,
+                   CAST(count(*) AS BIGINT) AS k
+            FROM sk),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    ranks AS (SELECT
+      (SELECT count(*) FROM documents, est WHERE n_chars <= med) AS le_med,
+      (SELECT count(*) FROM documents, est WHERE n_chars <= p90) AS le_p90)
+    SELECT est.k AS sketch_rows,
+           TRUE AS merge_equals_whole,
+           est.fp AS sample_fp,
+           ROUND(est.med, 4) AS median_est,
+           ROUND(est.p90, 4) AS p90_est,
+           ABS(100.0 * ranks.le_med / tot.n - 50.0) <= 15.0 AS median_ok,
+           ABS(100.0 * ranks.le_p90 / tot.n - 90.0) <= 15.0 AS p90_ok
+    FROM est, tot, ranks
+    """,
+)
+def ops_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile rollup: 4 per-slice bottom-64-by-md5
+    sample sketches merged to the corpus sketch. The merge law
+    sketch(A∪B) = bottom_k(sketch(A) ∪ sketch(B)) is a SET IDENTITY
+    — asserted exactly against the whole-corpus sketch
+    (merge_equals_whole) — and the sample itself is a pure function
+    of the keys, so the oracle pins its md5 fingerprint and the
+    interpolated median/p90 at full value; rank-tolerance flags pin
+    the estimates within ±15 rank points of the true quantiles
+    (uniform-64-sample error ≈ ±6)."""
+    from ..operators.sketch import merge_quantile_sketches, quantile_sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    slices = [
+        docs.filter(F.pmod("doc_id", F.lit(4)) == i) for i in range(4)
+    ]
+    merged = merge_quantile_sketches(
+        [quantile_sketch(s, "n_chars", "doc_id", 64) for s in slices], 64
+    )
+    whole = quantile_sketch(docs, "n_chars", "doc_id", 64)
+    merge_ok = sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+    est = merged.agg(
+        F.percentile("v", F.lit(0.5)).alias("med"),
+        F.percentile("v", F.lit(0.9)).alias("p90"),
+        F.md5(F.concat_ws(",", F.sort_array(F.collect_list("rk")))).alias(
+            "fp"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    tot = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    j = docs.crossJoin(F.broadcast(est)).crossJoin(F.broadcast(tot))
+    return j.agg(
+        F.first("k").alias("sketch_rows"),
+        F.lit(merge_ok).alias("merge_equals_whole"),
+        F.first("fp").alias("sample_fp"),
+        F.round(F.first("med"), 4).alias("median_est"),
+        F.round(F.first("p90"), 4).alias("p90_est"),
+        (
+            F.abs(
+                F.sum((F.col("n_chars") <= F.col("med")).cast("int"))
+                * 100.0
+                / F.first("n")
+                - 50.0
+            )
+            <= 15.0
+        ).alias("median_ok"),
+        (
+            F.abs(
+                F.sum((F.col("n_chars") <= F.col("p90")).cast("int"))
+                * 100.0
+                / F.first("n")
+                - 90.0
+            )
+            <= 15.0
+        ).alias("p90_ok"),
+    )

@@ -736,3 +736,42 @@ def test_frequent_items_sketch_random_property():
                 assert item in sk, (items, k, parts, item)
 
     check()
+
+
+def test_quantile_sketch_merge_law_and_error(spark, sf_dir):
+    """The bottom-k merge identity holds for ANY slicing (set
+    equality, not tolerance), and the 256-sample quantile estimates
+    land within ±10 rank points on the 60k-row lineitem column."""
+    from flink_tpcds_spark.operators.sketch import (
+        merge_quantile_sketches,
+        quantile_sketch,
+    )
+    from flink_tpcds_spark.schemas import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity",
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("uid"),
+    )
+    whole = sorted(
+        map(tuple, quantile_sketch(li, "l_quantity", "uid", 256).collect())
+    )
+    for n_slices in (2, 7):
+        parts = [
+            quantile_sketch(
+                li.filter(F.pmod("uid", F.lit(n_slices)) == i),
+                "l_quantity",
+                "uid",
+                256,
+            )
+            for i in range(n_slices)
+        ]
+        merged = sorted(
+            map(tuple, merge_quantile_sketches(parts, 256).collect())
+        )
+        assert merged == whole, f"merge law broken at {n_slices} slices"
+    vals = sorted(float(v) for v, _ in whole)
+    n = li.count()
+    for q in (0.25, 0.5, 0.9):
+        est = vals[int(q * (len(vals) - 1))]
+        rank = li.filter(F.col("l_quantity") <= est).count() / n
+        assert abs(rank - q) < 0.10, (q, rank)
