@@ -99,18 +99,21 @@ def quantile_sketch(
     merged sample estimates the population quantile with the usual
     uniform-sample error O(sqrt(q(1-q)/k)).
 
-    Execution: ``orderBy(rk).limit(k)`` is TakeOrdered — each
+    Execution: ``orderBy(rk, v).limit(k)`` is TakeOrdered — each
     partition ships only its local bottom-k, the driver keeps k rows.
     Determinism (same keys → same sample → same estimates on any
     cluster) is what makes the driver gate a full-value oracle, not a
-    tolerance check.
+    tolerance check; the secondary ``v`` sort makes the bottom-k
+    well-defined even when DUPLICATE keys tie on rank (lexicographic
+    (rk, v) is a total order on the multiset, under which the merge
+    law holds for any slicing).
     """
     return (
         df.select(
             F.col(value_col).alias("v"),
             F.md5(F.col(key_col).cast("string")).alias("rk"),
         )
-        .orderBy("rk")
+        .orderBy("rk", "v")
         .limit(size)
     )
 
@@ -122,4 +125,4 @@ def merge_quantile_sketches(sketches: list[DataFrame], size: int) -> DataFrame:
     import functools
 
     merged = functools.reduce(lambda a, b: a.unionByName(b), sketches)
-    return merged.orderBy("rk").limit(size)
+    return merged.orderBy("rk", "v").limit(size)

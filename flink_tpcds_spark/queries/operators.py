@@ -1468,7 +1468,7 @@ def ops_freq_items_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT n_chars AS v, md5(CAST(doc_id AS VARCHAR)) AS rk
       FROM documents
     ),
-    sk AS (SELECT v, rk FROM ranked ORDER BY rk LIMIT 64),
+    sk AS (SELECT v, rk FROM ranked ORDER BY rk, v LIMIT 64),
     est AS (SELECT CAST(quantile_cont(v, 0.5) AS DOUBLE) AS med,
                    CAST(quantile_cont(v, 0.9) AS DOUBLE) AS p90,
                    md5(string_agg(rk, ',' ORDER BY rk)) AS fp,

@@ -225,5 +225,14 @@ class DocGenStreamReader(DataSourceStreamReader):
         self.committed = int(end["doc_id"])
         self._tip = max(self._tip, self.committed)
         if self.progress_path:
-            with open(self.progress_path, "w") as f:
+            import os
+
+            # atomic replace: a crash mid-write must never leave an
+            # empty/partial mark — a partial value below the
+            # checkpointed offset would rewind latestOffset, the
+            # exact duplication this file exists to prevent (reads
+            # stay strict int(): an unreadable mark fails LOUD)
+            tmp = self.progress_path + ".tmp"
+            with open(tmp, "w") as f:
                 f.write(f"{self.committed}\n")
+            os.replace(tmp, self.progress_path)

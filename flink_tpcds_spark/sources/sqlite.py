@@ -259,7 +259,16 @@ class SQLiteWriter(DataSourceWriter):
         self.table = options["table"]
         self.schema = schema
         self.overwrite = overwrite
-        self.stage_dir = self.path + ".staging"
+        # job-unique suffix: two CONCURRENT write jobs to the same
+        # table must not share a staging table or staging dir (a
+        # fixed name let one job's DROP delete the other's drained
+        # rows). A driver that dies between phases can orphan its
+        # uniquely-named staging table; that is storage bloat only —
+        # never wrong data — and any later VACUUM/manual drop
+        # reclaims it.
+        self.job_id = uuid.uuid4().hex[:12]
+        self.stage_dir = f"{self.path}.staging-{self.job_id}"
+        self.staging_table = f"__staging_{self.table}_{self.job_id}"
 
     def _ddl(self, name: str | None = None) -> str:
         cols = ", ".join(
@@ -314,7 +323,7 @@ class SQLiteWriter(DataSourceWriter):
         truncate + the staging→target INSERT — so readers see either
         the old table or the complete new write, never a partial
         job."""
-        staging = f"__staging_{self.table}"
+        staging = self.staging_table
         con = sqlite3.connect(self.path)
         try:
             con.execute(self._ddl())
@@ -338,12 +347,31 @@ class SQLiteWriter(DataSourceWriter):
             )
             con.commit()
             con.execute(f"DROP TABLE IF EXISTS {_q(staging)}")
+        except BaseException:
+            self._drop_staging_table()
+            raise
         finally:
             con.close()
         self._cleanup()
 
     def abort(self, messages) -> None:
+        self._drop_staging_table()
         self._cleanup()
+
+    def _drop_staging_table(self) -> None:
+        """A failed/aborted job must not leave its partially-drained
+        staging table as permanent bloat in the target database."""
+        try:
+            con = sqlite3.connect(self.path)
+            try:
+                con.execute(
+                    f"DROP TABLE IF EXISTS {_q(self.staging_table)}"
+                )
+                con.commit()
+            finally:
+                con.close()
+        except sqlite3.Error:
+            pass  # target unreachable: nothing staged there either
 
     def _cleanup(self) -> None:
         import shutil

@@ -1340,3 +1340,37 @@ def test_edit_distance_pairs_random_property():
         assert got == _brute_pairs(df, k), (strings, k)
 
     check()
+
+
+def test_ann_paths_survive_zero_vectors(spark):
+    """Round-8 review fix: an all-zero embedding (pad/failed-encode
+    row) must not poison any ANN stage with NaNs — IVF probe/assign,
+    PQ encode, and a zero-vector QUERY all produce defined results."""
+    import math
+
+    from flink_tpcds_spark.datapipe.similarity import (
+        knn_ivf,
+        knn_pq,
+        pq_encode,
+        pq_train_codebook,
+    )
+
+    rng = __import__("numpy").random.RandomState(7)
+    rows = [(i, rng.randn(16).astype("float32").tolist()) for i in range(600)]
+    rows.append((600, [0.0] * 16))  # corpus zero vector
+    rows.append((601, [0.0] * 16))  # zero QUERY vector
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qf = (F.col("vec_id") % 100 == 0) | (F.col("vec_id") == 601)
+    out = knn_ivf(emb, qf, k=5, n_clusters=8).collect()
+    assert out, "IVF returned nothing"
+    assert all(
+        r.cos4 is not None and not math.isnan(r.cos4) for r in out
+    ), "NaN similarity leaked through IVF"
+    books = pq_train_codebook(emb, m=4)
+    codes = pq_encode(emb, books).collect()
+    assert len(codes) == len(rows)
+    pq_out = knn_pq(emb, qf, k=5, m=4).collect()
+    assert pq_out
+    for r in pq_out:
+        for cell in tuple(r):
+            assert not (isinstance(cell, float) and math.isnan(cell)), r

@@ -775,3 +775,25 @@ def test_quantile_sketch_merge_law_and_error(spark, sf_dir):
         est = vals[int(q * (len(vals) - 1))]
         rank = li.filter(F.col("l_quantity") <= est).count() / n
         assert abs(rank - q) < 0.10, (q, rank)
+
+
+def test_quantile_sketch_duplicate_keys_deterministic(spark):
+    """Round-8 review fix: duplicate key values tie on md5 rank; the
+    (rk, v) total order keeps the sample and the merge law exact."""
+    from flink_tpcds_spark.operators.sketch import (
+        merge_quantile_sketches,
+        quantile_sketch,
+    )
+
+    # every key appears 3x with different values; k cuts mid-tie
+    rows = [(i % 10, float(i)) for i in range(30)]
+    df = spark.createDataFrame(rows, "k long, v double").repartition(5)
+    whole = sorted(map(tuple, quantile_sketch(df, "v", "k", 7).collect()))
+    again = sorted(map(tuple, quantile_sketch(df, "v", "k", 7).collect()))
+    assert whole == again, "sample not deterministic under tied ranks"
+    parts = [
+        quantile_sketch(df.filter(F.col("v") % 2 == i), "v", "k", 7)
+        for i in range(2)
+    ]
+    merged = sorted(map(tuple, merge_quantile_sketches(parts, 7).collect()))
+    assert merged == whole, "merge law broken under tied ranks"

@@ -655,7 +655,13 @@ def test_sqlite_connector_commit_protocol(spark, sf_dir, tmp_path):
         "table", "events"
     ).mode("overwrite").save()
     assert con.execute("select count(*) from events").fetchone() == (50,)
-    assert not os.path.exists(db + ".staging")
+    import glob
+
+    assert glob.glob(db + ".staging*") == []
+    # failed job leaves no staging-table bloat in the database either
+    assert con.execute(
+        "select count(*) from sqlite_master where name like '__staging%'"
+    ).fetchone() == (0,)
 
 
 def test_sqlite_upsert_sink_exactly_once(spark, sf_dir, tmp_path):
