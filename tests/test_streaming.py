@@ -1234,3 +1234,70 @@ def test_docgen_stream_reader_offsets_and_restart(spark, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+def test_retract_sink_random_batches_match_model():
+    """Property test: ParquetRetractSink against a dict reference
+    model over RANDOM batch sequences — random keys, values
+    (including NULLs), per-batch key subsets, and random batch_id
+    REPLAYS. After every sequence: snapshot == model, replay(log) ==
+    snapshot, and net ops per key reconcile to the model."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from flink_tpcds_spark.session import get_spark
+    from flink_tpcds_spark.streaming.sinks import ParquetRetractSink
+
+    spark = get_spark("retract-prop")
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        st.lists(  # batches: each a dict key -> value-or-None
+            st.dictionaries(
+                st.integers(0, 4),
+                st.one_of(st.none(), st.integers(-9, 9)),
+                min_size=1,
+                max_size=4,
+            ),
+            min_size=1,
+            max_size=4,
+        ),
+        st.booleans(),  # replay the middle batch?
+    )
+    def check(batches, with_replay):
+        import shutil
+        import tempfile
+
+        work = tempfile.mkdtemp(prefix="retract_prop_")
+        try:
+            sink = ParquetRetractSink(work, ["k"])
+            model: dict[int, int | None] = {}
+            for b, batch in enumerate(batches):
+                df = spark.createDataFrame(
+                    list(batch.items()), "k long, v long"
+                )
+                sink.foreach_batch(df, b)
+                model.update(batch)
+                if with_replay and b == len(batches) // 2:
+                    poisoned = spark.createDataFrame(
+                        [(k, 99) for k in batch], "k long, v long"
+                    )
+                    sink.foreach_batch(poisoned, b)  # must be skipped
+            snap = {r.k: r.v for r in sink.snapshot(spark).collect()}
+            assert snap == model, (batches, snap, model)
+            rep = {r.k: r.v for r in sink.replay(spark).collect()}
+            assert rep == model, (batches, rep, model)
+            # op algebra: per key, (+) count - (-) count == 1 iff live
+            log = sink.changelog(spark).collect()
+            for k in model:
+                plus = sum(1 for r in log if r.k == k and r.op == "+")
+                minus = sum(1 for r in log if r.k == k and r.op == "-")
+                assert plus - minus == 1, (k, plus, minus)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    check()
