@@ -1546,3 +1546,203 @@ def ops_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 15.0
         ).alias("p90_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO (lakehouse upsert on plain parquet — sources/merge.py;
+# batch counterpart of the streaming upsert/retract sinks)
+# ---------------------------------------------------------------------------
+_MERGE_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+@_q(
+    "ops_merge_into",
+    """
+    WITH target AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(o_totalprice AS DECIMAL(18,6)) AS o_totalprice,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 4 != 0
+    ),
+    source AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 2
+                  AS DECIMAL(18,6)) AS o_totalprice,
+             'M' AS o_orderstatus
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    merged AS (
+      SELECT * FROM target WHERE o_orderkey % 2 != 0
+      UNION ALL
+      SELECT * FROM source
+    )
+    SELECT o_orderkey, o_custkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           o_orderstatus
+    FROM merged
+    WHERE o_orderkey % 3 != 0
+    ORDER BY o_orderkey
+    """,
+)
+def ops_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO on a parquet table, both matched modes end-to-end:
+    (1) update+insert — even-keyed source rows (price doubled, status
+    'M') replace their targets, unmatched ones append; (2) delete —
+    keys divisible by 3 are merged away. The oracle rebuilds the final
+    table as pure SQL set algebra over ``orders``: target keys are
+    % 4 != 0, so after update+insert the table is (odd target keys) ∪
+    (all even source keys), minus the % 3 deletes. Every row is
+    value-checked — sources/merge.py."""
+    import atexit as _atexit
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from ..sources.merge import merge_into
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _MERGE_MEMO:
+        return _MERGE_MEMO[key]
+
+    work = _tempfile.mkdtemp(prefix="ops_merge_")
+    _atexit.register(_shutil.rmtree, work, ignore_errors=True)
+    tgt = _os.path.join(work, "target")
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(18,6)").alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    base.filter(F.col("o_orderkey") % 4 != 0).write.parquet(tgt)
+    src = base.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") * 2)
+        .cast("decimal(18,6)")
+        .alias("o_totalprice"),
+        F.lit("M").alias("o_orderstatus"),
+    )
+    merge_into(
+        spark, tgt, src, ["o_orderkey"], when_matched="update", validate=True
+    )
+    dels = base.filter(F.col("o_orderkey") % 3 == 0).select("o_orderkey")
+    merge_into(
+        spark,
+        tgt,
+        dels,
+        ["o_orderkey"],
+        when_matched="delete",
+        insert_not_matched=False,
+    )
+    _MERGE_MEMO[key] = (
+        spark.read.parquet(tgt)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "o_orderstatus",
+        )
+        .orderBy("o_orderkey")
+    )
+    return _MERGE_MEMO[key]
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured VARIANT access (Spark 4 parse_json/variant_get — the
+# engine-native path for JSON event properties; the string-path
+# JSON_VALUE analog is ev_json_histogram). Reference: Blink's
+# JSON_VALUE/JSON_QUERY scalar functions (SqlJsonUtils.java) — VARIANT
+# is the columnar-shredded upgrade of the same access pattern.
+# ---------------------------------------------------------------------------
+@_q(
+    "ops_variant_json",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                AS BIGINT) AS sum_k,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CASE WHEN json_extract(props, '$.missing') IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+           'OBJECT<k: BIGINT>' AS merged_schema
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def ops_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON event properties through the VARIANT type: ``parse_json``
+    once into the binary variant encoding, then typed path access
+    (``variant_get($.k, int)``), missing-path NULL semantics
+    (``try_variant_get``), and per-row ``schema_of_variant`` — the
+    100 TB posture for semi-structured columns (parse once at ingest,
+    shred/prune at scan; no per-expression re-parse like
+    get_json_object). The oracle recomputes every value from DuckDB's
+    JSON functions and pins the merged schema string."""
+    e = load_table(spark, sf_dir, "events")
+    rows = e.select(
+        "event_type", F.parse_json("props").alias("v")
+    ).select(
+        "event_type",
+        F.variant_get("v", "$.k", "int").alias("k"),
+        F.try_variant_get("v", "$.missing", "string").alias("miss"),
+        F.schema_of_variant("v").alias("sch"),
+    )
+    return (
+        rows.groupBy("event_type")
+        .agg(
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.sum(F.when(F.col("miss").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_missing"),
+            F.min("sch").alias("merged_schema"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Collation-aware grouping (Spark 4 collated strings — locale/case
+# rules pushed into the engine's comparators and hash, not rewritten
+# as lower() by the user; Blink exposes the same via
+# FlinkSqlOperatorTable collation-aware comparisons)
+# ---------------------------------------------------------------------------
+@_q(
+    "ops_collated_group",
+    """
+    SELECT lower(lang) AS lang,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lower(lang)
+    ORDER BY lang
+    """,
+)
+def ops_collated_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive GROUP BY via the UTF8_LCASE collation: half
+    the rows are upper-cased in-flight, then grouped on the COLLATED
+    column — the engine's hash/equality honor the collation, so the
+    case-mixed values land in one group without a lower() rewrite.
+    The oracle is the lower()-rewrite equivalent; a non-collated
+    grouping would produce twice the rows and hash-mismatch."""
+    d = load_table(spark, sf_dir, "documents")
+    mixed = F.when(F.col("doc_id") % 2 == 0, F.upper("lang")).otherwise(
+        F.col("lang")
+    )
+    return (
+        d.select(
+            F.collate(mixed, "UTF8_LCASE").alias("g"), "n_chars"
+        )
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .select(
+            F.lower("g").cast("string").alias("lang"),
+            "cnt",
+            "total_chars",
+        )
+        .orderBy("lang")
+    )

@@ -365,6 +365,93 @@ def st_session_scale10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "st_dedup_watermark",
+    f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS cnt,
+           {dsum_sql('value')} AS total
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def st_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming keyed deduplication with bounded state:
+    ``dropDuplicatesWithinWatermark("event_id")`` over a time-ordered
+    4-batch file stream where EVERY row arrives at least twice (each
+    batch file is its time-range unioned with itself, and the final
+    range is replayed once more as a fifth file — the at-least-once
+    delivery shape). The 30-minute watermark bounds the dedup state:
+    keys older than the watermark are evicted, which is the only way
+    this operator survives an unbounded stream (plain
+    ``dropDuplicates`` on a stream retains every key forever). The
+    surviving rows must be EXACTLY the distinct events — the oracle is
+    the batch aggregate over the raw table. Replayed rows land either
+    inside the watermark (deduped by state) or behind it (dropped as
+    late) — both paths preserve the invariant, and both are exercised.
+    Reference analog: Blink's Deduplicate/keep-first stream operator
+    (DeduplicateKeepFirstRowFunction.java) with state TTL.
+    """
+    work = _workdir("st_dedupw_")
+    src = os.path.join(work, "in")
+    os.makedirs(src)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    lo, hi = e.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) / 4
+    cuts = [
+        F.lit(lo + span * i).cast("timestamp") for i in range(1, 4)
+    ]
+    filters = [
+        F.col("ts") < cuts[0],
+        (F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1]),
+        (F.col("ts") >= cuts[1]) & (F.col("ts") < cuts[2]),
+        F.col("ts") >= cuts[2],
+    ]
+    for i, flt in enumerate(filters):
+        part = e.filter(flt)
+        part.unionAll(part).coalesce(1).write.parquet(
+            os.path.join(src, f"b{i}")
+        )
+    # fifth file: the last range replayed once more (cross-batch dups)
+    e.filter(filters[3]).coalesce(1).write.parquet(
+        os.path.join(src, "b4_replay")
+    )
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, event_type string, ts timestamp, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    deduped = stream.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    out_dir = os.path.join(work, "out")
+    (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            dsum(F.col("value")).alias("total"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_q(
     "st_freq_items",
     """
     WITH tok AS (

@@ -788,3 +788,79 @@ def test_sqlite_connector_review_regressions(spark, sf_dir, tmp_path):
     assert t4.count() == 3  # NULL rows not dropped
     assert t4.filter(F.col("k") >= 0).count() == 1  # predicate excludes NULLs
     assert t3.count() == 4
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO (sources/merge.py — lakehouse upsert on plain parquet)
+# ---------------------------------------------------------------------------
+def _merge_target(spark, tmp_path, rows):
+    path = str(tmp_path / "merge_target")
+    spark.createDataFrame(rows, "k long, v string").write.parquet(path)
+    return path
+
+
+def test_merge_into_update_insert(spark, tmp_path):
+    from flink_tpcds_spark.sources.merge import merge_into
+
+    tgt = _merge_target(spark, tmp_path, [(1, "a"), (2, "b"), (3, "c")])
+    src = spark.createDataFrame([(2, "B"), (4, "D")], "k long, v string")
+    m = merge_into(spark, tgt, src, ["k"], when_matched="update")
+    got = {(r.k, r.v) for r in spark.read.parquet(tgt).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c"), (4, "D")}
+    assert m["rows_after"] == 4
+    # swap is clean: no .old / .merge-* leftovers next to the table
+    parent = os.path.dirname(tgt)
+    leftovers = [d for d in os.listdir(parent) if ".merge-" in d or d.endswith(".old")]
+    assert leftovers == []
+
+
+def test_merge_into_update_without_insert(spark, tmp_path):
+    from flink_tpcds_spark.sources.merge import merge_into
+
+    tgt = _merge_target(spark, tmp_path, [(1, "a"), (2, "b")])
+    src = spark.createDataFrame([(2, "B"), (9, "X")], "k long, v string")
+    merge_into(
+        spark, tgt, src, ["k"], when_matched="update", insert_not_matched=False
+    )
+    got = {(r.k, r.v) for r in spark.read.parquet(tgt).collect()}
+    assert got == {(1, "a"), (2, "B")}
+
+
+def test_merge_into_delete_modes(spark, tmp_path):
+    from flink_tpcds_spark.sources.merge import merge_into
+
+    tgt = _merge_target(spark, tmp_path, [(1, "a"), (2, "b"), (3, "c")])
+    # delete matched, insert unmatched
+    src = spark.createDataFrame([(2, "ignored"), (5, "E")], "k long, v string")
+    merge_into(spark, tgt, src, ["k"], when_matched="delete")
+    got = {(r.k, r.v) for r in spark.read.parquet(tgt).collect()}
+    assert got == {(1, "a"), (3, "c"), (5, "E")}
+    # pure delete: key-only source is accepted
+    dels = spark.createDataFrame([(1,)], "k long")
+    merge_into(
+        spark, tgt, dels, ["k"], when_matched="delete", insert_not_matched=False
+    )
+    got = {(r.k, r.v) for r in spark.read.parquet(tgt).collect()}
+    assert got == {(3, "c"), (5, "E")}
+
+
+def test_merge_into_rejects_duplicate_source_keys(spark, tmp_path):
+    from flink_tpcds_spark.sources.merge import merge_into
+
+    tgt = _merge_target(spark, tmp_path, [(1, "a")])
+    src = spark.createDataFrame(
+        [(1, "x"), (1, "y")], "k long, v string"
+    )
+    with pytest.raises(ValueError, match="not key-unique"):
+        merge_into(spark, tgt, src, ["k"], validate=True)
+    # target untouched after the failed merge
+    assert spark.read.parquet(tgt).count() == 1
+
+
+def test_merge_into_rejects_schema_drift_on_update(spark, tmp_path):
+    from flink_tpcds_spark.sources.merge import merge_into
+
+    tgt = _merge_target(spark, tmp_path, [(1, "a")])
+    src = spark.createDataFrame([(1, "x", 0.5)], "k long, v string, w double")
+    with pytest.raises(ValueError, match="schemas differ"):
+        merge_into(spark, tgt, src, ["k"], when_matched="update")
