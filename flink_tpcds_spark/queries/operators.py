@@ -1548,6 +1548,24 @@ def ops_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _memo_workdir(name: str, spark: SparkSession, sf_dir: str):
+    """(memo_key, workdir) for queries that materialize side state at
+    construction time: one run per (query, Spark app, sf_dir), the
+    workdir removed at interpreter exit — same contract as the
+    streaming_inv module's memoization."""
+    import atexit as _atexit
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    key = (name, spark.sparkContext.applicationId, sf_dir)
+    work = _tempfile.mkdtemp(prefix=f"{name}_")
+    _atexit.register(_shutil.rmtree, work, ignore_errors=True)
+    return key, work
+
+
+_SIDE_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
 # ---------------------------------------------------------------------------
 # MERGE INTO (lakehouse upsert on plain parquet — sources/merge.py;
 # batch counterpart of the streaming upsert/retract sinks)
@@ -1746,3 +1764,198 @@ def ops_collated_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew handling beyond AQE: static salting (operators/skew.py) —
+# driver-gated equivalence with the plain join
+# ---------------------------------------------------------------------------
+@_q(
+    "ops_skew_join",
+    f"""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS cnt,
+           {dsum_sql('l.l_quantity')} AS sum_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def ops_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact⋈fact join (8 salt buckets: probe side scattered,
+    build side replicated — the static fallback for the one-hot-key
+    case AQE's skew split can't fix) must be EXACTLY the plain join:
+    the driver value-checks the salted plan's aggregate against the
+    unsalted SQL — operators/skew.py salted_join."""
+    from ..operators.skew import salted_join
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    joined = salted_join(l, o, "o_orderkey", salt_buckets=8)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed fact⋈fact join (sources/bucketing.py) — the shuffle-free
+# warehouse posture, driver-gated on VALUES (plan gate in
+# tests/test_sources.py)
+# ---------------------------------------------------------------------------
+@_q(
+    "ops_bucketed_join",
+    f"""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS cnt,
+           {dsum_sql('l.l_quantity')} AS sum_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def ops_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈fact join through BUCKETED tables (both sides written
+    bucketBy(8) on the order key, then joined shuffle-free — the
+    posture that took h21's ×100 core from 22.3 s to 4.9 s). The
+    driver value-checks the bucketed plan's result against the plain
+    SQL join; the zero-exchange plan property is pytest-gated —
+    sources/bucketing.py."""
+    from ..sources.bucketing import bucket_table, bucketed_join_ready
+
+    key = ("ops_bucketed_join", spark.sparkContext.applicationId, sf_dir)
+    if key not in _SIDE_MEMO:
+        import os as _os
+        import shutil as _shutil
+        from urllib.parse import urlparse as _urlparse
+
+        # a previous session's managed-table directory blocks
+        # saveAsTable (LOCATION_ALREADY_EXISTS) even after the
+        # in-memory catalog forgot the table — drop both layers
+        wh = _urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        for t in ("ops_bkt_lineitem", "ops_bkt_orders"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            _shutil.rmtree(_os.path.join(wh, t), ignore_errors=True)
+        l = load_table(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+        )
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        )
+        bucket_table(l, "ops_bkt_lineitem", ["o_orderkey"], 8)
+        bucket_table(o, "ops_bkt_orders", ["o_orderkey"], 8)
+        joined = bucketed_join_ready(
+            spark, "ops_bkt_lineitem", "ops_bkt_orders", "o_orderkey"
+        )
+        _SIDE_MEMO[key] = (
+            joined.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("cnt"),
+                dsum(F.col("l_quantity")).alias("sum_qty"),
+            )
+            .orderBy("o_orderpriority")
+        )
+    return _SIDE_MEMO[key]
+
+
+# ---------------------------------------------------------------------------
+# CSV source round trip (sources/csv.py, the CsvTableSource2 analog)
+# — driver-gated: dsdgen-convention CSV must reload value-exact
+# ---------------------------------------------------------------------------
+@_q(
+    "ops_csv_source",
+    """
+    SELECT r.r_name,
+           CAST(count(*) AS BIGINT) AS n_nations,
+           min(n.n_name) AS first_nation,
+           max(n.n_name) AS last_nation
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY r.r_name
+    """,
+)
+def ops_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source with the reference's dsdgen loading conventions
+    (| delimiter, explicit schema, empty→NULL — CsvTableSource2.java:46,
+    TpcDsBatchExecITCase.scala:59-61): nation and region written to
+    CSV and read back through ``read_dsdgen_csv``, then joined — the
+    reloaded values must be EXACTLY the parquet originals (the oracle
+    runs on the base tables) — sources/csv.py."""
+    from ..sources.csv import read_dsdgen_csv, write_csv
+
+    key = ("ops_csv_source", spark.sparkContext.applicationId, sf_dir)
+    if key not in _SIDE_MEMO:
+        import os as _os
+
+        _, work = _memo_workdir("ops_csv_source", spark, sf_dir)
+        frames = {}
+        for t in ("nation", "region"):
+            base = load_table(spark, sf_dir, t)
+            path = _os.path.join(work, t)
+            write_csv(base, path)
+            frames[t] = read_dsdgen_csv(spark, path, base.schema)
+        n, r = frames["nation"].alias("n"), frames["region"].alias("r")
+        _SIDE_MEMO[key] = (
+            n.join(r, F.col("n.n_regionkey") == F.col("r.r_regionkey"))
+            .groupBy("r.r_name")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_nations"),
+                F.min("n.n_name").alias("first_nation"),
+                F.max("n.n_name").alias("last_nation"),
+            )
+            .orderBy("r_name")
+        )
+    return _SIDE_MEMO[key]
+
+
+# ---------------------------------------------------------------------------
+# Avro source round trip (sources/avro.py, pure-python OCF) —
+# driver-gated: binary-exact doubles through the Avro encoding
+# ---------------------------------------------------------------------------
+@_q(
+    "ops_avro_source",
+    f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS cnt,
+           {dsum_sql('value')} AS total
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def ops_avro_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro OCF round trip (deflate codec, pure-python encoder per the
+    public Avro 1.11 spec): the events table written to Avro and read
+    back must aggregate value-exactly like the parquet original —
+    doubles are binary-exact through Avro's little-endian encoding —
+    sources/avro.py."""
+    from ..sources.avro import read_avro, write_avro
+
+    key = ("ops_avro_source", spark.sparkContext.applicationId, sf_dir)
+    if key not in _SIDE_MEMO:
+        import os as _os
+
+        _, work = _memo_workdir("ops_avro_source", spark, sf_dir)
+        path = _os.path.join(work, "events_avro")
+        e = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+        write_avro(e, path)
+        back = read_avro(spark, path)
+        _SIDE_MEMO[key] = (
+            back.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("cnt"),
+                dsum(F.col("value")).alias("total"),
+            )
+            .orderBy("event_type")
+        )
+    return _SIDE_MEMO[key]

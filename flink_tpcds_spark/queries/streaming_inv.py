@@ -364,6 +364,649 @@ def st_session_scale10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _time_range_filters(e: DataFrame, n: int) -> tuple[list, object, object]:
+    """n disjoint event-time range filters covering ``e`` (ts column),
+    plus (lo, hi). Same-ts rows never split across batches, so a
+    time-ordered file stream of these ranges arrives in event-time
+    order — the precondition the append-mode invariants rely on."""
+    lo, hi = e.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) / n
+    cuts = [F.lit(lo + span * i).cast("timestamp") for i in range(1, n)]
+    filters = []
+    for i in range(n):
+        f = F.lit(True)
+        if i > 0:
+            f = f & (F.col("ts") >= cuts[i - 1])
+        if i < n - 1:
+            f = f & (F.col("ts") < cuts[i])
+        filters.append(f)
+    return filters, lo, hi
+
+
+@_q(
+    "st_over_running_sum",
+    """
+    SELECT user_id, event_id,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS running_cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+             AS running_sum
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING)
+    ORDER BY user_id, event_id
+    """,
+)
+def st_over_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming event-time OVER aggregation (UNBOUNDED PRECEDING
+    running count+sum per user) as a REAL stateful stream:
+    ``streaming_over_running_sum`` (applyInPandasWithState, int64
+    micro-unit state — the decimal bridge inside a stateful operator)
+    fed a 4-batch time-ordered file stream. Arrival order equals
+    (ts, event_id) order by construction, so EVERY emitted row must
+    hash-match the batch window function exactly — the reference's
+    RowTimeRangeUnboundedPrecedingFunction contract
+    (StreamExecOverAggregate.scala:56) — streaming/joins.py."""
+    from ..streaming.joins import streaming_over_running_sum
+
+    work = _workdir("st_over_")
+    src = os.path.join(work, "in")
+    os.makedirs(src)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    filters, _, _ = _time_range_filters(e, 4)
+    for i, flt in enumerate(filters):
+        e.filter(flt).coalesce(1).write.parquet(os.path.join(src, f"b{i}"))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    out_dir = os.path.join(work, "out")
+    (
+        streaming_over_running_sum(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return (
+        spark.read.parquet(out_dir)
+        .select("user_id", "event_id", "running_cnt", "running_sum")
+        .orderBy("user_id", "event_id")
+    )
+
+
+@_q(
+    "st_stream_join",
+    """
+    WITH l AS (SELECT * FROM events WHERE event_type = 'click'),
+         r AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         p AS (
+           SELECT l.user_id, l.event_id AS lid, r.event_id AS rid
+           FROM l JOIN r ON l.user_id = r.user_id
+            AND r.ts >= l.ts
+            AND r.ts <= l.ts + INTERVAL 600 SECONDS
+         )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(min(lid) AS BIGINT) AS min_left_id,
+           CAST(max(rid) AS BIGINT) AS max_right_id
+    FROM p
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def st_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval equi-join as TWO real file streams:
+    clicks and purchases (split from the events table into separate
+    4-batch time-ordered sources) joined on user within [0, 600 s] —
+    every qualifying pair must be emitted exactly once, including
+    pairs whose sides arrive in different micro-batches (the left row
+    is held in watermark-bounded join state until the right side's
+    range passes). The oracle is the batch interval join aggregated
+    per user. Reference: RowTimeBoundedStreamJoin — the same
+    state-eviction contract — streaming/windows.py
+    streaming_interval_join."""
+    from ..streaming.windows import streaming_interval_join
+
+    work = _workdir("st_ssjoin_")
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value", "event_type"
+    )
+    srcs = {}
+    for side, etype in (("l", "click"), ("r", "purchase")):
+        src = os.path.join(work, f"in_{side}")
+        os.makedirs(src)
+        part = e.filter(F.col("event_type") == etype).drop("event_type")
+        filters, _, _ = _time_range_filters(part, 4)
+        for i, flt in enumerate(filters):
+            part.filter(flt).coalesce(1).write.parquet(
+                os.path.join(src, f"b{i}")
+            )
+        srcs[side] = src
+
+    def _stream(path: str):
+        return (
+            spark.readStream.schema(
+                "event_id long, user_id long, ts timestamp, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(path)
+        )
+
+    joined = streaming_interval_join(
+        _stream(srcs["l"]), _stream(srcs["r"]), 0, 600
+    )
+    out_dir = os.path.join(work, "out")
+    (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.min("left_id").cast("bigint").alias("min_left_id"),
+            F.max("right_id").cast("bigint").alias("max_right_id"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _write_time_batches(
+    df: DataFrame, src: str, n: int = 4, prefix: str = "b"
+) -> None:
+    filters, _, _ = _time_range_filters(df, n)
+    for i, flt in enumerate(filters):
+        df.filter(flt).coalesce(1).write.parquet(
+            os.path.join(src, f"{prefix}{i}")
+        )
+
+
+def _sentinel_file(
+    spark: SparkSession,
+    src: str,
+    hi,
+    schema: str,
+    row: tuple,
+    name: str = "z_sentinel",
+) -> None:
+    """One far-future event (hi + 10 h) that advances the final
+    watermark past every real row — the end-of-stream flush pattern
+    for bounded replays of append-mode stateful queries."""
+    spark.createDataFrame([row], schema).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 10 HOURS")
+    ).coalesce(1).write.parquet(os.path.join(src, name))
+
+
+@_q(
+    "st_topn",
+    """
+    WITH t AS (
+      SELECT user_id,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               AS total_value,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT user_id, total_value, n_events,
+           CAST(ROW_NUMBER() OVER (ORDER BY total_value DESC, user_id)
+                AS INTEGER) AS rn
+    FROM t
+    ORDER BY rn
+    LIMIT 5
+    """,
+)
+def st_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-n over maintained per-key totals: a complete-mode
+    aggregation fed 4 micro-batches, each batch's full state ranked by
+    distributed TakeOrdered (per-partition heaps, k-row driver
+    transfer) into an upsert-style result view — the reference's
+    updatable TopNBuffer at micro-batch granularity
+    (AppendOnlyTopNFunction.java:46). The final view must equal the
+    batch top-5 by decimal-bridged total, tie-broken by user_id —
+    streaming/topn.py."""
+    from ..streaming.topn import streaming_top_k_by_value
+
+    work = _workdir("st_topn_")
+    src = os.path.join(work, "in")
+    os.makedirs(src)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("value").cast("decimal(18,6)").alias("value"),
+    )
+    _write_time_batches(e, src, 4)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, value decimal(18,6)"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    streaming_top_k_by_value(
+        stream, k=5, sink_table="st_topn_sink"
+    ).awaitTermination()
+    return (
+        spark.table("global_temp.st_topn_sink")
+        .select(
+            "user_id",
+            F.col("total_value").cast("double").alias("total_value"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+        .orderBy("rn")
+    )
+
+
+@_q(
+    "st_event_sort",
+    """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           TRUE AS monotone_ok
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def st_event_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming event-time sort (temporal sort): the stateful
+    watermark-prefix release operator (streaming/sort.py
+    event_time_sorted — the StreamExecTemporalSort analog) fed a
+    4-batch stream plus a far-future sentinel that drains every
+    buffered row through the event-time timeout. Each micro-batch's
+    emission is captured with its batch id; the invariant is
+    release-order monotonicity per user — max(ts) of every batch ≤
+    min(ts) of every later batch — plus completeness: each input row
+    emitted exactly once (per-user counts pinned by the oracle)."""
+    from ..streaming.sort import event_time_sorted
+
+    work = _workdir("st_evsort_")
+    src = os.path.join(work, "in")
+    os.makedirs(src)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    _write_time_batches(e, src, 4)
+    _, hi = e.agg(F.min("ts"), F.max("ts")).first()
+    _sentinel_file(
+        spark,
+        src,
+        hi,
+        "event_id long, user_id long, ts timestamp, value double",
+        (-1, -1, hi, 0.0),
+    )
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    out_dir = os.path.join(work, "out")
+
+    def sink(bdf: DataFrame, bid: int) -> None:
+        (
+            bdf.withColumn("emit_batch", F.lit(bid))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    (
+        event_time_sorted(stream)
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    from pyspark.sql.window import Window
+
+    rows = spark.read.parquet(out_dir).filter(F.col("user_id") >= 0)
+    per_batch = rows.groupBy("user_id", "emit_batch").agg(
+        F.min("ts").alias("mn"),
+        F.max("ts").alias("mx"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    w = Window.partitionBy("user_id").orderBy("emit_batch")
+    flags = per_batch.withColumn("prev_mx", F.lag("mx").over(w)).withColumn(
+        "ok",
+        F.col("prev_mx").isNull() | (F.col("prev_mx") <= F.col("mn")),
+    )
+    return (
+        flags.groupBy("user_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.min("ok").alias("monotone_ok"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@_q(
+    "st_semi_join",
+    """
+    WITH l AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         r AS (SELECT * FROM events WHERE event_type = 'view')
+    SELECT l.event_id, l.user_id, l.ts, l.value
+    FROM l
+    WHERE EXISTS (
+      SELECT 1 FROM r
+      WHERE r.user_id = l.user_id
+        AND r.ts >= l.ts - INTERVAL 3600 SECONDS
+        AND r.ts <= l.ts
+    )
+    ORDER BY l.event_id
+    """,
+)
+def st_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EXISTS (native stream-stream left-semi join):
+    purchases with ≥1 view from the same user in the preceding hour,
+    over two time-ordered file streams. Because the interval looks
+    only BACKWARD (r.ts ≤ l.ts), every match's right side has already
+    arrived when the left row does, so each qualifying left row is
+    emitted exactly once during the data batches — no sentinel needed
+    — and the result is the complete batch EXISTS, value-checked
+    row-for-row (StreamingSemiAntiJoinOperator.java:35's IN/EXISTS
+    half) — streaming/joins.py streaming_semi_join."""
+    from ..streaming.joins import streaming_semi_join
+
+    work = _workdir("st_semi_")
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value", "event_type"
+    )
+    srcs = {}
+    for side, etype in (("l", "purchase"), ("r", "view")):
+        src = os.path.join(work, f"in_{side}")
+        os.makedirs(src)
+        part = e.filter(F.col("event_type") == etype).drop("event_type")
+        _write_time_batches(part, src, 4)
+        srcs[side] = src
+
+    def _stream(path: str):
+        return (
+            spark.readStream.schema(
+                "event_id long, user_id long, ts timestamp, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(path)
+        )
+
+    semi = streaming_semi_join(_stream(srcs["l"]), _stream(srcs["r"]))
+    out_dir = os.path.join(work, "out")
+    (
+        semi.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return (
+        spark.read.parquet(out_dir)
+        .select("event_id", "user_id", "ts", "value")
+        .orderBy("event_id")
+    )
+
+
+@_q(
+    "st_early_fire",
+    f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS cnt,
+           {dsum_sql('value')} AS total,
+           CAST(count(DISTINCT event_id % 4) AS BIGINT) AS n_versions
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def st_early_fire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Early-fire / update-mode re-emission, value-checked: an
+    update-mode aggregation over a 4-batch stream re-emits every
+    touched key's CURRENT value each micro-batch (the reference's
+    early-fire trigger contract, EventTimeTriggers.java); the upsert
+    changelog therefore holds one version per (key, touching batch).
+    The oracle pins BOTH the final value (batch aggregate) and the
+    exact version count per key — count(DISTINCT event_id % 4), the
+    number of micro-batches that contained the key — so under-firing
+    (no early emission) and over-firing (emitting untouched keys)
+    both hash-mismatch — streaming/sinks.py ParquetUpsertSink
+    changelog."""
+    from ..streaming.sinks import ParquetUpsertSink
+
+    work = _workdir("st_early_")
+    src = os.path.join(work, "in")
+    os.makedirs(src)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    for i in range(4):
+        events.filter(F.pmod("event_id", F.lit(4)) == i).coalesce(
+            1
+        ).write.parquet(os.path.join(src, f"b{i}"))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        dsum(F.col("value")).alias("total"),
+    )
+    sink = ParquetUpsertSink(os.path.join(work, "log"), ["event_type"])
+    (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(sink.foreach_batch)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    versions = (
+        sink.changelog(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count_distinct(F.col(ParquetUpsertSink.BATCH_COL))
+            .cast("bigint")
+            .alias("n_versions")
+        )
+    )
+    return (
+        sink.snapshot(spark)
+        .select("event_type", "cnt", "total")
+        .join(versions, "event_type")
+        .orderBy("event_type")
+    )
+
+
+@_q(
+    "st_anti_join",
+    """
+    WITH l AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         r AS (SELECT * FROM events WHERE event_type = 'view')
+    SELECT l.event_id, l.user_id, l.ts, l.value
+    FROM l
+    WHERE NOT EXISTS (
+      SELECT 1 FROM r
+      WHERE r.user_id = l.user_id
+        AND r.ts >= l.ts - INTERVAL 3600 SECONDS
+        AND r.ts <= l.ts
+    )
+    ORDER BY l.event_id
+    """,
+)
+def st_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NOT EXISTS (anti join) complete and hash-exact:
+    purchases with no view from the same user in the preceding hour,
+    over TWO real file streams with far-future sentinels on BOTH
+    sides so the final watermark proves no-match for every pending
+    left row (Spark emits the null-padded outer rows only once a
+    match is impossible — the StreamingSemiAntiJoinOperator.java:35
+    semantic). Unlike the pytest equivalence (which tolerates an
+    unflushed tail), this is the FULL anti-join result, value-checked
+    row-for-row — streaming/joins.py streaming_anti_join."""
+    from ..streaming.joins import streaming_anti_join
+
+    work = _workdir("st_anti_")
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value", "event_type"
+    )
+    hi = e.agg(F.max("ts")).first()[0]
+    srcs = {}
+    for side, etype, uid in (("l", "purchase", -1), ("r", "view", -2)):
+        src = os.path.join(work, f"in_{side}")
+        os.makedirs(src)
+        part = e.filter(F.col("event_type") == etype).drop("event_type")
+        _write_time_batches(part, src, 4)
+        _sentinel_file(
+            spark,
+            src,
+            hi,
+            "event_id long, user_id long, ts timestamp, value double",
+            (uid, uid, hi, 0.0),
+        )
+        srcs[side] = src
+
+    def _stream(path: str):
+        return (
+            spark.readStream.schema(
+                "event_id long, user_id long, ts timestamp, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(path)
+        )
+
+    anti = streaming_anti_join(_stream(srcs["l"]), _stream(srcs["r"]))
+    out_dir = os.path.join(work, "out")
+    (
+        anti.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return (
+        spark.read.parquet(out_dir)
+        .filter(F.col("user_id") >= 0)
+        .select("event_id", "user_id", "ts", "value")
+        .orderBy("event_id")
+    )
+
+
+@_q(
+    "st_late_drop",
+    f"""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS cnt,
+           {dsum_sql('value')} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def st_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data drop, value-checked end-to-end: a tumbling
+    1-hour windowed aggregation (append mode, 30-minute watermark)
+    over a time-ordered 3-batch stream, followed by a LATE fourth
+    file replaying the oldest third — every replayed row's window
+    ended far behind the watermark by then, so ALL of them must be
+    dropped (not double-counted), and a far-future sentinel flushes
+    the final windows. The result must equal the batch tumbling
+    aggregate over the original corpus, each row counted exactly
+    once. Reference: WindowOperator's cleanup-time late-element drop
+    path (WindowOperator.java isElementDropped) — streaming/source.py
+    watermark contract."""
+    work = _workdir("st_late_")
+    src = os.path.join(work, "in")
+    os.makedirs(src)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    filters, _, hi = _time_range_filters(e, 3)
+    for i, flt in enumerate(filters):
+        e.filter(flt).coalesce(1).write.parquet(os.path.join(src, f"b{i}"))
+    # the late file: the oldest third again — behind the watermark
+    e.filter(filters[0]).coalesce(1).write.parquet(
+        os.path.join(src, "b3_late")
+    )
+    spark.createDataFrame(
+        [(-1, "zz_sentinel", hi, 0.0)],
+        "event_id long, event_type string, ts timestamp, value double",
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 10 HOURS")).coalesce(
+        1
+    ).write.parquet(os.path.join(src, "b4_sentinel"))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, event_type string, ts timestamp, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+    out_dir = os.path.join(work, "out")
+    (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return (
+        spark.read.parquet(out_dir)
+        .filter(F.col("event_type") != "zz_sentinel")
+        .orderBy("window_start", "event_type")
+    )
+
+
 @_q(
     "st_dedup_watermark",
     f"""

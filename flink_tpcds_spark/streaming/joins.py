@@ -111,6 +111,15 @@ def streaming_over_running_sum(
     sort+cumsum. Rows arriving across batches out of event-time order
     are accumulated in arrival order (same as the reference's
     row-time OVER once watermarks force in-order firing).
+
+    The running sum is carried in int64 micro-units (the decimal
+    bridge, functions/deterministic.py, applied to a stateful
+    operator): per-row ``round(value·10⁶)`` is exact for the data's
+    ≤6-decimal-digit values, the cumsum is integer (associative, no
+    float drift across ANY batch split), and the emitted double is a
+    single exact conversion — so the stream's output hash-matches
+    ``CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (...) AS DOUBLE)``
+    bit-for-bit on any cluster.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -118,16 +127,19 @@ def streaming_over_running_sum(
         "user_id long, event_id long, ts timestamp, value double, "
         "running_cnt long, running_sum double"
     )
-    state_schema = "cnt long, total double"
+    state_schema = "cnt long, total_micro long"
 
     def running(key, pdfs, state):
         (user_id,) = key
-        cnt, total = state.get if state.exists else (0, 0.0)
+        cnt, total_micro = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             if not len(pdf):
                 continue
             pdf = pdf.sort_values(["ts", "event_id"])
-            csum = pdf["value"].cumsum() + total
+            micro = (
+                (pdf["value"] * 1_000_000).round().astype("int64")
+            )
+            csum = micro.cumsum() + total_micro
             ccnt = pd.RangeIndex(1, len(pdf) + 1) + cnt
             out = pd.DataFrame(
                 {
@@ -136,13 +148,13 @@ def streaming_over_running_sum(
                     "ts": pdf["ts"].to_numpy(),
                     "value": pdf["value"].to_numpy(),
                     "running_cnt": ccnt.to_numpy(),
-                    "running_sum": csum.to_numpy(),
+                    "running_sum": csum.to_numpy() / 1_000_000.0,
                 }
             )
-            total = float(csum.iloc[-1])
+            total_micro = int(csum.iloc[-1])
             cnt = int(ccnt[-1])
             yield out
-        state.update((cnt, total))
+        state.update((cnt, total_micro))
 
     return (
         events.select("user_id", "event_id", "ts", "value")
