@@ -55,6 +55,11 @@ SF1_SUBSET = [
 
 
 def main() -> None:
+    # contention fingerprint: BENCH_NOTES r03/r08 both traced uniform
+    # +16-50 % readings to load still draining from a prior sweep —
+    # record the 1-minute load average so future variance adjudication
+    # has the datum instead of re-deriving it
+    load_1m = round(os.getloadavg()[0], 2)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
@@ -70,6 +75,18 @@ def main() -> None:
     qs["h06_forecast_revenue"](spark, sf_dir).collect()
     qs["dp_neardup_minhash"](spark, "/root/testdata/sf0.01").collect()
     release_caches()  # don't let the warmup's shingle cache ride along
+
+    # Per-query codegen warmup: every headline query compiles its own
+    # whole-stage-codegen classes, and on a host with slow C2 JIT the
+    # first timed run measures compilation, not the query (observed
+    # after the r8 mid-round VM restart: min-of-2 h01 read 2.4-2.7 s
+    # while a deeply warmed run converges to 1.86 s — BENCH_NOTES
+    # "Round 8: host profile shift"). One untimed suite pass pins the
+    # timed runs to steady state on any host; the timed protocol
+    # (min-of-2 per query) is unchanged.
+    for name in HEADLINE:
+        qs[name](spark, sf_dir).collect()
+    release_caches()
 
     # Steady-state timing: two measured runs per query, min reported.
     # A single sample conflates the query with whatever transient the
@@ -276,6 +293,7 @@ def main() -> None:
         "queries": times,
         "sf": sf,
         "runs_per_query": 2,  # min-of-2 steady state
+        "loadavg_1m_at_start": load_1m,
     }
     if tpcds is not None:
         out["tpcds_corpus"] = tpcds

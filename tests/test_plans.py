@@ -538,3 +538,29 @@ def test_neardup_plans_never_broadcast_corpus_sized_sides(spark, sf_dir):
                     ), f"{name}: array-carrying broadcast:\n{b}"
     finally:
         release_caches()
+
+
+def test_ops_bucketed_join_has_no_exchange_on_bucket_key(spark, sf_dir):
+    """The driver-gated bucketed fact⋈fact query must read both sides
+    bucket-aligned: the only hash exchange allowed is the one feeding
+    the final groupBy(o_orderpriority) — never on the join key."""
+    from flink_tpcds_spark.queries.operators import ops_bucketed_join
+
+    text = explain_text(ops_bucketed_join(spark, sf_dir))
+    assert "hashpartitioning(o_orderkey" not in text
+    assert "SortMergeJoin" in text or "ShuffledHashJoin" in text or (
+        "BroadcastHashJoin" in text
+    )
+
+
+def test_ops_skew_join_plan_shape(spark, sf_dir):
+    """The salted join must stay an equi hash/merge join on
+    (key, salt) — no cartesian, no broadcast-nested-loop — and the
+    salt column must not leak into the result schema."""
+    from flink_tpcds_spark.queries.operators import ops_skew_join
+
+    df = ops_skew_join(spark, sf_dir)
+    text = explain_text(df)
+    assert "CartesianProduct" not in text
+    assert "BroadcastNestedLoopJoin" not in text
+    assert "__salt" not in df.columns
