@@ -1959,3 +1959,84 @@ def ops_avro_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type")
         )
     return _SIDE_MEMO[key]
+
+
+# ---------------------------------------------------------------------------
+# ORC and JSON source round trips — with ops_csv_source and
+# ops_avro_source, every §2.1 format row is driver-gated
+# ---------------------------------------------------------------------------
+@_q(
+    "ops_orc_source",
+    f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS cnt,
+           {dsum_sql('value')} AS total
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def ops_orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round trip (built-in vectorized reader/writer): the events
+    table written to ORC and read back must aggregate value-exactly
+    like the parquet original."""
+    key = ("ops_orc_source", spark.sparkContext.applicationId, sf_dir)
+    if key not in _SIDE_MEMO:
+        import os as _os
+
+        _, work = _memo_workdir("ops_orc_source", spark, sf_dir)
+        path = _os.path.join(work, "events_orc")
+        e = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+        e.write.orc(path)
+        back = spark.read.orc(path)
+        _SIDE_MEMO[key] = (
+            back.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("cnt"),
+                dsum(F.col("value")).alias("total"),
+            )
+            .orderBy("event_type")
+        )
+    return _SIDE_MEMO[key]
+
+
+@_q(
+    "ops_json_source",
+    f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS cnt,
+           {dsum_sql('value')} AS total
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def ops_json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines round trip with an EXPLICIT schema (never inferred —
+    the reference registers fixed schemas): doubles survive via
+    shortest-round-trip rendering, so the reloaded aggregate is
+    value-exact."""
+    key = ("ops_json_source", spark.sparkContext.applicationId, sf_dir)
+    if key not in _SIDE_MEMO:
+        import os as _os
+
+        _, work = _memo_workdir("ops_json_source", spark, sf_dir)
+        path = _os.path.join(work, "events_json")
+        e = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+        e.write.json(path)
+        back = spark.read.schema(
+            "event_id long, event_type string, value double"
+        ).json(path)
+        _SIDE_MEMO[key] = (
+            back.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("cnt"),
+                dsum(F.col("value")).alias("total"),
+            )
+            .orderBy("event_type")
+        )
+    return _SIDE_MEMO[key]

@@ -705,6 +705,59 @@ def st_event_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "st_join_view",
+    f"""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS cnt,
+           {dsum_sql('l.l_quantity')} AS sum_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def st_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance (sources/ivm.py): the
+    orders⋈lineitem view maintained through 4 batches of BOTH-side
+    deltas via ΔV = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB — order rows and their line
+    rows arrive in different batches in every combination (sides are
+    split on different keys), and batch 1 is applied TWICE (the
+    at-least-once replay, a no-op by construction since ΔV is a pure
+    function of state strictly before the batch). The maintained view
+    must aggregate EXACTLY like the batch join — the same algebra the
+    reference's StreamExecJoin state views emit per-row."""
+    from ..sources.ivm import JoinViewState
+
+    work = _workdir("st_jview_")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    l = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_quantity",
+        "l_linenumber",
+    )
+    st = JoinViewState(os.path.join(work, "state"), ["o_orderkey"])
+    for i in range(4):
+        da = o.filter(F.pmod("o_orderkey", F.lit(4)) == i)
+        db = l.filter(
+            F.pmod(F.col("o_orderkey") + F.col("l_linenumber"), F.lit(4))
+            == i
+        )
+        st.update(spark, da, db, i)
+        if i == 1:  # at-least-once replay — must be a no-op
+            st.update(spark, da, db, i)
+    return (
+        st.view(spark)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@_q(
     "st_semi_join",
     """
     WITH l AS (SELECT * FROM events WHERE event_type = 'purchase'),

@@ -77,10 +77,13 @@ def build(n: int) -> str:
 
 def main() -> None:
     n = 10_000_000
+    C = 40_000
+    skip_driver = "--skip-driver" in sys.argv
     for i, a in enumerate(sys.argv):
         if a == "--n":
             n = int(sys.argv[i + 1].replace("_", ""))
-    C = 40_000
+        if a == "--cells":
+            C = int(sys.argv[i + 1].replace("_", ""))
     out: dict = {"metric": "ivf_distributed_train", "n": n, "cells": C, "dim": DIM}
 
     t0 = time.time()
@@ -114,15 +117,17 @@ def main() -> None:
         out["train_distributed_max_collect_rows"] = max(sizes)
 
         # --- driver-side path (force by raising the budget)
-        budget = S._DRIVER_TRAIN_BUDGET
-        S._DRIVER_TRAIN_BUDGET = 10**9
-        sizes.clear()
-        t0 = time.time()
-        cents_drv = S._ivf_centroids(emb, C, "vec_id", "embedding")
-        out["train_driver_sec"] = round(time.time() - t0, 1)
-        out["train_driver_cells"] = len(cents_drv)
-        out["train_driver_max_collect_rows"] = max(sizes)
-        S._DRIVER_TRAIN_BUDGET = budget
+        cents_drv = None
+        if not skip_driver:
+            budget = S._DRIVER_TRAIN_BUDGET
+            S._DRIVER_TRAIN_BUDGET = 10**9
+            sizes.clear()
+            t0 = time.time()
+            cents_drv = S._ivf_centroids(emb, C, "vec_id", "embedding")
+            out["train_driver_sec"] = round(time.time() - t0, 1)
+            out["train_driver_cells"] = len(cents_drv)
+            out["train_driver_max_collect_rows"] = max(sizes)
+            S._DRIVER_TRAIN_BUDGET = budget
     finally:
         df_cls.collect = real_collect
 
@@ -134,7 +139,10 @@ def main() -> None:
         for r in S.knn_bruteforce(emb, qf, k=10).collect()
     }
     out["bruteforce_sec"] = round(time.time() - t0, 1)
-    for tag, cents in (("distributed", cents_dist), ("driver", cents_drv)):
+    pairs = [("distributed", cents_dist)]
+    if cents_drv is not None:
+        pairs.append(("driver", cents_drv))
+    for tag, cents in pairs:
         t0 = time.time()
         got = {
             (r.query_id, r.neighbor_id)

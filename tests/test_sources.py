@@ -864,3 +864,55 @@ def test_merge_into_rejects_schema_drift_on_update(spark, tmp_path):
     src = spark.createDataFrame([(1, "x", 0.5)], "k long, v string, w double")
     with pytest.raises(ValueError, match="schemas differ"):
         merge_into(spark, tgt, src, ["k"], when_matched="update")
+
+
+# ---------------------------------------------------------------------------
+# Incremental join-view maintenance (sources/ivm.py)
+# ---------------------------------------------------------------------------
+def test_join_view_matches_batch_join_any_arrival_order(spark, tmp_path):
+    from flink_tpcds_spark.sources.ivm import JoinViewState
+
+    a_rows = [(k, f"p{k % 3}") for k in range(20)]
+    b_rows = [(k % 10, i, float(k)) for i, k in enumerate(range(30))]
+    a = spark.createDataFrame(a_rows, "k long, attr string")
+    b = spark.createDataFrame(b_rows, "k long, line long, qty double")
+    st = JoinViewState(str(tmp_path / "jv"), ["k"])
+    # adversarial split: a by k%3, b by line%3 — every arrival order
+    for i in range(3):
+        st.update(
+            spark,
+            a.filter(F.col("k") % 3 == i),
+            b.filter(F.col("line") % 3 == i),
+            i,
+        )
+    got = sorted(map(tuple, st.view(spark).collect()))
+    want = sorted(map(tuple, a.join(b, "k").collect()))
+    assert got == want
+
+
+def test_join_view_replay_is_idempotent(spark, tmp_path):
+    from flink_tpcds_spark.sources.ivm import JoinViewState
+
+    a = spark.createDataFrame([(1, "x"), (2, "y")], "k long, attr string")
+    b = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, qty double")
+    st = JoinViewState(str(tmp_path / "jv"), ["k"])
+    st.update(spark, a.filter("k = 1"), b.filter("k = 2"), 0)
+    st.update(spark, a.filter("k = 2"), b.filter("k = 1"), 1)
+    before = sorted(map(tuple, st.view(spark).collect()))
+    # replay both batches in any order — pure overwrite, no growth
+    st.update(spark, a.filter("k = 2"), b.filter("k = 1"), 1)
+    st.update(spark, a.filter("k = 1"), b.filter("k = 2"), 0)
+    after = sorted(map(tuple, st.view(spark).collect()))
+    assert before == after == sorted(
+        map(tuple, a.join(b, "k").collect())
+    )
+
+
+def test_join_view_rejects_overlapping_value_columns(spark, tmp_path):
+    from flink_tpcds_spark.sources.ivm import JoinViewState
+
+    a = spark.createDataFrame([(1, "x")], "k long, v string")
+    b = spark.createDataFrame([(1, "y")], "k long, v string")
+    st = JoinViewState(str(tmp_path / "jv"), ["k"])
+    with pytest.raises(ValueError, match="disjoint"):
+        st.update(spark, a, b, 0)
