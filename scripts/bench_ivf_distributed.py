@@ -39,25 +39,27 @@ from flink_tpcds_spark.session import get_spark  # noqa: E402
 
 WORK = "/tmp/ivf_distributed"
 DIM = 32
-PARENTS = 50_000  # true cluster centers — ~same order as C
+PARENTS = 50_000  # true cluster centers — ~same order as C (default)
 NOISE = 0.35
 CHUNK = 250_000
 
 
-def build(n: int) -> str:
-    path = os.path.join(WORK, f"emb_{n}")
+def build(n: int, parents: int = PARENTS) -> str:
+    path = os.path.join(
+        WORK, f"emb_{n}" if parents == PARENTS else f"emb_{n}_p{parents}"
+    )
     marker = os.path.join(path, "_DONE")
     if os.path.exists(marker):
         return path
     os.makedirs(path, exist_ok=True)
     rng = np.random.RandomState(0xD15C)
-    parents = rng.randn(PARENTS, DIM).astype(np.float64)
-    parents /= np.linalg.norm(parents, axis=1, keepdims=True)
+    parents_m = rng.randn(parents, DIM).astype(np.float64)
+    parents_m /= np.linalg.norm(parents_m, axis=1, keepdims=True)
     for c in range(0, n, CHUNK):
         m = min(CHUNK, n - c)
         crng = np.random.RandomState(0xD15C ^ (c + 1))
-        pid = crng.randint(0, PARENTS, m)
-        vec = parents[pid] + NOISE * crng.randn(m, DIM)
+        pid = crng.randint(0, parents, m)
+        vec = parents_m[pid] + NOISE * crng.randn(m, DIM)
         t = pa.table(
             {
                 "vec_id": pa.array(
@@ -79,15 +81,28 @@ def main() -> None:
     n = 10_000_000
     C = 40_000
     skip_driver = "--skip-driver" in sys.argv
+    nprobe = 16
+    parents = PARENTS
     for i, a in enumerate(sys.argv):
         if a == "--n":
             n = int(sys.argv[i + 1].replace("_", ""))
         if a == "--cells":
             C = int(sys.argv[i + 1].replace("_", ""))
-    out: dict = {"metric": "ivf_distributed_train", "n": n, "cells": C, "dim": DIM}
+        if a == "--nprobe":
+            nprobe = int(sys.argv[i + 1])
+        if a == "--parents":
+            parents = int(sys.argv[i + 1].replace("_", ""))
+    out: dict = {
+        "metric": "ivf_distributed_train",
+        "n": n,
+        "cells": C,
+        "dim": DIM,
+        "nprobe": nprobe,
+    }
 
+    out["parents"] = parents
     t0 = time.time()
-    data = build(n)
+    data = build(n, parents)
     out["datagen_sec"] = round(time.time() - t0, 1)
 
     spark = get_spark()
@@ -147,7 +162,7 @@ def main() -> None:
         got = {
             (r.query_id, r.neighbor_id)
             for r in S.knn_ivf(
-                emb, qf, k=10, n_clusters=C, nprobe=16, centroids=cents
+                emb, qf, k=10, n_clusters=C, nprobe=nprobe, centroids=cents
             ).collect()
         }
         out[f"search_{tag}_sec"] = round(time.time() - t0, 1)
