@@ -916,3 +916,69 @@ def test_join_view_rejects_overlapping_value_columns(spark, tmp_path):
     st = JoinViewState(str(tmp_path / "jv"), ["k"])
     with pytest.raises(ValueError, match="disjoint"):
         st.update(spark, a, b, 0)
+
+
+def test_join_view_random_batches_match_model():
+    """Property test: JoinViewState against the batch join over
+    RANDOM both-side delta sequences — random key multiplicities
+    (bag semantics), uneven side arrival, and random batch REPLAYS
+    injected mid-sequence. After every sequence the maintained view
+    must equal the plain join of everything delivered exactly once."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from flink_tpcds_spark.session import get_spark
+    from flink_tpcds_spark.sources.ivm import JoinViewState
+
+    spark = get_spark("ivm-prop")
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        st.lists(  # per batch: (a-side keys, b-side keys) w/ dup keys
+            st.tuples(
+                st.lists(st.integers(0, 3), max_size=3),
+                st.lists(st.integers(0, 3), max_size=3),
+            ),
+            min_size=1,
+            max_size=4,
+        ),
+        st.integers(0, 3),  # index of the batch to replay (mod len)
+    )
+    def check(batches, replay_at):
+        import shutil
+        import tempfile
+
+        work = tempfile.mkdtemp(prefix="ivm_prop_")
+        try:
+            st_view = JoinViewState(work, ["k"])
+            all_a, all_b = [], []
+            seq = 0
+            for i, (aks, bks) in enumerate(batches):
+                a_rows = [(k, f"a{seq}_{j}") for j, k in enumerate(aks)]
+                b_rows = [(k, float(seq * 10 + j)) for j, k in enumerate(bks)]
+                seq += 1
+                da = spark.createDataFrame(
+                    a_rows, "k long, attr string"
+                )
+                db = spark.createDataFrame(b_rows, "k long, qty double")
+                st_view.update(spark, da, db, i)
+                if i == replay_at % len(batches):
+                    st_view.update(spark, da, db, i)  # at-least-once
+                all_a += a_rows
+                all_b += b_rows
+            got = sorted(map(tuple, st_view.view(spark).collect()))
+            want = sorted(
+                (k, attr, qty)
+                for k, attr in all_a
+                for k2, qty in all_b
+                if k == k2
+            )
+            assert got == want
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    check()
