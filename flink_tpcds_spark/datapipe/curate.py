@@ -625,3 +625,41 @@ def length_histogram(
             ).alias("frac_tokens"),
         )
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup-aware train/val/test split: every document of a
+    near-duplicate CLUSTER lands in the same split, so a test document
+    can never have a near-copy in train — the contamination mode a
+    per-document split cannot prevent (same failure class as
+    benchmark leakage, but internal to the corpus).
+
+    ``clusters`` is ``near_dup_clusters`` output (doc_id, cluster_id);
+    unclustered documents form singleton clusters (cluster_id =
+    doc_id). The split is a pure function of the CLUSTER id (first
+    hex char of md5: 0-b → train 75 %, c-d → val 12.5 %, e-f → test
+    12.5 %), so it is deterministic, reproducible on any cluster, and
+    re-running after corpus growth keeps old documents in their old
+    splits (stable assignment — the property that makes incremental
+    re-splits safe).
+
+    Scale shape: one broadcast-or-shuffle left join on the id plus a
+    row-local hash — no extra shuffle beyond the cluster labels
+    themselves.
+    """
+    labeled = docs.join(
+        clusters.select(id_col, "cluster_id"), id_col, "left"
+    ).withColumn(
+        "cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col))
+    )
+    h = F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 1)
+    return labeled.withColumn(
+        "split",
+        F.when(h.isin(*"0123456789ab"), "train")
+        .when(h.isin("c", "d"), "val")
+        .otherwise("test"),
+    )

@@ -546,6 +546,61 @@ def dp_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dp_leakage_safe_split",
+    f"""
+    WITH RECURSIVE {_SH_CTE}, {_PAIRS_SQL},
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach (u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    labels AS (
+      SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+      FROM reach GROUP BY u
+    ),
+    assigned AS (
+      SELECT d.doc_id,
+             COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 1)
+                     IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+                THEN 'train'
+                WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 1)
+                     IN ('c','d') THEN 'val'
+                ELSE 'test' END AS split
+    FROM assigned
+    ORDER BY doc_id
+    """,
+)
+def dp_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val/test split: the split is a pure
+    function of the near-dup CLUSTER id, so no test document can have
+    a near-copy in train (the internal contamination mode a
+    per-document split cannot prevent). The oracle recomputes the
+    exact Jaccard clusters via recursive transitive closure AND the
+    md5-bucket assignment — every (doc, cluster, split) row is
+    value-checked — datapipe/curate.py leakage_safe_split."""
+    from ..datapipe.curate import leakage_safe_split
+    from ..datapipe.dedup import near_dup_clusters
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(d, threshold=0.8).select("id_a", "id_b")
+    clusters = near_dup_clusters(pairs)
+    return (
+        leakage_safe_split(d.select("doc_id"), clusters)
+        .select("doc_id", "cluster_id", "split")
+        .orderBy("doc_id")
+    )
+
+
+@_q(
     "dp_sequence_pack",
     f"""
     WITH t AS (

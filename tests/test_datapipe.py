@@ -1374,3 +1374,35 @@ def test_ann_paths_survive_zero_vectors(spark):
     for r in pq_out:
         for cell in tuple(r):
             assert not (isinstance(cell, float) and math.isnan(cell)), r
+
+
+def test_leakage_safe_split_never_splits_a_cluster(spark, sf_dir):
+    """The property the op exists for: NO near-dup pair may cross a
+    split boundary, every document is assigned exactly once, and the
+    split fractions are sane (hash-bucket design: 75/12.5/12.5)."""
+    from flink_tpcds_spark.datapipe.curate import leakage_safe_split
+    from flink_tpcds_spark.datapipe.dedup import (
+        minhash_near_dup_pairs,
+        near_dup_clusters,
+    )
+    from flink_tpcds_spark.schemas import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(d, threshold=0.8).select("id_a", "id_b")
+    out = leakage_safe_split(
+        d.select("doc_id"), near_dup_clusters(pairs)
+    ).select("doc_id", "split")
+    assert out.count() == d.count()
+    split_of = {r.doc_id: r.split for r in out.collect()}
+    crossing = [
+        (r.id_a, r.id_b)
+        for r in pairs.collect()
+        if split_of[r.id_a] != split_of[r.id_b]
+    ]
+    assert crossing == []
+    from collections import Counter
+
+    frac = Counter(split_of.values())
+    n = sum(frac.values())
+    assert 0.55 < frac["train"] / n < 0.92
+    assert frac["val"] > 0 and frac["test"] > 0
