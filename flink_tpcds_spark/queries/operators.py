@@ -2040,3 +2040,65 @@ def ops_json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type")
         )
     return _SIDE_MEMO[key]
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution (mergeSchema scan over drifting file schemas — the
+# lakehouse reality every long-lived table hits: files written before
+# a column existed read as NULL under the unified schema)
+# ---------------------------------------------------------------------------
+@_q(
+    "ops_schema_evolution",
+    f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS cnt,
+           {dsum_sql('value')} AS total,
+           CAST(SUM(CASE WHEN event_id % 2 = 1
+                         THEN CAST(json_extract_string(props, '$.k')
+                                   AS INTEGER) END) AS BIGINT) AS sum_k,
+           CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pre_evolution
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def ops_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution scan: half the table is written WITHOUT the
+    ``k`` column (the pre-evolution files), half with it, into one
+    directory; a ``mergeSchema`` read unifies them — old rows surface
+    k = NULL, new rows carry their value. The oracle reconstructs the
+    same drift from the base table (CASE on the writing half), so the
+    merged scan's NULL semantics are value-checked exactly."""
+    key = ("ops_schema_evolution", spark.sparkContext.applicationId, sf_dir)
+    if key not in _SIDE_MEMO:
+        import os as _os
+
+        _, work = _memo_workdir("ops_schema_evolution", spark, sf_dir)
+        path = _os.path.join(work, "events_evolved")
+        e = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "event_type",
+            "value",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        e.filter(F.pmod("event_id", F.lit(2)) == 0).drop("k").write.parquet(
+            path
+        )
+        e.filter(F.pmod("event_id", F.lit(2)) == 1).write.mode(
+            "append"
+        ).parquet(path)
+        back = spark.read.option("mergeSchema", "true").parquet(path)
+        _SIDE_MEMO[key] = (
+            back.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("cnt"),
+                dsum(F.col("value")).alias("total"),
+                F.sum("k").cast("bigint").alias("sum_k"),
+                F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_pre_evolution"),
+            )
+            .orderBy("event_type")
+        )
+    return _SIDE_MEMO[key]

@@ -826,6 +826,75 @@ def st_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "st_time_travel",
+    f"""
+    SELECT CAST(1 AS INTEGER) AS as_of, event_type,
+           CAST(count(*) AS BIGINT) AS cnt,
+           {dsum_sql('value')} AS total
+    FROM events WHERE event_id % 4 <= 1
+    GROUP BY event_type
+    UNION ALL
+    SELECT CAST(3 AS INTEGER), event_type,
+           CAST(count(*) AS BIGINT),
+           {dsum_sql('value')}
+    FROM events
+    GROUP BY event_type
+    ORDER BY as_of, event_type
+    """,
+)
+def st_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the upsert changelog (VERSION AS OF): an
+    update-mode aggregation streamed through ``ParquetUpsertSink`` in
+    4 micro-batches; ``snapshot(as_of_batch=1)`` must equal the batch
+    aggregate over ONLY the first two batches' events, and the
+    unbounded snapshot the full aggregate — both value-checked. The
+    per-batch partition layout makes every historical version a
+    partition-pruned scan (no version manifest needed) —
+    streaming/sinks.py ParquetUpsertSink.snapshot."""
+    from ..streaming.sinks import ParquetUpsertSink
+
+    work = _workdir("st_ttravel_")
+    src = os.path.join(work, "in")
+    os.makedirs(src)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    for i in range(4):
+        events.filter(F.pmod("event_id", F.lit(4)) == i).coalesce(
+            1
+        ).write.parquet(os.path.join(src, f"b{i}"))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        dsum(F.col("value")).alias("total"),
+    )
+    sink = ParquetUpsertSink(os.path.join(work, "log"), ["event_type"])
+    (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(sink.foreach_batch)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    v1 = sink.snapshot(spark, as_of_batch=1).select(
+        F.lit(1).cast("int").alias("as_of"), "event_type", "cnt", "total"
+    )
+    v3 = sink.snapshot(spark).select(
+        F.lit(3).cast("int").alias("as_of"), "event_type", "cnt", "total"
+    )
+    return v1.unionByName(v3).orderBy("as_of", "event_type")
+
+
+@_q(
     "st_early_fire",
     f"""
     SELECT event_type,

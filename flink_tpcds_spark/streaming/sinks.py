@@ -30,6 +30,7 @@ checked against).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..sources.incremental import CrashSafeParquetState
 
@@ -139,10 +140,19 @@ class ParquetUpsertSink:
             .drop("__rn")
         )
 
-    def snapshot(self, spark) -> DataFrame:
-        return self._keep_last(self.changelog(spark)).drop(
-            self.BATCH_COL
-        )
+    def snapshot(self, spark, as_of_batch: int | None = None) -> DataFrame:
+        """Current table — or, with ``as_of_batch``, the TIME-TRAVEL
+        snapshot as of that micro-batch (keep-last over the changelog
+        prefix ``__batch_id ≤ as_of_batch``): the per-batch partition
+        layout makes every historical version a partition-pruned scan,
+        the same read path Delta/Iceberg expose as VERSION AS OF.
+        Note ``compact`` keeps only each key's LATEST stamp, so time
+        travel reaches back to the last compaction, like any
+        log-compacted store."""
+        log = self.changelog(spark)
+        if as_of_batch is not None:
+            log = log.filter(F.col(self.BATCH_COL) <= int(as_of_batch))
+        return self._keep_last(log).drop(self.BATCH_COL)
 
     def compact(self, spark) -> None:
         """Rewrite the changelog to its snapshot (log compaction).
