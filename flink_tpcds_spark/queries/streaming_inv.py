@@ -25,6 +25,21 @@ queries with full-value DuckDB oracles — not literal-TRUE rows:
   above the accumulated-summary threshold must be present within the
   documented bound, in exact integer arithmetic.
 
+Late round 8 extended the surface so EVERY §2 streaming row is
+driver-gated: ``st_dedup_watermark`` (bounded-state keyed dedup under
+at-least-once delivery), ``st_over_running_sum`` (stateful event-time
+OVER, hash-exact vs the batch window function), ``st_stream_join`` /
+``st_semi_join`` / ``st_anti_join`` (interval, EXISTS, and
+sentinel-flushed NOT EXISTS — all complete results), ``st_late_drop``
+(a replayed behind-watermark batch contributes nothing),
+``st_topn`` (complete-mode totals + distributed TakeOrdered),
+``st_event_sort`` (sentinel-drained temporal sort, batch-monotone
+release), ``st_early_fire`` (changelog version counts pinned
+per key), ``st_join_view`` (incremental join-view maintenance with a
+poisoned replay), ``st_time_travel`` (VERSION AS OF over the upsert
+changelog), and ``st_session_scale10`` (the ×10 decade-up session
+invariant).
+
 Each callable materializes its stream state under a temp work dir;
 the returned DataFrame reads from that state, so the dir must outlive
 the driver's ``collect()``. Because these queries do MINUTES of
