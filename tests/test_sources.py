@@ -982,3 +982,70 @@ def test_join_view_random_batches_match_model():
             shutil.rmtree(work, ignore_errors=True)
 
     check()
+
+
+def test_merge_into_random_sequences_match_model():
+    """Property test: merge_into against a dict reference model over
+    random merge sequences — random key overlap, update vs delete,
+    insert on/off — applied to the same evolving parquet target."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from flink_tpcds_spark.session import get_spark
+    from flink_tpcds_spark.sources.merge import merge_into
+
+    spark = get_spark("merge-prop")
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        st.lists(  # merges: (key->value source, mode, insert?)
+            st.tuples(
+                st.dictionaries(
+                    st.integers(0, 5), st.integers(0, 9),
+                    min_size=1, max_size=4,
+                ),
+                st.sampled_from(["update", "delete"]),
+                st.booleans(),
+            ),
+            min_size=1,
+            max_size=4,
+        ),
+    )
+    def check(merges):
+        import shutil
+        import tempfile
+
+        work = tempfile.mkdtemp(prefix="merge_prop_")
+        try:
+            tgt = os.path.join(work, "t")
+            init = {1: 100, 2: 200, 3: 300}
+            spark.createDataFrame(
+                list(init.items()), "k long, v long"
+            ).write.parquet(tgt)
+            model = dict(init)
+            for src_map, mode, insert in merges:
+                src = spark.createDataFrame(
+                    list(src_map.items()), "k long, v long"
+                )
+                merge_into(
+                    spark, tgt, src, ["k"],
+                    when_matched=mode, insert_not_matched=insert,
+                )
+                for k, v in src_map.items():
+                    if k in model:
+                        if mode == "update":
+                            model[k] = v
+                        else:
+                            del model[k]
+                    elif insert:
+                        model[k] = v
+                got = {r.k: r.v for r in spark.read.parquet(tgt).collect()}
+                assert got == model, (mode, insert, src_map)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    check()
