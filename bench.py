@@ -136,6 +136,14 @@ def main() -> None:
                 # (TpcDsBatchExecITCase.scala:96-99); without it,
                 # suite-level drift cannot be attributed to a query.
                 runner.run_spark("q96", spark)  # warmup
+                # SPARK_GRAFT_CORPUS_WARMUP=1: untimed full pre-pass
+                # (per-query codegen warm, like the headline's) —
+                # opt-in so the default posture stays comparable to
+                # r6/r7 single-pass readings; use on slow-JIT hosts
+                # (BENCH_NOTES "Round 8: host profile shift")
+                if os.environ.get("SPARK_GRAFT_CORPUS_WARMUP") == "1":
+                    for name in names:
+                        runner.run_spark(name, spark)
                 per_q: dict[str, float] = {}
                 t0 = time.time()
                 for name in names:
