@@ -841,6 +841,78 @@ def st_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "st_cdc_apply",
+    """
+    WITH ranked AS (
+      SELECT user_id, ts, event_id, value, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, ts, event_id, value
+    FROM ranked
+    WHERE rn = 1 AND event_type != 'error'
+    ORDER BY user_id
+    """,
+)
+def st_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply (the flink-cdc / Delta MERGE-per-micro-batch
+    pattern): the events table as a row-level change stream — every
+    event upserts its user's row, 'error' events are DELETE
+    tombstones — folded into a keyed table through a real 4-batch
+    file stream; each micro-batch reduces to its last op per key and
+    applies as two MERGE INTO calls (upsert, then delete). The final
+    table must hold exactly the users whose LAST change is not a
+    delete, carrying that change's row — value-checked against the
+    window-function oracle — streaming/cdc.py CdcApply."""
+    from ..streaming.cdc import CdcApply
+
+    work = _workdir("st_cdc_")
+    src = os.path.join(work, "in")
+    os.makedirs(src)
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "error", "d")
+        .otherwise("u")
+        .alias("op"),
+    )
+    filters, _, _ = _time_range_filters(e, 4)
+    for i, flt in enumerate(filters):
+        e.filter(flt).coalesce(1).write.parquet(os.path.join(src, f"b{i}"))
+
+    stream = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp, event_id long, "
+            "value double, op string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    cdc = CdcApply(
+        os.path.join(work, "table"),
+        ["user_id"],
+        order_cols=["ts", "event_id"],
+    )
+    (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(cdc.foreach_batch)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return (
+        cdc.table(spark)
+        .select("user_id", "ts", "event_id", "value")
+        .orderBy("user_id")
+    )
+
+
+@_q(
     "st_time_travel",
     f"""
     SELECT CAST(1 AS INTEGER) AS as_of, event_type,

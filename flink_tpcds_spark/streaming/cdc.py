@@ -1,0 +1,97 @@
+"""CDC apply: materialize a change stream into a keyed table.
+
+The reference ecosystem's flink-cdc pattern (and Delta's
+``MERGE``-per-micro-batch idiom): a stream of row-level change events
+— upserts and deletes, ordered per key — is folded into the current
+table state. Each micro-batch reduces to its LAST operation per key
+(row_number over the in-batch change order), then applies as exactly
+two :func:`sources.merge.merge_into` calls:
+
+    1. upserts  → ``when_matched="update", insert_not_matched=True``
+    2. deletes  → ``when_matched="delete", insert_not_matched=False``
+
+Replay idempotency: both merges are idempotent for a fixed batch
+(re-updating with the same values and re-deleting absent keys are
+no-ops), so the at-least-once ``foreachBatch`` contract needs no
+batch marker here — the same property Delta relies on for
+MERGE-based CDC apply. Cross-batch ordering holds when batches are
+delivered in change order (the CDC log's own guarantee).
+
+Scale shape: per batch, one in-batch reduce (shuffle on the key over
+DELTA rows only) plus the two delta-sized merge joins against the
+state — never a history rescan. The state rewrite inside
+``merge_into`` is the plain-parquet cost; a partitioned target would
+overwrite only touched partitions.
+
+Reference analog: the retract-stream consumers behind
+UpsertStreamTableSink (op algebra identical: last-op-wins upsert,
+delete tombstones).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+class CdcApply:
+    """Fold a change stream into a keyed parquet table.
+
+    ``ops_col`` holds the operation: ``"d"`` deletes the key, any
+    other value upserts the row (``c``/``u`` both carry the full
+    after-image, the debezium convention). ``order_cols`` define the
+    per-key change order WITHIN a batch (last one wins).
+    """
+
+    def __init__(
+        self,
+        path: str,
+        keys: list[str],
+        op_col: str = "op",
+        order_cols: list[str] | None = None,
+    ):
+        self.path = path
+        self.keys = list(keys)
+        self.op_col = op_col
+        self.order_cols = list(order_cols or [])
+
+    def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..sources.merge import merge_into
+
+        spark = batch_df.sparkSession
+        order = [F.desc(c) for c in self.order_cols] or [
+            F.desc(self.op_col)
+        ]
+        w = Window.partitionBy(*self.keys).orderBy(*order)
+        last = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        value_cols = [
+            c for c in batch_df.columns if c != self.op_col
+        ]
+        ups = last.filter(F.col(self.op_col) != "d").select(*value_cols)
+        dels = last.filter(F.col(self.op_col) == "d").select(*self.keys)
+        if not os.path.isdir(self.path):
+            spark.createDataFrame([], ups.schema).write.parquet(self.path)
+        if not ups.isEmpty():
+            merge_into(
+                spark, self.path, ups, self.keys, when_matched="update"
+            )
+        if not dels.isEmpty():
+            merge_into(
+                spark,
+                self.path,
+                dels,
+                self.keys,
+                when_matched="delete",
+                insert_not_matched=False,
+            )
+
+    def table(self, spark: SparkSession) -> DataFrame:
+        """The materialized current state."""
+        return spark.read.parquet(self.path)

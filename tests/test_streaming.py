@@ -1301,3 +1301,73 @@ def test_retract_sink_random_batches_match_model():
             shutil.rmtree(work, ignore_errors=True)
 
     check()
+
+
+def test_cdc_apply_random_change_sequences_match_model():
+    """Property test: CdcApply vs a dict model over random per-key
+    change sequences (upserts, delete tombstones, delete-then-recreate)
+    delivered in order across batches, with one batch replayed."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from flink_tpcds_spark.session import get_spark
+    from flink_tpcds_spark.streaming.cdc import CdcApply
+
+    spark = get_spark("cdc-prop")
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        st.lists(  # batches of (key, op, value); seq gives the order
+            st.lists(
+                st.tuples(
+                    st.integers(0, 3),
+                    st.sampled_from(["u", "u", "d"]),
+                    st.integers(0, 9),
+                ),
+                min_size=1,
+                max_size=5,
+            ),
+            min_size=1,
+            max_size=3,
+        ),
+        st.integers(0, 2),
+    )
+    def check(batches, replay_at):
+        import os
+        import shutil
+        import tempfile
+
+        work = tempfile.mkdtemp(prefix="cdc_prop_")
+        try:
+            cdc = CdcApply(
+                os.path.join(work, "t"), ["k"], order_cols=["seq"]
+            )
+            model: dict[int, tuple[int, int]] = {}
+            seq = 0
+            for bi, changes in enumerate(batches):
+                rows = []
+                for k, op, v in changes:
+                    rows.append((k, seq, v, op))
+                    if op == "d":
+                        model.pop(k, None)
+                    else:
+                        model[k] = (seq, v)
+                    seq += 1
+                bdf = spark.createDataFrame(
+                    rows, "k long, seq long, v long, op string"
+                )
+                cdc.foreach_batch(bdf, bi)
+                if bi == replay_at % len(batches):
+                    cdc.foreach_batch(bdf, bi)  # at-least-once replay
+            got = {
+                r.k: (r.seq, r.v) for r in cdc.table(spark).collect()
+            }
+            assert got == model
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    check()
