@@ -38,6 +38,26 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _recover(target_path: str) -> None:
+    """Heal a crash window of the swap (same contract as the
+    crash-safe sinks): a ``.old`` backup with NO live table (crash
+    between the two renames) is restored — the interrupted merge is
+    simply lost and replays; a backup ALONGSIDE a live table (crash
+    after promote, before cleanup) is stale and removed; orphaned
+    ``.merge-*`` temp dirs are deleted (never the source of truth)."""
+    old = target_path + ".old"
+    if os.path.isdir(old):
+        if not os.path.isdir(target_path):
+            os.rename(old, target_path)
+        else:
+            shutil.rmtree(old)
+    parent = os.path.dirname(target_path) or "."
+    base = os.path.basename(target_path) + ".merge-"
+    for d in os.listdir(parent):
+        if d.startswith(base):
+            shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+
+
 def merge_into(
     spark: SparkSession,
     target_path: str,
@@ -51,6 +71,7 @@ def merge_into(
 
     Returns a manifest dict with the row counts of the merge branches.
     """
+    _recover(target_path)
     if when_matched not in ("update", "delete"):
         raise ValueError(f"when_matched must be update|delete, got {when_matched!r}")
     if when_matched == "delete" and not insert_not_matched:

@@ -1049,3 +1049,50 @@ def test_merge_into_random_sequences_match_model():
             shutil.rmtree(work, ignore_errors=True)
 
     check()
+
+
+def test_merge_into_recovers_every_crash_window(spark, tmp_path):
+    """Crash-safety drill for the merge swap, every window simulated:
+    (a) crash after the tmp write → orphaned .merge-* removed;
+    (b) crash between the renames (only .old exists) → table restored;
+    (c) crash after promote, before cleanup (.old alongside live) →
+        stale backup removed. After each, merge_into works normally."""
+    from flink_tpcds_spark.sources.merge import merge_into
+
+    tgt = _merge_target(spark, tmp_path, [(1, "a"), (2, "b")])
+    src = spark.createDataFrame([(2, "B")], "k long, v string")
+    parent = os.path.dirname(tgt)
+
+    # (a) orphaned tmp dir
+    os.makedirs(tgt + ".merge-deadbeef")
+    merge_into(spark, tgt, src, ["k"])
+    assert not any(".merge-" in d for d in os.listdir(parent))
+    assert {(r.k, r.v) for r in spark.read.parquet(tgt).collect()} == {
+        (1, "a"), (2, "B"),
+    }
+
+    # (b) only the backup exists (crash between the renames)
+    os.rename(tgt, tgt + ".old")
+    merge_into(
+        spark,
+        tgt,
+        spark.createDataFrame([(3, "c")], "k long, v string"),
+        ["k"],
+    )
+    got = {(r.k, r.v) for r in spark.read.parquet(tgt).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
+    assert not os.path.isdir(tgt + ".old")
+
+    # (c) stale backup alongside the live table
+    shutil.copytree(tgt, tgt + ".old")
+    merge_into(
+        spark,
+        tgt,
+        spark.createDataFrame([(1,)], "k long"),
+        ["k"],
+        when_matched="delete",
+        insert_not_matched=False,
+    )
+    got = {(r.k, r.v) for r in spark.read.parquet(tgt).collect()}
+    assert got == {(2, "B"), (3, "c")}
+    assert not os.path.isdir(tgt + ".old")
