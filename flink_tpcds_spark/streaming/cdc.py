@@ -43,7 +43,10 @@ class CdcApply:
     ``ops_col`` holds the operation: ``"d"`` deletes the key, any
     other value upserts the row (``c``/``u`` both carry the full
     after-image, the debezium convention). ``order_cols`` define the
-    per-key change order WITHIN a batch (last one wins).
+    per-key change order WITHIN a batch (last one wins) and must be
+    unique per key — CDC logs carry a per-key total order (offset /
+    LSN) by construction; a tie would make last-op-wins
+    nondeterministic.
     """
 
     def __init__(
