@@ -1666,6 +1666,110 @@ def ops_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _MERGE_MEMO[key]
 
 
+@_q(
+    "ops_merge_pruned",
+    """
+    WITH target AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(o_totalprice AS DECIMAL(18,6)) AS o_totalprice,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 5 != 0
+    ),
+    source AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 3
+                  AS DECIMAL(18,6)) AS o_totalprice,
+             'P' AS o_orderstatus
+      FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    merged AS (
+      SELECT * FROM target WHERE o_orderkey % 7 != 0
+      UNION ALL
+      SELECT * FROM source
+    )
+    SELECT o_orderkey, o_custkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           o_orderstatus
+    FROM merged
+    WHERE o_orderkey % 11 != 0
+    ORDER BY o_orderkey
+    """,
+)
+def ops_merge_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO on the BUCKETED layout (partition-pruned
+    copy-on-write — the 100 TB merge posture): the target is
+    converted once to ``bucket=pmod(xxhash64(key),N)`` hive
+    partitions, then the same two-mode sequence as ``ops_merge_into``
+    runs against it — update+insert (keys % 7 == 0, price tripled,
+    status 'P') followed by delete (% 11). Each merge rewrites ONLY
+    the buckets the source keys hash into; the untouched-bucket
+    physical invariant is gated in tests/test_sources.py. Oracle:
+    the same set algebra over ``orders`` — the layout must be
+    invisible to the logical result — sources/merge.py
+    convert_to_bucketed/_merge_bucketed (reference anchor: the
+    upsert-table contract of UpsertStreamTableSink.java, served at
+    log-structured scale)."""
+    import atexit as _atexit
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from ..sources.merge import (
+        convert_to_bucketed,
+        merge_into,
+        read_merge_table,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir, "pruned")
+    if key in _MERGE_MEMO:
+        return _MERGE_MEMO[key]
+
+    work = _tempfile.mkdtemp(prefix="ops_merge_pruned_")
+    _atexit.register(_shutil.rmtree, work, ignore_errors=True)
+    tgt = _os.path.join(work, "target")
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(18,6)").alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    base.filter(F.col("o_orderkey") % 5 != 0).write.parquet(tgt)
+    convert_to_bucketed(spark, tgt, ["o_orderkey"], n_buckets=16)
+    src = base.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") * 3)
+        .cast("decimal(18,6)")
+        .alias("o_totalprice"),
+        F.lit("P").alias("o_orderstatus"),
+    )
+    m = merge_into(
+        spark, tgt, src, ["o_orderkey"], when_matched="update", validate=True
+    )
+    assert m["n_buckets"] == 16, m
+    dels = base.filter(F.col("o_orderkey") % 11 == 0).select("o_orderkey")
+    merge_into(
+        spark,
+        tgt,
+        dels,
+        ["o_orderkey"],
+        when_matched="delete",
+        insert_not_matched=False,
+    )
+    _MERGE_MEMO[key] = (
+        read_merge_table(spark, tgt)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "o_orderstatus",
+        )
+        .orderBy("o_orderkey")
+    )
+    return _MERGE_MEMO[key]
+
+
 # ---------------------------------------------------------------------------
 # Semi-structured VARIANT access (Spark 4 parse_json/variant_get — the
 # engine-native path for JSON event properties; the string-path

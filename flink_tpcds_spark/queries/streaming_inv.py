@@ -864,7 +864,10 @@ def st_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     applies as two MERGE INTO calls (upsert, then delete). The final
     table must hold exactly the users whose LAST change is not a
     delete, carrying that change's row — value-checked against the
-    window-function oracle — streaming/cdc.py CdcApply."""
+    window-function oracle. The state uses the BUCKETED merge layout
+    (n_buckets=16), so each batch's merges rewrite only the touched
+    buckets — streaming/cdc.py CdcApply + sources/merge.py
+    _merge_bucketed."""
     from ..streaming.cdc import CdcApply
 
     work = _workdir("st_cdc_")
@@ -892,10 +895,14 @@ def st_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("recursiveFileLookup", "true")
         .parquet(src)
     )
+    # n_buckets: the state is the BUCKETED merge layout, so each
+    # micro-batch rewrites only the buckets its delta keys hash into
+    # (O(delta), not O(state) — sources/merge.py _merge_bucketed)
     cdc = CdcApply(
         os.path.join(work, "table"),
         ["user_id"],
         order_cols=["ts", "event_id"],
+        n_buckets=16,
     )
     (
         stream.writeStream.outputMode("append")

@@ -19,9 +19,15 @@ delivered in change order (the CDC log's own guarantee).
 
 Scale shape: per batch, one in-batch reduce (shuffle on the key over
 DELTA rows only) plus the two delta-sized merge joins against the
-state — never a history rescan. The state rewrite inside
-``merge_into`` is the plain-parquet cost; a partitioned target would
-overwrite only touched partitions.
+state — never a history rescan. With ``n_buckets`` set (the default
+posture for any non-toy state), the state is laid out as
+``bucket=H(keys)%N`` hive partitions (sources/merge.py bucketed
+layout) and each merge reads and rewrites ONLY the buckets the
+delta's keys hash into — per-batch write cost is
+O(delta ∪ touched-buckets), not O(state); untouched buckets are
+physically untouched. Without it the merge is plain copy-on-write:
+the whole state re-written per batch — acceptable only for small
+reference tables.
 
 Reference analog: the retract-stream consumers behind
 UpsertStreamTableSink (op algebra identical: last-op-wins upsert,
@@ -46,7 +52,10 @@ class CdcApply:
     per-key change order WITHIN a batch (last one wins) and must be
     unique per key — CDC logs carry a per-key total order (offset /
     LSN) by construction; a tie would make last-op-wins
-    nondeterministic.
+    nondeterministic. They are REQUIRED: without them there is no
+    change order at all, and any fallback (e.g. ordering by the op
+    string) silently decides "last op" lexicographically — an upsert
+    would always beat a later delete.
     """
 
     def __init__(
@@ -55,19 +64,25 @@ class CdcApply:
         keys: list[str],
         op_col: str = "op",
         order_cols: list[str] | None = None,
+        n_buckets: int | None = None,
     ):
+        if not order_cols:
+            raise ValueError(
+                "CdcApply: order_cols is required — it must name the "
+                "CDC log's per-key total order (offset/LSN/ts). An "
+                "empty order would resolve last-op-wins arbitrarily."
+            )
         self.path = path
         self.keys = list(keys)
         self.op_col = op_col
-        self.order_cols = list(order_cols or [])
+        self.order_cols = list(order_cols)
+        self.n_buckets = n_buckets
 
     def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         from ..sources.merge import merge_into
 
         spark = batch_df.sparkSession
-        order = [F.desc(c) for c in self.order_cols] or [
-            F.desc(self.op_col)
-        ]
+        order = [F.desc(c) for c in self.order_cols]
         w = Window.partitionBy(*self.keys).orderBy(*order)
         last = (
             batch_df.withColumn("__rn", F.row_number().over(w))
@@ -80,7 +95,14 @@ class CdcApply:
         ups = last.filter(F.col(self.op_col) != "d").select(*value_cols)
         dels = last.filter(F.col(self.op_col) == "d").select(*self.keys)
         if not os.path.isdir(self.path):
-            spark.createDataFrame([], ups.schema).write.parquet(self.path)
+            if self.n_buckets:
+                from ..sources.merge import create_bucketed_table
+
+                create_bucketed_table(
+                    spark, self.path, ups.schema, self.keys, self.n_buckets
+                )
+            else:
+                spark.createDataFrame([], ups.schema).write.parquet(self.path)
         if not ups.isEmpty():
             merge_into(
                 spark, self.path, ups, self.keys, when_matched="update"
@@ -96,5 +118,8 @@ class CdcApply:
             )
 
     def table(self, spark: SparkSession) -> DataFrame:
-        """The materialized current state."""
-        return spark.read.parquet(self.path)
+        """The materialized current state (layout-agnostic: the
+        physical bucket column of a bucketed state is not exposed)."""
+        from ..sources.merge import read_merge_table
+
+        return read_merge_table(spark, self.path)

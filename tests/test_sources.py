@@ -1096,3 +1096,329 @@ def test_merge_into_recovers_every_crash_window(spark, tmp_path):
     got = {(r.k, r.v) for r in spark.read.parquet(tgt).collect()}
     assert got == {(2, "B"), (3, "c")}
     assert not os.path.isdir(tgt + ".old")
+
+
+# ---------------------------------------------------------------------------
+# Bucketed MERGE INTO (sources/merge.py bucketed layout — the
+# partition-pruned copy-on-write that makes CDC apply O(delta))
+# ---------------------------------------------------------------------------
+def _bucket_state(tgt):
+    """{bucket_dir: {file: mtime_ns}} snapshot of the physical layout."""
+    out = {}
+    for d in os.listdir(tgt):
+        p = os.path.join(tgt, d)
+        if d.startswith("bucket=") and os.path.isdir(p):
+            out[d] = {
+                f: os.stat(os.path.join(p, f)).st_mtime_ns
+                for f in os.listdir(p)
+            }
+    return out
+
+
+def test_bucketed_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    """The core pruning contract: after a small merge against a big
+    bucketed target, every UNtouched bucket directory's files (paths
+    AND mtimes) are bit-identical — they were never read into the
+    write path, let alone rewritten."""
+    from flink_tpcds_spark.sources.merge import (
+        convert_to_bucketed,
+        merge_into,
+        read_merge_table,
+    )
+
+    tgt = str(tmp_path / "big")
+    rows = [(k, k * 10) for k in range(200)]
+    spark.createDataFrame(rows, "k long, v long").write.parquet(tgt)
+    convert_to_bucketed(spark, tgt, ["k"], n_buckets=16)
+    before = _bucket_state(tgt)
+    assert len(before) == 16  # 200 keys cover all 16 buckets
+
+    src = spark.createDataFrame([(7, 700), (900, 9000)], "k long, v long")
+    m = merge_into(spark, tgt, src, ["k"], when_matched="update")
+    assert m["n_buckets"] == 16
+    assert 1 <= m["buckets_touched"] <= 2
+
+    after = _bucket_state(tgt)
+    touched = {d for d in before if before[d] != after.get(d)}
+    assert len(touched) == m["buckets_touched"]
+    untouched = set(before) - touched
+    assert len(untouched) == 16 - len(touched)
+    for d in untouched:
+        assert after[d] == before[d], f"untouched bucket {d} was rewritten"
+
+    model = dict(rows)
+    model[7] = 700
+    model[900] = 9000
+    got = {r.k: r.v for r in read_merge_table(spark, tgt).collect()}
+    assert got == model
+
+
+def test_bucketed_merge_all_modes_match_model(spark, tmp_path):
+    """Same merge sequence as the plain-layout property test's shape,
+    bucketed: update/delete × insert on/off against a dict model."""
+    from flink_tpcds_spark.sources.merge import (
+        convert_to_bucketed,
+        merge_into,
+        read_merge_table,
+    )
+
+    tgt = str(tmp_path / "t")
+    init = {1: 100, 2: 200, 3: 300, 4: 400, 5: 500}
+    spark.createDataFrame(list(init.items()), "k long, v long").write.parquet(
+        tgt
+    )
+    convert_to_bucketed(spark, tgt, ["k"], n_buckets=4)
+    model = dict(init)
+    seq = [
+        ({2: 20, 9: 90}, "update", True),
+        ({3: 0, 8: 80}, "delete", True),
+        ({1: 11, 7: 77}, "update", False),
+        ({9: 0, 99: 0}, "delete", False),
+    ]
+    for src_map, mode, insert in seq:
+        src = spark.createDataFrame(list(src_map.items()), "k long, v long")
+        merge_into(
+            spark, tgt, src, ["k"], when_matched=mode,
+            insert_not_matched=insert,
+        )
+        for k, v in src_map.items():
+            if k in model:
+                if mode == "update":
+                    model[k] = v
+                else:
+                    del model[k]
+            elif insert and mode == "update":
+                model[k] = v
+            elif insert and mode == "delete":
+                model[k] = v
+        got = {r.k: r.v for r in read_merge_table(spark, tgt).collect()}
+        assert got == model, (mode, insert, src_map)
+
+
+def test_bucketed_merge_empty_table_then_inserts(spark, tmp_path):
+    """create_bucketed_table starts from zero state (marker only, no
+    data files): the first merge populates only the touched buckets."""
+    from flink_tpcds_spark.sources.merge import (
+        create_bucketed_table,
+        merge_into,
+        read_merge_table,
+    )
+    from pyspark.sql import types as T
+
+    tgt = str(tmp_path / "empty")
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    create_bucketed_table(spark, tgt, schema, ["k"], n_buckets=8)
+    assert read_merge_table(spark, tgt).count() == 0
+    src = spark.createDataFrame([(1, "a"), (2, "b")], schema)
+    m = merge_into(spark, tgt, src, ["k"], when_matched="update")
+    assert m["rows_written"] == 2
+    got = {(r.k, r.v) for r in read_merge_table(spark, tgt).collect()}
+    assert got == {(1, "a"), (2, "b")}
+    # only the touched buckets exist on disk
+    parts = [d for d in os.listdir(tgt) if d.startswith("bucket=")]
+    assert len(parts) == m["buckets_touched"] <= 2
+
+
+def test_bucketed_merge_delete_can_empty_a_bucket(spark, tmp_path):
+    """Deleting every key of a bucket leaves an explicit empty bucket
+    dir (roll-forward intent) and a readable table."""
+    from flink_tpcds_spark.sources.merge import (
+        convert_to_bucketed,
+        merge_into,
+        read_merge_table,
+    )
+
+    tgt = str(tmp_path / "d")
+    rows = [(k, k) for k in range(12)]
+    spark.createDataFrame(rows, "k long, v long").write.parquet(tgt)
+    convert_to_bucketed(spark, tgt, ["k"], n_buckets=2)
+    dels = spark.createDataFrame([(k,) for k in range(12)], "k long")
+    merge_into(
+        spark, tgt, dels, ["k"], when_matched="delete",
+        insert_not_matched=False,
+    )
+    assert read_merge_table(spark, tgt).count() == 0
+    # and the table is still mergeable afterwards
+    src = spark.createDataFrame([(3, 33)], "k long, v long")
+    merge_into(spark, tgt, src, ["k"], when_matched="update")
+    got = {(r.k, r.v) for r in read_merge_table(spark, tgt).collect()}
+    assert got == {(3, 33)}
+
+
+def test_bucketed_merge_recovers_every_crash_window(spark, tmp_path):
+    """Roll-forward drill for the per-bucket swap, every window:
+    (a) crash after tmp write, before manifest → tmp swept, merge
+        lost (nothing was promised);
+    (b) crash after manifest, before ANY swap → next merge completes
+        the interrupted one first (roll-forward), then applies;
+    (c) crash mid-swap (one bucket moved to backup, tmp subdir still
+        present) → completed;
+    (d) crash after manifest removal, before backup cleanup → stale
+        .merge-old-* swept."""
+    import json as _json
+
+    from flink_tpcds_spark.sources.merge import (
+        _bucket_expr,
+        convert_to_bucketed,
+        merge_into,
+        read_merge_table,
+    )
+
+    tgt = str(tmp_path / "c")
+    rows = [(k, k) for k in range(40)]
+    spark.createDataFrame(rows, "k long, v long").write.parquet(tgt)
+    convert_to_bucketed(spark, tgt, ["k"], n_buckets=4)
+    model = dict(rows)
+
+    # (a) orphan tmp, no manifest
+    os.makedirs(tgt + ".merge-deadbeef/bucket=0")
+    merge_into(
+        spark,
+        tgt,
+        spark.createDataFrame([(1, 111)], "k long, v long"),
+        ["k"],
+    )
+    model[1] = 111
+    assert not os.path.isdir(tgt + ".merge-deadbeef")
+    got = {r.k: r.v for r in read_merge_table(spark, tgt).collect()}
+    assert got == model
+
+    # (b)+(c): build a REAL interrupted merge by hand — a tmp dir with
+    # one bucket's replacement rows, the manifest published, bucket
+    # half-swapped (live moved to backup, tmp not yet promoted)
+    b_of = {
+        r.k: r.b
+        for r in spark.createDataFrame([(k,) for k in model], "k long")
+        .withColumn("b", _bucket_expr(["k"], 4))
+        .collect()
+    }
+    victim_key = next(iter(model))
+    vb = b_of[victim_key]
+    tmp = tgt + ".merge-cafe0001"
+    repl = [(k, v + 1000) for k, v in model.items() if b_of[k] == vb]
+    (
+        spark.createDataFrame(repl, "k long, v long")
+        .coalesce(1)
+        .write.parquet(os.path.join(tmp, f"bucket={vb}"))
+    )
+    with open(os.path.join(tgt, "_merge_inflight.json"), "w") as f:
+        _json.dump({"id": "cafe0001", "buckets": [vb],
+                    "tmp": os.path.basename(tmp)}, f)
+    # half-swap: live → backup (crash window c)
+    os.makedirs(os.path.join(tgt, ".merge-old-cafe0001"))
+    os.rename(
+        os.path.join(tgt, f"bucket={vb}"),
+        os.path.join(tgt, f".merge-old-cafe0001/bucket={vb}"),
+    )
+    # next merge rolls the interrupted one forward, then applies
+    merge_into(
+        spark,
+        tgt,
+        spark.createDataFrame([(victim_key,)], "k long"),
+        ["k"],
+        when_matched="delete",
+        insert_not_matched=False,
+    )
+    for k, v in repl:
+        model[k] = v
+    del model[victim_key]
+    assert not os.path.isfile(os.path.join(tgt, "_merge_inflight.json"))
+    assert not os.path.isdir(tmp)
+    assert not any(d.startswith(".merge-old-") for d in os.listdir(tgt))
+    got = {r.k: r.v for r in read_merge_table(spark, tgt).collect()}
+    assert got == model
+
+    # (d) stale backup dir, manifest already gone
+    os.makedirs(os.path.join(tgt, ".merge-old-feedf00d/bucket=0"))
+    merge_into(
+        spark,
+        tgt,
+        spark.createDataFrame([(5000, 1)], "k long, v long"),
+        ["k"],
+    )
+    model[5000] = 1
+    assert not any(d.startswith(".merge-old-") for d in os.listdir(tgt))
+    got = {r.k: r.v for r in read_merge_table(spark, tgt).collect()}
+    assert got == model
+
+
+def test_bucketed_target_scan_is_partition_pruned(spark, tmp_path):
+    """Plan gate: the touched-buckets filter lands in the scan's
+    PartitionFilters (no data file of an untouched bucket is opened)."""
+    from flink_tpcds_spark.sources.merge import convert_to_bucketed
+
+    tgt = str(tmp_path / "p")
+    spark.createDataFrame(
+        [(k, k) for k in range(64)], "k long, v long"
+    ).write.parquet(tgt)
+    convert_to_bucketed(spark, tgt, ["k"], n_buckets=8)
+    pruned = spark.read.parquet(tgt).filter(F.col("bucket").isin([1, 3]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # the bucket predicate must be a PARTITION filter (pruned at file
+    # listing), not a post-scan data Filter over all 8 buckets
+    assert "PartitionFilters" in plan and "bucket" in plan
+    scan_line = next(
+        ln for ln in plan.splitlines() if "PartitionFilters" in ln
+    )
+    assert "bucket" in scan_line.split("PartitionFilters", 1)[1]
+    assert "DataFilters: []" in plan  # nothing evaluated row-wise
+    got = pruned.select("bucket").distinct().collect()
+    assert {r.bucket for r in got} <= {1, 3}
+
+
+def test_merge_into_rejects_type_drift(spark, tmp_path):
+    """ADVICE r8: name-set equality is not schema equality — an int
+    source column against a long target must fail up front, not get
+    implicitly cast by unionByName."""
+    from flink_tpcds_spark.sources.merge import merge_into
+
+    tgt = str(tmp_path / "td")
+    spark.createDataFrame([(1, 10)], "k long, v long").write.parquet(tgt)
+    src = spark.createDataFrame([(1, 20)], "k long, v int")
+    with pytest.raises(ValueError, match="differ in type"):
+        merge_into(spark, tgt, src, ["k"], when_matched="update")
+    # delete+insert also needs full typed rows — a keys-only source
+    # must fail with a clear error, not a late AnalysisException
+    dels = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="schemas differ"):
+        merge_into(spark, tgt, dels, ["k"], when_matched="delete",
+                   insert_not_matched=True)
+    # target untouched by the failed merges
+    assert spark.read.parquet(tgt).count() == 1
+
+
+def test_cdc_apply_bucketed_state(spark, tmp_path):
+    """CdcApply(n_buckets=…): the streaming CDC path on the bucketed
+    layout — same fold semantics, state marker present, per-batch
+    writes touch only the delta's buckets."""
+    from flink_tpcds_spark.sources.merge import read_bucket_marker
+    from flink_tpcds_spark.streaming.cdc import CdcApply
+
+    path = str(tmp_path / "cdc_state")
+    cdc = CdcApply(path, ["k"], order_cols=["seq"], n_buckets=8)
+    b1 = spark.createDataFrame(
+        [(1, "a", "u", 1), (2, "b", "u", 2), (1, "a2", "u", 3)],
+        "k long, v string, op string, seq long",
+    )
+    cdc.foreach_batch(b1, 0)
+    assert read_bucket_marker(path) is not None
+    got = {(r.k, r.v) for r in cdc.table(spark).collect()}
+    assert got == {(1, "a2"), (2, "b")}
+
+    before = _bucket_state(path)
+    b2 = spark.createDataFrame(
+        [(2, "x", "u", 4), (2, None, "d", 5), (3, "c", "u", 6)],
+        "k long, v string, op string, seq long",
+    )
+    cdc.foreach_batch(b2, 1)
+    got = {(r.k, r.v) for r in cdc.table(spark).collect()}
+    assert got == {(1, "a2"), (3, "c")}
+    after = _bucket_state(path)
+    # key 1's bucket was not in batch 2's delta: physically untouched
+    untouched = [d for d in before if d in after and before[d] == after[d]]
+    assert untouched, "expected at least one untouched bucket"
