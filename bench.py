@@ -55,11 +55,22 @@ SF1_SUBSET = [
 
 
 def main() -> None:
-    # contention fingerprint: BENCH_NOTES r03/r08 both traced uniform
-    # +16-50 % readings to load still draining from a prior sweep —
-    # record the 1-minute load average so future variance adjudication
-    # has the datum instead of re-deriving it
+    # Load gate (VERDICT r8 item 2): BENCH_r08's 16.95 s headline was
+    # taken at loadavg 16 and over-read the suite by ~22 % — a
+    # contended run must never again be the artifact of record. If the
+    # 1-minute load is above the threshold, WAIT for it to drain
+    # (up to SPARK_GRAFT_LOAD_WAIT_SEC, default 600 s) before starting;
+    # if it never drains, run anyway (the bench contract must not
+    # break) but stamp the artifact load_contended=true so the reading
+    # is self-adjudicating.
+    load_gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "2.0"))
+    wait_budget = int(os.environ.get("SPARK_GRAFT_LOAD_WAIT_SEC", "600"))
+    waited = 0
+    while os.getloadavg()[0] > load_gate and waited < wait_budget:
+        time.sleep(30)
+        waited += 30
     load_1m = round(os.getloadavg()[0], 2)
+    load_contended = load_1m > load_gate
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
@@ -293,6 +304,48 @@ def main() -> None:
         except Exception:  # noqa: BLE001 — never break the bench contract
             pass
 
+    # Two-decades-up standing canary (VERDICT r8 item 4): SF10 ran
+    # once by script in r8; keep the cheapest useful slice per-round —
+    # q72 (the CBO join-order canary: 71.5 s views → ~19 s stats at
+    # SF10, invisible at micro scale), q64 (the 2.3M-row output tail),
+    # q14a (the cross-channel INTERSECT rollup) — STATS posture only,
+    # since the views posture of these is the known-slow plan, not a
+    # regression signal. Data generation is fingerprint-cached by
+    # datagen.generate's marker (932 s / 3.3 GB when cold).
+    # SPARK_GRAFT_SKIP_SF10=1 skips.
+    sf10: dict | None = None
+    if (
+        os.environ.get("SPARK_GRAFT_SKIP_SF10") != "1"
+        and os.environ.get("SPARK_GRAFT_SKIP_TPCDS") != "1"
+        and not stats_only
+    ):
+        try:
+            from flink_tpcds_spark.tpcds import datagen, runner
+            from flink_tpcds_spark.tpcds.datagen import SIZES_SF10
+
+            sf10_dir = os.environ.get(
+                "SPARK_GRAFT_SF10_DIR", "/tmp/tpcds_sf10"
+            )
+            t0 = time.time()
+            datagen.generate(sf10_dir, sizes=SIZES_SF10)
+            gen_sec = round(time.time() - t0, 1)
+            t0 = time.time()
+            runner.register_catalog_tables(spark, sf10_dir, analyze=True)
+            analyze_sec = round(time.time() - t0, 3)
+            runner.run_spark("q96", spark)  # warmup at SF10 volumes
+            per_q: dict[str, float] = {}
+            for name in ("q72", "q64", "q14a"):
+                q0 = time.time()
+                runner.run_spark(name, spark)
+                per_q[name] = round(time.time() - q0, 3)
+            sf10 = {
+                "gen_sec": gen_sec,
+                "analyze_sec": analyze_sec,
+                "stats": per_q,
+            }
+        except Exception:  # noqa: BLE001 — never break the bench contract
+            pass
+
     total = round(sum(times.values()), 3)
     out = {
         "metric": "headline_suite_wall_clock",
@@ -302,6 +355,8 @@ def main() -> None:
         "sf": sf,
         "runs_per_query": 2,  # min-of-2 steady state
         "loadavg_1m_at_start": load_1m,
+        "load_gate_wait_sec": waited,
+        "load_contended": load_contended,
     }
     if tpcds is not None:
         out["tpcds_corpus"] = tpcds
@@ -311,6 +366,8 @@ def main() -> None:
         out["bucketed_posture"] = bucketed
     if sf1 is not None:
         out["sf1"] = sf1
+    if sf10 is not None:
+        out["sf10"] = sf10
     print(json.dumps(out))
 
 

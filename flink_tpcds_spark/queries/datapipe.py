@@ -469,6 +469,41 @@ def dp_knn_ivf_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KNN_AUTO_ORACLE = """
+    SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS recall_ok,
+           TRUE AS floor_met
+    FROM embeddings WHERE vec_id % 20 = 0
+    """
+
+
+@_q("dp_knn_ivf_auto", _KNN_AUTO_ORACLE)
+def dp_knn_ivf_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN at a recall TARGET (VERDICT r8 item 3 — the serving
+    posture): ``calibrate_nprobe`` derives the smallest nprobe whose
+    recall@10 vs the brute-force oracle clears 0.8 from ONE
+    closed-form pass (cumulative histogram of exact-neighbor cell
+    ranks), then ``knn_ivf`` serves at that setting off the same
+    centroids. Gate: the SERVED result's measured recall ≥ 0.8 (the
+    floor itself, not a softer proxy — the calibration estimate is
+    exact when the sample covers the query set) AND the calibrator
+    reported the floor as met — datapipe/similarity.py
+    calibrate_nprobe/knn_ivf_auto;
+    ``scripts/bench_ivf_distributed.py --auto`` measures the same
+    contract at ≥1M vectors."""
+    from ..datapipe.similarity import knn_ivf_auto
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qf = F.col("vec_id") % 20 == 0
+    approx, cal = knn_ivf_auto(
+        e, qf, k=10, n_clusters=16, recall_floor=0.8, sample_queries=64
+    )
+    return _recall_invariant(
+        approx.select("query_id", "neighbor_id"),
+        knn_bruteforce(e, qf, k=10).select("query_id", "neighbor_id"),
+        floor=0.8,
+    ).withColumn("floor_met", F.lit(bool(cal["floor_met"])))
+
+
 @_q(
     "dp_multimodal_framesample",
     """

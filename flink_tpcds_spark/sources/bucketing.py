@@ -18,6 +18,17 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+# All posture tables live under this module-owned namespace directory
+# inside the warehouse (written as EXTERNAL tables with an explicit
+# location). Stale-dir cleanup is scoped to this namespace only — a
+# shared warehouse dir may hold same-named MANAGED tables registered
+# by concurrent sessions, and those are never touched (ADVICE r8).
+# Concurrency note: the namespace itself assumes one writing process
+# per machine (table names are content-fingerprinted, so two sessions
+# installing the same posture would write identical bytes; the swap
+# window is the only race and is bounded by the rmtree+write pair).
+_NAMESPACE = "spark_graft_bucketed"
+
 
 def bucket_table(
     df: DataFrame,
@@ -26,8 +37,10 @@ def bucket_table(
     n_buckets: int = 32,
     sort_cols: list[str] | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
-    """Persist ``df`` as a bucketed (and optionally sorted) table."""
+    """Persist ``df`` as a bucketed (and optionally sorted) table;
+    with ``path``, as an external table at that location."""
     writer = (
         df.write.mode(mode)
         .format("parquet")
@@ -35,6 +48,8 @@ def bucket_table(
     )
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.saveAsTable(table_name)
 
 
@@ -104,18 +119,27 @@ def install_bucketed_posture(
         tbl = f"bkt_{name}_{fp}"
         if not spark.catalog.tableExists(tbl):
             # an in-memory catalog forgets tables across sessions but
-            # the warehouse directory survives — a stale location
-            # from a dead session would fail the managed-table write
+            # the table directory survives — a stale location from a
+            # dead session would fail the write
             # (LOCATION_ALREADY_EXISTS); it carries no catalog bucket
-            # metadata, so rewrite rather than adopt it
+            # metadata, so rewrite rather than adopt it. The rmtree
+            # is safe because it is scoped to _NAMESPACE, which only
+            # this module writes (see the namespace comment above) —
+            # managed tables of concurrent sessions elsewhere in the
+            # warehouse are never touched.
             import shutil
+            from urllib.parse import urlparse
 
-            wh = spark.conf.get(
+            raw = spark.conf.get(
                 "spark.sql.warehouse.dir", "spark-warehouse"
-            ).removeprefix("file:")
-            stale = f"{wh}/{tbl.lower()}"
-            if os.path.isdir(stale):
-                shutil.rmtree(stale)
+            )
+            parsed = urlparse(raw)
+            wh = parsed.path if parsed.scheme in ("file", "") else None
+            loc = None
+            if wh:
+                loc = os.path.join(wh, _NAMESPACE, tbl.lower())
+                if os.path.isdir(loc):
+                    shutil.rmtree(loc)
             t0 = time.time()
             bucket_table(
                 load_table(spark, sf_dir, name),
@@ -123,6 +147,7 @@ def install_bucketed_posture(
                 keys,
                 n_buckets=n_buckets,
                 sort_cols=keys,
+                path=loc,
             )
             out[name] = round(time.time() - t0, 3)
         else:

@@ -403,19 +403,49 @@ def _merge_bucketed(
             f"merge keys are {keys}"
         )
     n = int(meta["n_buckets"])
-    src = source.withColumn(BUCKET_COL, _bucket_expr(keys, n))
-    # the only driver collect: ≤ n_buckets small ints
-    touched = sorted(
-        r[0] for r in src.select(BUCKET_COL).distinct().collect()
-    )
-    if not touched:
-        return {
-            "rows_written": 0,
-            "buckets_touched": 0,
-            "n_buckets": n,
-            "keys": list(keys),
-            "mode": when_matched,
-        }
+    # the source plan is evaluated three times below (touched-bucket
+    # collect, the anti join, the union) — persist it once; it is
+    # delta-sized by the CDC contract, so memory-and-disk is safe
+    src = source.withColumn(BUCKET_COL, _bucket_expr(keys, n)).persist()
+    try:
+        # the only driver collect: ≤ n_buckets small ints
+        touched = sorted(
+            r[0] for r in src.select(BUCKET_COL).distinct().collect()
+        )
+        if not touched:
+            return {
+                "rows_written": 0,
+                "buckets_touched": 0,
+                "n_buckets": n,
+                "keys": list(keys),
+                "mode": when_matched,
+            }
+        return _apply_bucketed(
+            spark,
+            target_path,
+            src,
+            keys,
+            when_matched,
+            insert_not_matched,
+            n,
+            touched,
+            target,
+        )
+    finally:
+        src.unpersist()
+
+
+def _apply_bucketed(
+    spark: SparkSession,
+    target_path: str,
+    src: DataFrame,
+    keys: list[str],
+    when_matched: str,
+    insert_not_matched: bool,
+    n: int,
+    touched: list[int],
+    target: DataFrame,
+) -> dict:
 
     # partition-pruned: only the touched buckets are ever scanned
     # (PartitionFilters in the plan — gated in tests/test_sources.py)
@@ -442,11 +472,29 @@ def _merge_bucketed(
 
     mid = uuid.uuid4().hex[:8]
     tmp = f"{target_path}.merge-{mid}"
-    (
-        merged.repartition(len(touched), F.col(BUCKET_COL))
-        .write.partitionBy(BUCKET_COL)
-        .parquet(tmp)
-    )
+    # small delta → one task (≈ one file) per touched bucket; a merge
+    # touching most buckets (bulk load / backfill) would then write
+    # the whole state through len(touched) tasks with hash-collision
+    # skew — salt each bucket into enough sub-parts to use the
+    # cluster's parallelism (partitionBy still routes every row to
+    # its bucket dir; salting only adds files within a bucket)
+    par = spark.sparkContext.defaultParallelism
+    salt_parts = max(1, par // max(len(touched), 1))
+    if salt_parts > 1:
+        # the lit(1) seed decorrelates the salt from the bucket id
+        # (both are xxhash64 of the keys; without it, salt ≡ f(bucket)
+        # whenever salt_parts divides n_buckets and nothing splits)
+        shuffled = merged.repartition(
+            len(touched) * salt_parts,
+            F.col(BUCKET_COL),
+            F.pmod(
+                F.xxhash64(F.lit(1), *[F.col(k) for k in keys]),
+                F.lit(salt_parts),
+            ),
+        )
+    else:
+        shuffled = merged.repartition(len(touched), F.col(BUCKET_COL))
+    shuffled.write.partitionBy(BUCKET_COL).parquet(tmp)
     try:
         rows_written = spark.read.parquet(tmp).count()
     except AnalysisException:

@@ -318,11 +318,14 @@ class SQLiteWriter(DataSourceWriter):
         inside an open transaction, so a single-transaction
         all-ATTACHed apply breaks above 10 tasks). The staging table
         is invisible to connector readers, so phase 1 needs no
-        atomicity; a crash leaves only the staging table, which the
-        next job drops. Phase 2 is ONE transaction — the overwrite
-        truncate + the staging→target INSERT — so readers see either
-        the old table or the complete new write, never a partial
-        job."""
+        atomicity; a driver crash mid-phase-1 orphans this job's
+        uniquely-named staging table — storage bloat only, never
+        wrong data, reclaimed by VACUUM/manual drop (no later job
+        drops it: names are job-unique precisely so concurrent
+        writers cannot clobber each other — see __init__). Phase 2
+        is ONE transaction — the overwrite truncate + the
+        staging→target INSERT — so readers see either the old table
+        or the complete new write, never a partial job."""
         staging = self.staging_table
         con = sqlite3.connect(self.path)
         try:

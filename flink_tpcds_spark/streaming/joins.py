@@ -22,6 +22,7 @@ O(keys) — two doubles and a count per key — not O(rows).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -139,7 +140,27 @@ def streaming_over_running_sum(
             micro = (
                 (pdf["value"] * 1_000_000).round().astype("int64")
             )
+            # the docstring's preconditions, enforced (ADVICE r8): a
+            # value with > 6 decimal digits would be silently
+            # mis-rounded, and an int64 cumsum past ~9.2e12 in micro
+            # units would silently wrap — fail loudly instead
+            vals = pdf["value"].to_numpy()
+            back = micro.to_numpy() / 1_000_000.0
+            if not (back == vals).all():
+                bad = vals[back != vals][0]
+                raise ValueError(
+                    "streaming_over_running_sum: value "
+                    f"{bad!r} has more than 6 decimal digits — the "
+                    "int64 micro-unit bridge cannot represent it "
+                    "exactly; rescale or widen the bridge"
+                )
             csum = micro.cumsum() + total_micro
+            if int(np.abs(csum.to_numpy()).max()) >= 2**62:
+                raise OverflowError(
+                    "streaming_over_running_sum: running sum exceeds "
+                    "the int64 micro-unit safety bound (~4.6e12 in "
+                    "value units) — widen the bridge"
+                )
             ccnt = pd.RangeIndex(1, len(pdf) + 1) + cnt
             out = pd.DataFrame(
                 {

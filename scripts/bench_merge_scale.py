@@ -101,6 +101,63 @@ def main() -> None:
     out["rows_after_delete"] = n2
     out["delete_invariant"] = bool(n2 == n1 - n_del)
 
+    # ------------------------------------------------------------------
+    # Bucketed layout: per-batch cost must track DELTA size (touched
+    # buckets), not state — the CDC-apply posture. Uniform-random keys
+    # touch ~N(1-e^(-d/N)) of N buckets, so the pruning factor appears
+    # when the per-batch delta is small relative to the bucket count —
+    # exactly the CDC regime (state ≫ per-batch delta). The sweep
+    # measures an update merge at growing delta sizes on the SAME
+    # 15M-row state; plain-layout cost is the flat upsert_sec above.
+    # ------------------------------------------------------------------
+    from flink_tpcds_spark.sources.merge import (
+        convert_to_bucketed,
+        read_merge_table,
+    )
+
+    n_buckets = 256
+    t0 = time.time()
+    convert_to_bucketed(spark, tgt, ["o_orderkey"], n_buckets=n_buckets)
+    out["convert_sec"] = round(time.time() - t0, 1)
+    out["n_buckets"] = n_buckets
+
+    sweep = []
+    state_n = read_merge_table(spark, tgt).count()
+    for d in (16, 128, 1024, 8192, 65536):
+        step = max(state_n // d, 1)
+        # materialize the delta first — a CDC micro-batch arrives as
+        # data, not as a lazy filter over the state; timing the lazy
+        # plan would re-scan the 15M-row table inside the merge
+        delta_path = os.path.join(work, f"delta_{d}")
+        (
+            read_merge_table(spark, tgt)
+            .filter(F.col("o_orderkey") % step == 1)
+            .withColumn("o_orderstatus", F.lit(f"D{d}"))
+            .write.parquet(delta_path)
+        )
+        delta = spark.read.parquet(delta_path)
+        nd = delta.count()
+        t0 = time.time()
+        mm = merge_into(
+            spark, tgt, delta, ["o_orderkey"], when_matched="update"
+        )
+        sec = round(time.time() - t0, 2)
+        n_marked = (
+            read_merge_table(spark, tgt)
+            .filter(F.col("o_orderstatus") == f"D{d}")
+            .count()
+        )
+        sweep.append(
+            {
+                "delta_rows": nd,
+                "buckets_touched": mm["buckets_touched"],
+                "sec": sec,
+                "invariant": bool(n_marked == nd),
+            }
+        )
+    out["bucketed_delta_sweep"] = sweep
+    out["state_rows"] = state_n
+
     shutil.rmtree(work, ignore_errors=True)
     print(json.dumps(out))
 

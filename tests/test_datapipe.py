@@ -97,6 +97,34 @@ def test_ivf_ann_recall_floor(spark, sf_dir):
     assert recall >= 0.35, f"IVF recall {recall:.3f} below floor"
 
 
+def test_ivf_auto_nprobe_meets_recall_floor(spark, sf_dir):
+    """knn_ivf_auto calibrates nprobe to a recall TARGET: the served
+    result's measured recall must clear the floor, and the closed-form
+    estimate must equal the measured value exactly when the sample
+    covers the whole query set (the retrievability argument in
+    calibrate_nprobe's docstring)."""
+    from flink_tpcds_spark.datapipe.similarity import knn_ivf_auto
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qf = F.col("vec_id") % 20 == 0
+    df, cal = knn_ivf_auto(
+        e, qf, k=10, n_clusters=16, recall_floor=0.8, sample_queries=10_000
+    )
+    assert cal["floor_met"] and 1 <= cal["nprobe"] <= 16
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_bruteforce(e, qf, k=10).collect()
+    }
+    got = {(r.query_id, r.neighbor_id) for r in df.collect()}
+    recall = len(bf & got) / len(bf)
+    assert recall >= 0.8, f"auto recall {recall:.3f} under the floor"
+    assert abs(recall - cal["recall_est"]) < 1e-9
+    # the curve is monotone and reaches 1.0 by C
+    curve = cal["recall_curve"]
+    ps = sorted(curve)
+    assert all(curve[a] <= curve[b] + 1e-12 for a, b in zip(ps, ps[1:]))
+
+
 def test_minhash_bucket_guard(spark, sf_dir):
     """max_bucket_size guards the band join against quadratic bucket
     blowup; at a generous cap it must be a no-op, at cap 0 candidate
