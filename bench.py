@@ -301,6 +301,42 @@ def main() -> None:
                 "stats_total_sec": s_sec,
                 "analyze_sec": analyze_sec,
             }
+            # Returns-pair bucketed posture (VERDICT r8 item 6): the
+            # q24-class store_sales⋈store_returns join on (ticket,
+            # item) with both facts bucketed — the shuffle-free plan
+            # the SF10 sweep measured at 2.5× over stats-SMJ
+            # (BENCH_NOTES "Round 8: SF10"). Standing SF1 reading:
+            # q24a/q24b stats-SMJ vs bucketed, per round.
+            try:
+                from flink_tpcds_spark.sources.bucketing import (
+                    TPCDS_RETURNS_BUCKET_SPEC,
+                    install_bucketed_corpus_views,
+                )
+
+                rb: dict = {}
+                for name in ("q24a", "q24b"):
+                    q0 = time.time()
+                    runner.run_spark(name, spark)
+                    rb[f"{name}_stats"] = round(time.time() - q0, 3)
+                t0 = time.time()
+                w = install_bucketed_corpus_views(
+                    spark,
+                    sf1_dir,
+                    TPCDS_RETURNS_BUCKET_SPEC,
+                    analyze=True,
+                )
+                rb["bucket_write_sec"] = round(time.time() - t0, 3)
+                rb["cached"] = all(v == 0.0 for v in w.values())
+                for name in ("q24a", "q24b"):
+                    q0 = time.time()
+                    runner.run_spark(name, spark)
+                    rb[f"{name}_bucketed"] = round(time.time() - q0, 3)
+                sf1["returns_bucketed"] = rb
+            finally:
+                # the temp views SHADOW the catalog tables — dropping
+                # them restores the plain stats posture untouched
+                for t in ("store_sales", "store_returns"):
+                    spark.catalog.dropTempView(t)
         except Exception:  # noqa: BLE001 — never break the bench contract
             pass
 

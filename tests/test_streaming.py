@@ -469,6 +469,11 @@ def test_windowed_update_mode_is_early_fire(spark, sf_dir):
 # ParquetUpsertSink / ParquetRetractSink are the 100 TB sinks; these
 # dict-backed versions are the executable specification their
 # snapshots/changelogs are checked against.
+#
+# NOT A USABLE SINK — reference model for the property tests only.
+# Do not import from the package or resurrect as a production path:
+# state lives in a driver dict (see _check_bound). The package holds
+# zero driver-state streaming code by design (VERDICT r8).
 # ---------------------------------------------------------------------------
 import pandas as pd
 from pyspark.sql import DataFrame
