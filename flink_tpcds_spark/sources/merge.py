@@ -57,6 +57,7 @@ The plain layout keeps whole-table atomicity.
 from __future__ import annotations
 
 import json
+import math
 import os
 import shutil
 import uuid
@@ -210,16 +211,45 @@ def create_bucketed_table(
     )
 
 
+def suggest_bucket_count(
+    target_path: str,
+    target_bucket_bytes: int = 256 * 1024 * 1024,
+    lo: int = 16,
+    hi: int = 65536,
+) -> int:
+    """Bucket-count sizing for ``convert_to_bucketed``: the bucket is
+    the copy-on-write write-amplification unit (a 1-row delta
+    rewrites its whole bucket), so N should put each bucket near a
+    target on-disk size — 256 MB default, the usual
+    parquet/file-group sweet spot. Rounded to a power of two
+    (doubling N later re-splits each bucket exactly in half under
+    pmod of the same hash — a future re-bucket moves the minimum
+    data), clamped to [lo, hi]. Uses the COMPRESSED on-disk size, the
+    quantity that actually bounds a bucket rewrite's IO."""
+    total = 0
+    for root, _dirs, files in os.walk(target_path):
+        for f in files:
+            if not f.startswith((".", "_")):
+                total += os.path.getsize(os.path.join(root, f))
+    raw = max(total / target_bucket_bytes, 1.0)
+    n = 1 << max(0, round(math.log2(raw)))
+    return max(lo, min(hi, n))
+
+
 def convert_to_bucketed(
     spark: SparkSession,
     target_path: str,
     keys: list[str],
-    n_buckets: int = 64,
+    n_buckets: int | None = 64,
 ) -> dict:
     """One-time rewrite of a plain parquet table into the bucketed
     hive layout (the 100 TB amortization story: one bucketed load,
     every later MERGE partition-pruned). Whole-dir two-rename swap —
-    same atomicity as a plain merge."""
+    same atomicity as a plain merge. ``n_buckets=None`` sizes the
+    bucket count from the table's on-disk bytes
+    (``suggest_bucket_count``)."""
+    if n_buckets is None:
+        n_buckets = suggest_bucket_count(target_path)
     _recover(target_path)
     existing = read_bucket_marker(target_path)
     if existing is not None:

@@ -1019,22 +1019,33 @@ def test_merge_into_random_sequences_match_model():
         import shutil
         import tempfile
 
+        from flink_tpcds_spark.sources.merge import (
+            convert_to_bucketed,
+            read_merge_table,
+        )
+
         work = tempfile.mkdtemp(prefix="merge_prop_")
         try:
-            tgt = os.path.join(work, "t")
             init = {1: 100, 2: 200, 3: 300}
-            spark.createDataFrame(
-                list(init.items()), "k long, v long"
-            ).write.parquet(tgt)
+            # SAME random sequence against both physical layouts —
+            # the bucketed path must be logically invisible
+            tgt = os.path.join(work, "t")
+            btgt = os.path.join(work, "tb")
+            for p in (tgt, btgt):
+                spark.createDataFrame(
+                    list(init.items()), "k long, v long"
+                ).write.parquet(p)
+            convert_to_bucketed(spark, btgt, ["k"], n_buckets=4)
             model = dict(init)
             for src_map, mode, insert in merges:
                 src = spark.createDataFrame(
                     list(src_map.items()), "k long, v long"
                 )
-                merge_into(
-                    spark, tgt, src, ["k"],
-                    when_matched=mode, insert_not_matched=insert,
-                )
+                for p in (tgt, btgt):
+                    merge_into(
+                        spark, p, src, ["k"],
+                        when_matched=mode, insert_not_matched=insert,
+                    )
                 for k, v in src_map.items():
                     if k in model:
                         if mode == "update":
@@ -1045,6 +1056,11 @@ def test_merge_into_random_sequences_match_model():
                         model[k] = v
                 got = {r.k: r.v for r in spark.read.parquet(tgt).collect()}
                 assert got == model, (mode, insert, src_map)
+                bgot = {
+                    r.k: r.v
+                    for r in read_merge_table(spark, btgt).collect()
+                }
+                assert bgot == model, ("bucketed", mode, insert, src_map)
         finally:
             shutil.rmtree(work, ignore_errors=True)
 
@@ -1422,3 +1438,33 @@ def test_cdc_apply_bucketed_state(spark, tmp_path):
     # key 1's bucket was not in batch 2's delta: physically untouched
     untouched = [d for d in before if d in after and before[d] == after[d]]
     assert untouched, "expected at least one untouched bucket"
+
+
+def test_suggest_bucket_count_power_of_two_sizing(spark, tmp_path):
+    """N tracks on-disk bytes / target, as a power of two, clamped."""
+    from flink_tpcds_spark.sources.merge import (
+        convert_to_bucketed,
+        read_bucket_marker,
+        suggest_bucket_count,
+    )
+
+    tgt = str(tmp_path / "adv")
+    spark.createDataFrame(
+        [(k, "x" * 100) for k in range(5000)], "k long, v string"
+    ).coalesce(1).write.parquet(tgt)
+    # tiny table: clamps to the floor
+    assert suggest_bucket_count(tgt) == 16
+    # the cap binds when the size/target ratio exceeds it
+    assert suggest_bucket_count(tgt, target_bucket_bytes=1, hi=64) == 64
+    n = suggest_bucket_count(tgt, target_bucket_bytes=4096, lo=1, hi=1 << 20)
+    sz = sum(
+        os.path.getsize(os.path.join(tgt, f))
+        for f in os.listdir(tgt)
+        if not f.startswith(("_", "."))
+    )
+    import math as m
+
+    assert n == 1 << max(0, round(m.log2(max(sz / 4096, 1.0))))
+    # convert with n_buckets=None routes through the advisor
+    convert_to_bucketed(spark, tgt, ["k"], n_buckets=None)
+    assert read_bucket_marker(tgt)["n_buckets"] == 16

@@ -1348,9 +1348,20 @@ def test_cdc_apply_random_change_sequences_match_model():
 
         work = tempfile.mkdtemp(prefix="cdc_prop_")
         try:
-            cdc = CdcApply(
-                os.path.join(work, "t"), ["k"], order_cols=["seq"]
-            )
+            # SAME change sequence through both state layouts — the
+            # bucketed (partition-pruned) fold must be logically
+            # invisible vs the plain full-rewrite fold
+            cdcs = [
+                CdcApply(
+                    os.path.join(work, "t"), ["k"], order_cols=["seq"]
+                ),
+                CdcApply(
+                    os.path.join(work, "tb"),
+                    ["k"],
+                    order_cols=["seq"],
+                    n_buckets=4,
+                ),
+            ]
             model: dict[int, tuple[int, int]] = {}
             seq = 0
             for bi, changes in enumerate(batches):
@@ -1365,13 +1376,15 @@ def test_cdc_apply_random_change_sequences_match_model():
                 bdf = spark.createDataFrame(
                     rows, "k long, seq long, v long, op string"
                 )
-                cdc.foreach_batch(bdf, bi)
-                if bi == replay_at % len(batches):
-                    cdc.foreach_batch(bdf, bi)  # at-least-once replay
-            got = {
-                r.k: (r.seq, r.v) for r in cdc.table(spark).collect()
-            }
-            assert got == model
+                for cdc in cdcs:
+                    cdc.foreach_batch(bdf, bi)
+                    if bi == replay_at % len(batches):
+                        cdc.foreach_batch(bdf, bi)  # at-least-once
+            for cdc in cdcs:
+                got = {
+                    r.k: (r.seq, r.v) for r in cdc.table(spark).collect()
+                }
+                assert got == model, cdc.path
         finally:
             shutil.rmtree(work, ignore_errors=True)
 
