@@ -333,6 +333,10 @@ def merge_into(
     """Merge ``source`` into the parquet table at ``target_path``
     (plain or bucketed layout — auto-detected from the marker).
 
+    Single-writer per target (both layouts): concurrent merges to the
+    same path would race the swap/manifest — serialize them upstream
+    (the foreachBatch contract already does for CDC).
+
     Returns a manifest dict: plain layout reports ``rows_after``;
     bucketed layout reports ``rows_written`` / ``buckets_touched`` /
     ``n_buckets`` (counting the full table would defeat the pruning).

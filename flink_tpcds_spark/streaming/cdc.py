@@ -56,6 +56,12 @@ class CdcApply:
     change order at all, and any fallback (e.g. ordering by the op
     string) silently decides "last op" lexicographically — an upsert
     would always beat a later delete.
+
+    ``n_buckets`` takes effect when THIS instance creates the state
+    table (first batch against a missing path); an existing
+    plain-layout state keeps its layout — migrate it explicitly with
+    :func:`sources.merge.convert_to_bucketed` (the layout marker on
+    disk, not this argument, is what each merge obeys).
     """
 
     def __init__(
