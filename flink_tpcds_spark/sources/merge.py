@@ -227,7 +227,10 @@ def suggest_bucket_count(
     data), clamped to [lo, hi]. Uses the COMPRESSED on-disk size, the
     quantity that actually bounds a bucket rewrite's IO."""
     total = 0
-    for root, _dirs, files in os.walk(target_path):
+    for root, dirs, files in os.walk(target_path):
+        # never descend into backup/tmp dirs (.merge-old-*) — they
+        # are not table bytes
+        dirs[:] = [d for d in dirs if not d.startswith(".")]
         for f in files:
             if not f.startswith((".", "_")):
                 total += os.path.getsize(os.path.join(root, f))
