@@ -329,6 +329,46 @@ def ops_explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "ops_lateral_topk",
+    """
+    SELECT c.c_custkey, o.o_orderkey, o.price
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+             FROM orders WHERE o_custkey = c.c_custkey
+             ORDER BY price DESC, o_orderkey LIMIT 2) o
+    WHERE c.c_custkey % 10 = 0
+    ORDER BY c.c_custkey, price DESC, o_orderkey
+    """,
+)
+def ops_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY/LIMIT — the
+    full SQL-standard Correlate form beyond UNNEST/UDTF (reference
+    BatchExecCorrelate serves LATERAL TABLE(udtf); the correlated-
+    derived-table form is the general case): each customer's top-2
+    orders by price. Catalyst DECORRELATES it into
+    WindowGroupLimit + one hash join — plan-audited: zero
+    CartesianProduct / BroadcastNestedLoopJoin, i.e. the same
+    scale-safe shape as the explicit window top-n, written
+    declaratively. Tie-deterministic via (price DESC, o_orderkey)."""
+    for name in ("customer", "orders"):
+        load_table(spark, sf_dir, name).createOrReplaceTempView(
+            f"__lat_{name}"
+        )
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.price
+        FROM __lat_customer c,
+        LATERAL (SELECT o_orderkey,
+                        CAST(o_totalprice AS DOUBLE) AS price
+                 FROM __lat_orders WHERE o_custkey = c.c_custkey
+                 ORDER BY price DESC, o_orderkey LIMIT 2) o
+        WHERE c.c_custkey % 10 = 0
+        ORDER BY c.c_custkey, price DESC, o_orderkey
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Values (reference BatchExecValues / ValuesInputFormat — §2.1)
 # ---------------------------------------------------------------------------
