@@ -330,6 +330,84 @@ def ops_explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ops_pivot",
+    f"""
+    SELECT c_mktsegment,
+           {dsum_sql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")}
+             AS rev_f,
+           {dsum_sql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")}
+             AS rev_o,
+           {dsum_sql("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")}
+             AS rev_p
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def ops_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (relational crosstab): revenue per market segment ×
+    order status through ``groupBy().pivot(values).agg`` — the
+    explicit value list keeps the plan a single pass (no
+    distinct-values pre-scan) and pins column order. The oracle is
+    the standard CASE-decomposition, value-identical via the decimal
+    bridge. Physical shape: ONE hash aggregate over the join — pivot
+    is Expand-free in Spark (compare Expand-based GROUPING SETS),
+    so it scales like any single groupBy."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    piv = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(dsum(F.col("o_totalprice")))
+    )
+    return piv.select(
+        "c_mktsegment",
+        F.col("F").alias("rev_f"),
+        F.col("O").alias("rev_o"),
+        F.col("P").alias("rev_p"),
+    ).orderBy("c_mktsegment")
+
+
+@_q(
+    "ops_unpivot",
+    f"""
+    SELECT metric, {dsum_sql('val')} AS total,
+           CAST(COUNT(val) AS BIGINT) AS cnt
+    FROM (
+      SELECT 'l_extendedprice' AS metric, l_extendedprice AS val
+      FROM lineitem
+      UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+      UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+    ) u
+    GROUP BY metric
+    ORDER BY metric
+    """,
+)
+def ops_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide→long melt, PIVOT's inverse): lineitem's three
+    money columns into (metric, val) rows via ``DataFrame.unpivot``
+    (SQL ``UNPIVOT`` / Expand under the hood — ONE scan emitting 3
+    rows per input, not 3 scans like the naive UNION ALL the oracle
+    uses), then a decimal-bridged per-metric rollup."""
+    l = load_table(spark, sf_dir, "lineitem")
+    u = l.unpivot(
+        ["l_orderkey"],
+        ["l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "val",
+    )
+    return (
+        u.groupBy("metric")
+        .agg(
+            dsum(F.col("val")).alias("total"),
+            F.count("val").cast("bigint").alias("cnt"),
+        )
+        .orderBy("metric")
+    )
+
+
+@_q(
     "ops_lateral_topk",
     """
     SELECT c.c_custkey, o.o_orderkey, o.price
