@@ -370,6 +370,41 @@ def ops_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ops_posexplode",
+    """
+    SELECT doc_id, CAST(u.x.i - 1 AS INTEGER) AS pos, u.x.w AS word
+    FROM (
+      SELECT doc_id,
+             unnest(list_transform(string_split(text, ' '),
+                    (w, i) -> struct_pack(w := w, i := i))) AS x
+      FROM documents WHERE lang = 'en'
+    ) u
+    WHERE u.x.w <> '' AND u.x.i - 1 < 5
+    ORDER BY doc_id, pos
+    """,
+)
+def ops_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNNEST WITH ORDINALITY (posexplode): token positions are part
+    of the Correlate contract (the reference's UDTF rows carry an
+    implicit order the collector preserves; here the ordinal is
+    explicit). First five positions of every English document,
+    position computed BEFORE the empty-token filter so the ordinal
+    reflects the original array — matched against DuckDB's indexed
+    list lambda."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    return (
+        d.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), " ", -1)).alias(
+                "pos", "word"
+            ),
+        )
+        .filter((F.col("word") != "") & (F.col("pos") < 5))
+        .orderBy("doc_id", "pos")
+    )
+
+
+@_q(
     "ops_unpivot",
     f"""
     SELECT metric, {dsum_sql('val')} AS total,
