@@ -370,6 +370,63 @@ def ops_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ops_window_distribution",
+    """
+    SELECT event_id, event_type,
+           CAST(NTILE(4) OVER w AS INTEGER) AS nt,
+           PERCENT_RANK() OVER w AS pr,
+           CUME_DIST() OVER w AS cd,
+           NTH_VALUE(value, 2) OVER (
+             PARTITION BY event_type ORDER BY value, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS nth2,
+           LAST_VALUE(CASE WHEN event_id % 3 != 0 THEN value END
+                      IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY value, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS last_nonnull
+    FROM events
+    WHERE event_id % 7 = 0
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    ORDER BY event_type, value, event_id
+    """,
+)
+def ops_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-class ranking functions (reference
+    RankAggFunction family / Blink OVER surface beyond
+    rank/row_number): NTILE, PERCENT_RANK, CUME_DIST, NTH_VALUE over
+    the full frame, and IGNORE-NULLS LAST_VALUE over the running
+    frame (`F.last(ignorenulls=True)` — the gap-fill primitive the
+    as-of join uses, here value-gated directly). Unique (value,
+    event_id) order keys make every function deterministic."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") % 7 == 0
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wfull = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        e.select(
+            "event_id",
+            "event_type",
+            F.ntile(4).over(w).cast("int").alias("nt"),
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+            F.nth_value("value", 2).over(wfull).alias("nth2"),
+            F.last(
+                F.when(F.col("event_id") % 3 != 0, F.col("value")),
+                ignorenulls=True,
+            )
+            .over(wrun)
+            .alias("last_nonnull"),
+        )
+        .orderBy("event_type", "value", "event_id")
+    )
+
+
+@_q(
     "ops_posexplode",
     """
     SELECT doc_id, CAST(u.x.i - 1 AS INTEGER) AS pos, u.x.w AS word
