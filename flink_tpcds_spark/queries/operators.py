@@ -370,6 +370,79 @@ def ops_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ops_array_higher_order",
+    """
+    WITH a AS (
+      SELECT l_orderkey,
+             list(CAST(l_quantity AS DOUBLE)
+                  ORDER BY l_linenumber, l_quantity) AS arr
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           CAST(len(arr) AS INTEGER) AS n,
+           list_sum(list_transform(arr, x -> x * x)) AS sum_sq,
+           CAST(len(list_filter(arr, x -> x > 25)) AS INTEGER) AS n_big,
+           list_sum(list_transform(arr,
+             (x, i) -> x * arr[len(arr) - i + 1])) AS dot_rev
+    FROM a
+    WHERE l_orderkey % 50 = 0
+    ORDER BY l_orderkey
+    """,
+)
+def ops_array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (reference flink gap — Blink has
+    no lambda fns; Spark's transform/filter/aggregate/zip_with are
+    the engine-native path the ANN dot products use): per-order
+    quantity vectors (sorted by (line number, quantity) — the
+    testdata's line numbers are NOT unique per order, so the value
+    itself is the tiebreak that makes the array, and every lambda
+    over it, engine-deterministic), squared-sum via
+    transform+aggregate, a predicate count via filter, and a
+    self-reversed dot product via zip_with — all codegen'd JVM
+    expressions, zero UDFs. Quantities are small integers, so the
+    double arithmetic is exact and hash-stable."""
+    l = load_table(spark, sf_dir, "lineitem")
+    arr_df = (
+        l.groupBy("l_orderkey")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            "l_linenumber",
+                            F.col("l_quantity").cast("double").alias("q"),
+                        )
+                    )
+                ),
+                lambda s: s["q"],
+            ).alias("arr")
+        )
+        .filter(F.col("l_orderkey") % 50 == 0)
+    )
+    zero = F.lit(0.0)
+    return (
+        arr_df.select(
+            "l_orderkey",
+            F.size("arr").alias("n"),
+            F.aggregate(
+                F.transform("arr", lambda x: x * x),
+                zero,
+                lambda acc, x: acc + x,
+            ).alias("sum_sq"),
+            F.size(F.filter("arr", lambda x: x > 25)).alias("n_big"),
+            F.aggregate(
+                F.zip_with(
+                    "arr", F.reverse("arr"), lambda a, b: a * b
+                ),
+                zero,
+                lambda acc, x: acc + x,
+            ).alias("dot_rev"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+@_q(
     "ops_window_distribution",
     """
     SELECT event_id, event_type,
