@@ -370,6 +370,55 @@ def ops_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ops_try_arithmetic",
+    """
+    SELECT event_id,
+           CASE WHEN CAST(event_id % 3 AS DOUBLE) = 0 THEN NULL
+                ELSE value / CAST(event_id % 3 AS DOUBLE) END AS d,
+           TRY_CAST(CASE WHEN event_id % 2 = 0
+                         THEN CAST(event_id AS VARCHAR)
+                         ELSE event_type END AS INTEGER) AS maybe_int,
+           CASE WHEN event_id = 0 THEN 9223372036854775807
+                ELSE NULL END AS add_sat
+    FROM events
+    WHERE event_id % 11 = 0
+    ORDER BY event_id
+    """,
+)
+def ops_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic (`try_divide` / `try_cast` / `try_add`):
+    NULL-on-failure semantics instead of runtime errors — the
+    engine-native form of Blink's lenient cast behavior
+    (SqlCastFunction null-on-error mode), and the only sane posture
+    for a 100 TB batch job where one malformed row must not kill the
+    stage. Divide-by-zero → NULL, unparseable string → NULL, int64
+    overflow → NULL; the oracle states each outcome explicitly in
+    CASE form (DuckDB's strict arithmetic would error out)."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") % 11 == 0
+    )
+    return (
+        e.select(
+            "event_id",
+            F.try_divide(
+                F.col("value"), (F.col("event_id") % 3).cast("double")
+            ).alias("d"),
+            F.when(
+                F.col("event_id") % 2 == 0,
+                F.col("event_id").cast("string"),
+            )
+            .otherwise(F.col("event_type"))
+            .try_cast("int")
+            .alias("maybe_int"),
+            F.try_add(
+                F.lit(9223372036854775807), F.col("event_id")
+            ).alias("add_sat"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@_q(
     "ops_array_higher_order",
     """
     WITH a AS (
