@@ -55,6 +55,18 @@ _REPO = os.path.dirname(
 
 _WINDOW = 50
 
+# Entries whose IMPLEMENTATION changed since their last driver-green
+# row — a fresh green round says nothing about code it never ran, so
+# these re-enter the window ahead of stale-green re-confirmations
+# (after reds and never-seen entries). Maintained by hand when a
+# round rewrites the guts behind a registered query; the driver's
+# next green row supersedes the old one, after which the name can be
+# dropped here (harmless if left — it just re-confirms early).
+_PRIORITY_RECHECK: set[str] = {
+    # r9: CDC state rerouted to the bucketed merge layout
+    "st_cdc_apply",
+}
+
 
 def _driver_status() -> tuple[dict[str, int], set[str]]:
     """(green_round, seen) across all CORRECTNESS_r*.json files.
@@ -148,8 +160,10 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         key=lambda n: (green[n], stable_idx[n]),
     )
 
+    recheck = [n for n in _PRIORITY_RECHECK if n in merged]
+
     front: list[str] = []
-    for group in (red, unseen_corpus, unseen_other, stale_green):
+    for group in (red, unseen_corpus, unseen_other, recheck, stale_green):
         for n in group:
             if len(front) >= _WINDOW:
                 break

@@ -231,9 +231,17 @@ def test_window_rotation_steady_state_reconfirms_stalest_greens(
     (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(r1))
     (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps(r2))
     monkeypatch.setattr(q, "_REPO", str(tmp_path))
+    monkeypatch.setattr(q, "_PRIORITY_RECHECK", set())
     window = list(q.all_queries())[:50]
     # all 50 come from the r1 (stalest) cohort, in stable suite order
     assert window == names[:50]
+
+    # a changed-implementation entry (priority recheck) jumps ahead
+    # of the stale-green cohort even when its own green is FRESH
+    monkeypatch.setattr(q, "_PRIORITY_RECHECK", {names[-1]})
+    window = list(q.all_queries())[:50]
+    assert window[0] == names[-1]
+    assert window[1:] == names[:49]
 
 
 def test_window_rotation_full_registry_recertifies(tmp_path, monkeypatch):
