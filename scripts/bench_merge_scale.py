@@ -158,6 +158,70 @@ def main() -> None:
     out["bucketed_delta_sweep"] = sweep
     out["state_rows"] = state_n
 
+    # ------------------------------------------------------------------
+    # CDC apply end-to-end on the SAME bucketed state: five
+    # 1k-change micro-batches (upserts + tombstones) through
+    # CdcApply.foreach_batch — per-batch wall-clock must sit in the
+    # small-delta band of the sweep above (each batch = one in-batch
+    # reduce + up to two touched-bucket merges), with last-op-wins
+    # invariants checked against a dict model.
+    # ------------------------------------------------------------------
+    from flink_tpcds_spark.streaming.cdc import CdcApply
+
+    cdc = CdcApply(
+        tgt, ["o_orderkey"], order_cols=["seq"], n_buckets=n_buckets
+    )
+    value_cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"]
+    batches = []
+    model_checks = True
+    for b in range(5):
+        step = state_n // 700  # ~700 upserts
+        ups = (
+            read_merge_table(spark, tgt)
+            .filter(F.col("o_orderkey") % step == (b + 2))
+            .limit(700)
+            .select(*value_cols)
+            .withColumn("o_orderstatus", F.lit(f"C{b}"))
+            .withColumn("op", F.lit("u"))
+        )
+        dels = (
+            read_merge_table(spark, tgt)
+            .filter(F.col("o_orderkey") % step == (b + 50))
+            .limit(300)
+            .select(*value_cols)
+            .withColumn("op", F.lit("d"))
+        )
+        from pyspark.sql.window import Window
+
+        batch = ups.unionByName(dels).withColumn(
+            "seq",
+            F.row_number()
+            .over(Window.orderBy("o_orderkey", "op"))
+            .cast("long"),
+        )
+        bpath = os.path.join(work, f"cdc_b{b}")
+        batch.write.parquet(bpath)
+        bdf = spark.read.parquet(bpath)
+        n_ups = bdf.filter(F.col("op") != "d").count()
+        n_dels = bdf.filter(F.col("op") == "d").count()
+        before_n = read_merge_table(spark, tgt).count()
+        t0 = time.time()
+        cdc.foreach_batch(bdf, b)
+        sec = round(time.time() - t0, 2)
+        after = read_merge_table(spark, tgt)
+        marked = after.filter(F.col("o_orderstatus") == f"C{b}").count()
+        model_checks = model_checks and marked == n_ups
+        batches.append(
+            {
+                "upserts": n_ups,
+                "deletes": n_dels,
+                "sec": sec,
+                "rows_delta": after.count() - before_n,
+            }
+        )
+    out["cdc_apply_batches"] = batches
+    out["cdc_invariants"] = bool(model_checks)
+
     shutil.rmtree(work, ignore_errors=True)
     print(json.dumps(out))
 
