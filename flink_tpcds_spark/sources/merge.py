@@ -413,6 +413,13 @@ def merge_into(
         else kept
     )
 
+    n_after = _swap_plain(spark, target_path, merged)
+    return {"rows_after": n_after, "keys": list(keys), "mode": when_matched}
+
+
+def _swap_plain(spark: SparkSession, target_path: str, merged: DataFrame) -> int:
+    """Plain-layout rewrite + whole-dir two-rename swap; returns the
+    row count of the new table."""
     tmp = f"{target_path}.merge-{uuid.uuid4().hex[:8]}"
     merged.write.parquet(tmp)
     n_after = spark.read.parquet(tmp).count()
@@ -421,7 +428,88 @@ def merge_into(
     os.rename(target_path, old)
     os.rename(tmp, target_path)
     shutil.rmtree(old, ignore_errors=True)
-    return {"rows_after": n_after, "keys": list(keys), "mode": when_matched}
+    return n_after
+
+
+def apply_changeset(
+    spark: SparkSession,
+    target_path: str,
+    upserts: DataFrame,
+    delete_keys: DataFrame,
+    keys: list[str],
+) -> dict:
+    """One-PASS CDC apply: ``upserts`` replace/insert whole rows and
+    ``delete_keys`` are removed, in a SINGLE rewrite of the touched
+    buckets (or one plain-layout rewrite) — not one rewrite per op
+    type like two ``merge_into`` calls would cost. This halves the
+    write amplification of a MERGE-per-micro-batch CDC fold (each
+    batch usually carries both upserts and tombstones, and their
+    touched-bucket sets overlap heavily).
+
+    Contract (what a last-op-wins in-batch reduce guarantees, see
+    streaming/cdc.py): upsert keys are unique, and the upsert and
+    delete key sets are disjoint. Idempotent for a fixed changeset —
+    replay-safe under foreachBatch at-least-once.
+    """
+    _recover(target_path)
+    meta = read_bucket_marker(target_path)
+    target = _read_target(spark, target_path, meta)
+    data_cols = (
+        [c for c in target.columns if c != BUCKET_COL]
+        if meta is not None
+        else list(target.columns)
+    )
+    _check_source_schema(upserts, target, data_cols, "changeset upsert")
+    delete_keys = delete_keys.select(*keys)
+    all_keys = upserts.select(*keys).unionByName(delete_keys)
+
+    if meta is None:
+        kept = target.join(all_keys, on=keys, how="left_anti")
+        merged = kept.select(*data_cols).unionByName(
+            upserts.select(*data_cols)
+        )
+        n_after = _swap_plain(spark, target_path, merged)
+        return {"rows_after": n_after, "keys": list(keys), "mode": "changeset"}
+
+    if list(meta["keys"]) != list(keys):
+        raise ValueError(
+            f"apply_changeset: target is bucketed on {meta['keys']}, "
+            f"changeset keys are {keys}"
+        )
+    n = int(meta["n_buckets"])
+    src_keys = all_keys.withColumn(BUCKET_COL, _bucket_expr(keys, n)).persist()
+    ups = upserts.withColumn(BUCKET_COL, _bucket_expr(keys, n)).persist()
+    try:
+        touched = sorted(
+            r[0] for r in src_keys.select(BUCKET_COL).distinct().collect()
+        )
+        if not touched:
+            return {
+                "rows_written": 0,
+                "buckets_touched": 0,
+                "n_buckets": n,
+                "keys": list(keys),
+                "mode": "changeset",
+            }
+        tgt_sub = target.filter(F.col(BUCKET_COL).isin(touched))
+        kept = tgt_sub.join(
+            src_keys.select(*keys), on=keys, how="left_anti"
+        )
+        cols = list(target.columns)
+        merged = kept.select(*cols).unionByName(ups.select(*cols))
+        rows_written = _write_and_swap_buckets(
+            spark, target_path, merged, keys, touched
+        )
+        return {
+            "rows_written": rows_written,
+            "buckets_touched": len(touched),
+            "n_buckets": n,
+            "keys": list(keys),
+            "mode": "changeset",
+        }
+    finally:
+        src_keys.unpersist()
+        ups.unpersist()
 
 
 def _merge_bucketed(
@@ -507,6 +595,28 @@ def _apply_bucketed(
         else kept.select(*cols)
     )
 
+    rows_written = _write_and_swap_buckets(
+        spark, target_path, merged, keys, touched
+    )
+    return {
+        "rows_written": rows_written,
+        "buckets_touched": len(touched),
+        "n_buckets": n,
+        "keys": list(keys),
+        "mode": when_matched,
+    }
+
+
+def _write_and_swap_buckets(
+    spark: SparkSession,
+    target_path: str,
+    merged: DataFrame,
+    keys: list[str],
+    touched: list[int],
+) -> int:
+    """Write ``merged`` (touched-bucket rows, bucket column included)
+    as hive partitions and swap them in under the roll-forward
+    manifest. Returns the rewritten row count."""
     mid = uuid.uuid4().hex[:8]
     tmp = f"{target_path}.merge-{mid}"
     # small delta → one task (≈ one file) per touched bucket; a merge
@@ -543,10 +653,4 @@ def _apply_bucketed(
     man = {"id": mid, "tmp": os.path.basename(tmp), "buckets": touched}
     _write_json_atomic(os.path.join(target_path, _INFLIGHT), man)
     _finish_bucket_swaps(target_path, man)
-    return {
-        "rows_written": rows_written,
-        "buckets_touched": len(touched),
-        "n_buckets": n,
-        "keys": list(keys),
-        "mode": when_matched,
-    }
+    return rows_written

@@ -4,28 +4,29 @@ The reference ecosystem's flink-cdc pattern (and Delta's
 ``MERGE``-per-micro-batch idiom): a stream of row-level change events
 — upserts and deletes, ordered per key — is folded into the current
 table state. Each micro-batch reduces to its LAST operation per key
-(row_number over the in-batch change order), then applies as exactly
-two :func:`sources.merge.merge_into` calls:
+(row_number over the in-batch change order), then applies as ONE
+:func:`sources.merge.apply_changeset` call — upserts replace/insert,
+tombstone keys are removed, in a single rewrite (upsert and delete
+key sets are disjoint after the reduce, which is exactly the
+changeset contract; two separate merge_into calls would rewrite the
+heavily-overlapping touched-bucket sets twice).
 
-    1. upserts  → ``when_matched="update", insert_not_matched=True``
-    2. deletes  → ``when_matched="delete", insert_not_matched=False``
-
-Replay idempotency: both merges are idempotent for a fixed batch
-(re-updating with the same values and re-deleting absent keys are
+Replay idempotency: the changeset is idempotent for a fixed batch
+(re-applying the same after-images and re-deleting absent keys are
 no-ops), so the at-least-once ``foreachBatch`` contract needs no
 batch marker here — the same property Delta relies on for
 MERGE-based CDC apply. Cross-batch ordering holds when batches are
 delivered in change order (the CDC log's own guarantee).
 
 Scale shape: per batch, one in-batch reduce (shuffle on the key over
-DELTA rows only) plus the two delta-sized merge joins against the
-state — never a history rescan. With ``n_buckets`` set (the default
+DELTA rows only) plus one delta-sized anti join against the state —
+never a history rescan. With ``n_buckets`` set (the default
 posture for any non-toy state), the state is laid out as
 ``bucket=H(keys)%N`` hive partitions (sources/merge.py bucketed
-layout) and each merge reads and rewrites ONLY the buckets the
+layout) and the apply reads and rewrites ONLY the buckets the
 delta's keys hash into — per-batch write cost is
 O(delta ∪ touched-buckets), not O(state); untouched buckets are
-physically untouched. Without it the merge is plain copy-on-write:
+physically untouched. Without it the apply is plain copy-on-write:
 the whole state re-written per batch — acceptable only for small
 reference tables.
 
@@ -85,7 +86,7 @@ class CdcApply:
         self.n_buckets = n_buckets
 
     def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        from ..sources.merge import merge_into
+        from ..sources.merge import apply_changeset
 
         spark = batch_df.sparkSession
         order = [F.desc(c) for c in self.order_cols]
@@ -109,19 +110,10 @@ class CdcApply:
                 )
             else:
                 spark.createDataFrame([], ups.schema).write.parquet(self.path)
-        if not ups.isEmpty():
-            merge_into(
-                spark, self.path, ups, self.keys, when_matched="update"
-            )
-        if not dels.isEmpty():
-            merge_into(
-                spark,
-                self.path,
-                dels,
-                self.keys,
-                when_matched="delete",
-                insert_not_matched=False,
-            )
+        if not last.isEmpty():
+            # one rewrite for BOTH op types — the reduce guarantees
+            # upsert/delete key disjointness (changeset contract)
+            apply_changeset(spark, self.path, ups, dels, self.keys)
 
     def table(self, spark: SparkSession) -> DataFrame:
         """The materialized current state (layout-agnostic: the

@@ -168,57 +168,56 @@ def main() -> None:
     # ------------------------------------------------------------------
     from flink_tpcds_spark.streaming.cdc import CdcApply
 
+    cdc_path = os.path.join(work, "orders_cdc")
     cdc = CdcApply(
-        tgt, ["o_orderkey"], order_cols=["seq"], n_buckets=n_buckets
+        cdc_path, ["o_orderkey"], order_cols=["seq"], n_buckets=n_buckets
     )
     value_cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"]
+    base_state = read_merge_table(spark, tgt).select(*value_cols)
     batches = []
     model_checks = True
-    for b in range(5):
-        step = state_n // 700  # ~700 upserts
-        ups = (
-            read_merge_table(spark, tgt)
-            .filter(F.col("o_orderkey") % step == (b + 2))
-            .limit(700)
-            .select(*value_cols)
-            .withColumn("o_orderstatus", F.lit(f"C{b}"))
-            .withColumn("op", F.lit("u"))
-        )
-        dels = (
-            read_merge_table(spark, tgt)
-            .filter(F.col("o_orderkey") % step == (b + 50))
-            .limit(300)
-            .select(*value_cols)
-            .withColumn("op", F.lit("d"))
-        )
-        from pyspark.sql.window import Window
-
-        batch = ups.unionByName(dels).withColumn(
-            "seq",
-            F.row_number()
-            .over(Window.orderBy("o_orderkey", "op"))
-            .cast("long"),
-        )
+    for b in range(6):
+        if b == 0:
+            # initial snapshot load THROUGH the CDC path (every key
+            # appears once, so a constant seq is a per-key total order)
+            batch = base_state.withColumn("seq", F.lit(0).cast("long")) \
+                .withColumn("op", F.lit("u"))
+        else:
+            step = state_n // 700  # ~700 upserts
+            ups = (
+                base_state.filter(F.col("o_orderkey") % step == (b + 2))
+                .limit(700)
+                .withColumn("o_orderstatus", F.lit(f"C{b}"))
+                .withColumn("op", F.lit("u"))
+            )
+            dels = (
+                base_state.filter(F.col("o_orderkey") % step == (b + 50))
+                .limit(300)
+                .withColumn("op", F.lit("d"))
+            )
+            batch = ups.unionByName(dels).withColumn(
+                "seq", F.lit(b).cast("long")
+            )
         bpath = os.path.join(work, f"cdc_b{b}")
         batch.write.parquet(bpath)
         bdf = spark.read.parquet(bpath)
         n_ups = bdf.filter(F.col("op") != "d").count()
         n_dels = bdf.filter(F.col("op") == "d").count()
-        before_n = read_merge_table(spark, tgt).count()
         t0 = time.time()
         cdc.foreach_batch(bdf, b)
         sec = round(time.time() - t0, 2)
-        after = read_merge_table(spark, tgt)
-        marked = after.filter(F.col("o_orderstatus") == f"C{b}").count()
-        model_checks = model_checks and marked == n_ups
+        after = cdc.table(spark)
+        if b > 0:
+            marked = after.filter(
+                F.col("o_orderstatus") == f"C{b}"
+            ).count()
+            # deleted keys may overlap a later batch's residue only if
+            # residues collide (they don't: b+2 != b'+50 within range)
+            model_checks = model_checks and marked == n_ups
         batches.append(
-            {
-                "upserts": n_ups,
-                "deletes": n_dels,
-                "sec": sec,
-                "rows_delta": after.count() - before_n,
-            }
+            {"upserts": n_ups, "deletes": n_dels, "sec": sec}
         )
+    out["cdc_state_rows_final"] = cdc.table(spark).count()
     out["cdc_apply_batches"] = batches
     out["cdc_invariants"] = bool(model_checks)
 

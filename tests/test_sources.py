@@ -1468,3 +1468,46 @@ def test_suggest_bucket_count_power_of_two_sizing(spark, tmp_path):
     # convert with n_buckets=None routes through the advisor
     convert_to_bucketed(spark, tgt, ["k"], n_buckets=None)
     assert read_bucket_marker(tgt)["n_buckets"] == 16
+
+
+def test_apply_changeset_single_pass_both_layouts(spark, tmp_path):
+    """apply_changeset: upserts (replace + insert) and tombstones in
+    ONE rewrite, on both layouts; bucketed mode touches only the
+    union of the changeset's buckets."""
+    from flink_tpcds_spark.sources.merge import (
+        apply_changeset,
+        convert_to_bucketed,
+        read_merge_table,
+    )
+
+    init = [(k, k * 10) for k in range(40)]
+    ups = spark.createDataFrame([(1, 111), (100, 1000)], "k long, v long")
+    dels = spark.createDataFrame([(2,), (3,)], "k long")
+    model = dict(init)
+    model[1] = 111
+    model[100] = 1000
+    del model[2], model[3]
+
+    plain = str(tmp_path / "p")
+    spark.createDataFrame(init, "k long, v long").write.parquet(plain)
+    m = apply_changeset(spark, plain, ups, dels, ["k"])
+    assert m["mode"] == "changeset" and m["rows_after"] == len(model)
+    got = {r.k: r.v for r in spark.read.parquet(plain).collect()}
+    assert got == model
+
+    bkt = str(tmp_path / "b")
+    spark.createDataFrame(init, "k long, v long").write.parquet(bkt)
+    convert_to_bucketed(spark, bkt, ["k"], n_buckets=8)
+    before = _bucket_state(bkt)
+    m = apply_changeset(spark, bkt, ups, dels, ["k"])
+    assert 1 <= m["buckets_touched"] <= 4  # ≤ |changeset keys|
+    after = _bucket_state(bkt)
+    untouched = [d for d in before if before[d] == after.get(d)]
+    assert len(untouched) == 8 - m["buckets_touched"]
+    got = {r.k: r.v for r in read_merge_table(spark, bkt).collect()}
+    assert got == model
+
+    # type drift still fails up front
+    bad = spark.createDataFrame([(1, 5)], "k long, v int")
+    with pytest.raises(ValueError, match="differ in type"):
+        apply_changeset(spark, bkt, bad, dels, ["k"])
