@@ -370,6 +370,53 @@ def ops_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ops_map_higher_order",
+    f"""
+    SELECT c_mktsegment, o_orderstatus AS status,
+           {dsum_sql('o_totalprice')} * 2 AS rev2
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment, o_orderstatus
+    HAVING {dsum_sql('o_totalprice')} * 2 > 100000
+    ORDER BY c_mktsegment, status
+    """,
+)
+def ops_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions (transform_values / map_filter —
+    with MULTISET/map emulation this closes the lambda surface over
+    Blink's map type): per-segment status→revenue maps built with
+    map_from_entries, values doubled via transform_values, small
+    entries dropped via map_filter, then exploded back to rows so
+    every surviving (key, value) pair is value-checked against the
+    plain relational oracle (map internals must be a lossless detour:
+    same rows in, same rows out)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_mktsegment", "o_orderstatus")
+        .agg(dsum(F.col("o_totalprice")).alias("rev"))
+    )
+    maps = per.groupBy("c_mktsegment").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("o_orderstatus", "rev")))
+        ).alias("m")
+    )
+    adj = maps.select(
+        "c_mktsegment",
+        F.map_filter(
+            F.transform_values("m", lambda _k, v: v * 2),
+            lambda _k, v: v > 100000,
+        ).alias("m2"),
+    )
+    return (
+        adj.select(
+            "c_mktsegment", F.explode("m2").alias("status", "rev2")
+        )
+        .orderBy("c_mktsegment", "status")
+    )
+
+
+@_q(
     "ops_try_arithmetic",
     """
     SELECT event_id,
