@@ -564,3 +564,33 @@ def test_ops_skew_join_plan_shape(spark, sf_dir):
     assert "CartesianProduct" not in text
     assert "BroadcastNestedLoopJoin" not in text
     assert "__salt" not in df.columns
+
+
+def test_r9_entries_have_scale_safe_plans(spark, sf_dir):
+    """Standing plan audit for the round-9 SQL-surface entries: no
+    CartesianProduct, no BroadcastNestedLoopJoin, no row-at-a-time
+    Python eval anywhere — and the LATERAL top-k must decorrelate to
+    WindowGroupLimit (the explicit-window plan, written declaratively)."""
+    from flink_tpcds_spark.queries import all_queries
+
+    qs = all_queries()
+    names = [
+        "ops_lateral_topk",
+        "ops_pivot",
+        "ops_unpivot",
+        "ops_posexplode",
+        "ops_window_distribution",
+        "ops_array_higher_order",
+        "ops_try_arithmetic",
+        "ops_map_higher_order",
+    ]
+    for name in names:
+        plan = qs[name](spark, sf_dir)._jdf.queryExecution() \
+            .executedPlan().toString()
+        for bad in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                    "BatchEvalPython"):
+            assert bad not in plan, f"{name}: {bad} in plan"
+        if name == "ops_lateral_topk":
+            assert "WindowGroupLimit" in plan, (
+                "lateral top-k must decorrelate to WindowGroupLimit"
+            )
