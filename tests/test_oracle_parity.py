@@ -161,8 +161,10 @@ def test_window_rotation_is_status_aware(tmp_path, monkeypatch):
     monkeypatch.setattr(q, "_REPO", str(tmp_path))
 
     window = list(q.all_queries())[:50]
-    # red queries pinned at the very front, in stable order
-    assert window[: len(some_red)] == some_red
+    # red queries pinned at the very front (their relative order is
+    # SUITE-definition order, which may differ from _QUERIES' live
+    # window order that some_red was sampled from — compare as a set)
+    assert set(window[: len(some_red)]) == set(some_red)
     # greens rotated out of the window entirely
     assert not (set(window) & set(some_green))
     # the rest of the window is never-seen entries only
