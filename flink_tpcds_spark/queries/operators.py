@@ -2585,3 +2585,135 @@ def ops_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type")
         )
     return _SIDE_MEMO[key]
+
+
+# ---------------------------------------------------------------------------
+# REST row-service connector (sources/restds.py — Spark 4 Python
+# DataSource API): the service-connector contract the reference
+# registers through its TableFactory SPI (Kafka/ES source+sink
+# factories), exercised against a real in-process HTTP service —
+# partitioned parallel reads + filter pushdown compiled over the wire
+# ---------------------------------------------------------------------------
+_REST_SERVERS: list = []  # keep services alive for the app lifetime
+
+
+@_q(
+    "ops_rest_source",
+    f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS cnt,
+           {dsum_sql('value')} AS total
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def ops_rest_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REST connector round trip: the events table served over HTTP
+    (JSON lines — doubles exact via shortest-round-trip reprs), read
+    back through the ``flinkrest`` Python DataSource in 4 parallel
+    partitions with the IN-filter PUSHED to the service (the
+    executors fetch only qualifying rows; no Spark-side Filter node —
+    plan-gated in tests/test_restds.py), then aggregated. Reference
+    contract: KafkaTableSourceSinkFactory / the ES upsert sink's
+    service-connector shape, re-expressed on Spark's public
+    DataSource API."""
+    from ..sources import restds
+
+    key = ("ops_rest_source", spark.sparkContext.applicationId, sf_dir)
+    if key not in _SIDE_MEMO:
+        import atexit as _atexit
+
+        e = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+        rows = [
+            {
+                "event_id": r.event_id,
+                "event_type": r.event_type,
+                "value": r.value,
+            }
+            for r in e.collect()
+        ]
+        srv, url = restds.start_row_service(
+            "event_id bigint, event_type string, value double", rows
+        )
+        _REST_SERVERS.append(srv)
+        _atexit.register(srv.shutdown)
+        restds.register(spark)
+        back = (
+            spark.read.format("flinkrest")
+            .option("url", url)
+            .option("numpartitions", "4")
+            .load()
+        )
+        _SIDE_MEMO[key] = (
+            back.filter(F.col("event_type").isin("click", "purchase"))
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("cnt"),
+                dsum(F.col("value")).alias("total"),
+            )
+            .orderBy("event_type")
+        )
+    return _SIDE_MEMO[key]
+
+
+# ---------------------------------------------------------------------------
+# Catalog-table surface (partitioned saveAsTable + ANALYZE + partition
+# pruning) — the catalog contract behind the reference's Hive/catalog
+# connectors; the metastore-persistence half lives in
+# sources/hive.py + tests/test_hive_metastore.py (static-conf bound,
+# so it runs in a subprocess with a real Derby-backed HiveExternalCatalog)
+# ---------------------------------------------------------------------------
+@_q(
+    "ops_catalog_table",
+    f"""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS cnt,
+           {dsum_sql('o_totalprice')} AS total
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def ops_catalog_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned EXTERNAL catalog table: orders registered via
+    ``partitionBy(o_orderstatus).saveAsTable`` (hive-style layout, one
+    dir per status), ``ANALYZE TABLE ... COMPUTE STATISTICS`` recorded
+    in the catalog, then a status-filtered aggregate that must
+    partition-prune — the scan's PartitionFilters carry the predicate
+    so only the 'F' directory is read (plan-gated in
+    tests/test_catalog_table.py). Works against either catalog
+    implementation; the Derby-backed HiveExternalCatalog variant is
+    proven separately in tests/test_hive_metastore.py."""
+    key = ("ops_catalog_table", spark.sparkContext.applicationId, sf_dir)
+    if key not in _SIDE_MEMO:
+        import os as _os
+        import re as _re
+
+        _, work = _memo_workdir("ops_catalog_table", spark, sf_dir)
+        app = _re.sub(
+            r"[^0-9a-zA-Z]", "_", spark.sparkContext.applicationId
+        )
+        tbl = f"ops_catalog_orders_{app}"
+        o = load_table(spark, sf_dir, "orders")
+        (
+            o.write.partitionBy("o_orderstatus")
+            .option("path", _os.path.join(work, "orders_part"))
+            .saveAsTable(tbl)
+        )
+        spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS")
+        _SIDE_MEMO[key] = (
+            spark.table(tbl)
+            .filter(F.col("o_orderstatus") == "F")
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("cnt"),
+                dsum(F.col("o_totalprice")).alias("total"),
+            )
+            .orderBy("o_orderpriority")
+        )
+    return _SIDE_MEMO[key]

@@ -1377,3 +1377,101 @@ def st_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("item")
     )
+
+
+_REST_SERVERS: list = []  # row services kept alive for the app lifetime
+
+
+@_q(
+    "st_rest_stream",
+    f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS cnt,
+           {dsum_sql('value')} AS total
+    FROM events
+    WHERE event_type IN ('click', 'error')
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def st_rest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end service-connector stream (sources/restds.py): the
+    click+error slice of events is served by an HTTP row service in
+    two appends; a Structured Streaming query reads it through the
+    ``flinkrest`` source in SCALABLE mode (executor-side range
+    partitions — the Kafka-partition model) and writes through the
+    epoch-deduped two-phase-commit REST sink. Two availableNow runs
+    over one checkpoint prove the offset contract: run 2 reads only
+    the delta, and a manually replayed epoch-0 commit is a
+    server-side no-op. The sink service's final contents, read back
+    through the batch connector, must aggregate value-exactly like
+    the batch slice — exactly-once, no gaps, no double-writes."""
+    from ..sources import restds
+
+    import atexit as _atexit
+    import tempfile as _tempfile
+
+    ddl = "event_id bigint, event_type string, value double"
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    rows = [
+        {
+            "event_id": r.event_id,
+            "event_type": r.event_type,
+            "value": r.value,
+        }
+        for r in e.filter(
+            F.col("event_type").isin("click", "error")
+        ).collect()
+    ]
+    half = len(rows) // 2
+    src_srv, src_url = restds.start_row_service(ddl, rows[:half])
+    sink_srv, sink_url = restds.start_row_service(ddl, [])
+    for s in (src_srv, sink_srv):
+        _REST_SERVERS.append(s)
+        _atexit.register(s.shutdown)
+    restds.register(spark)
+
+    ckpt = _tempfile.mkdtemp(prefix="st_rest_ckpt_", dir=_workdir("st_rest_"))
+
+    def run_once() -> None:
+        q = (
+            spark.readStream.format("flinkrest")
+            .option("url", src_url)
+            .option("mode", "scalable")
+            .option("numpartitions", "4")
+            .load()
+            .writeStream.format("flinkrest")
+            .option("url", sink_url)
+            .option("queryname", "st_rest_stream")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once()
+    restds._post(src_url + "/append", ndjson=rows[half:])
+    run_once()
+    # at-least-once delivery upstream: replay epoch 0's commit — the
+    # service must recognize <queryname>-0 as already committed
+    replay = restds._post(
+        sink_url + "/commit?epoch=st_rest_stream-0", obj={"ids": []}
+    )
+    assert replay.get("dedup") is True, "epoch replay was not deduped"
+
+    back = (
+        spark.read.format("flinkrest")
+        .option("url", sink_url)
+        .option("numpartitions", "4")
+        .load()
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            dsum(F.col("value")).alias("total"),
+        )
+        .orderBy("event_type")
+    )
