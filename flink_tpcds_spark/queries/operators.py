@@ -2717,3 +2717,150 @@ def ops_catalog_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("o_orderpriority")
         )
     return _SIDE_MEMO[key]
+
+
+# ---------------------------------------------------------------------------
+# Native XML source (Spark 4 built-in, the spark-xml lineage): the
+# remaining self-describing format after CSV/JSON/Avro/ORC — §2.1
+# ---------------------------------------------------------------------------
+@_q(
+    "ops_xml_source",
+    f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS cnt,
+           {dsum_sql('value')} AS total
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def ops_xml_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML round trip with an explicit read schema (never inferred):
+    events written as <row> elements and read back must aggregate
+    value-exactly — doubles survive via Java's shortest-round-trip
+    Double.toString rendering."""
+    key = ("ops_xml_source", spark.sparkContext.applicationId, sf_dir)
+    if key not in _SIDE_MEMO:
+        import os as _os
+
+        _, work = _memo_workdir("ops_xml_source", spark, sf_dir)
+        path = _os.path.join(work, "events_xml")
+        e = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+        e.write.format("xml").option("rootTag", "events").option(
+            "rowTag", "row"
+        ).save(path)
+        back = (
+            spark.read.format("xml")
+            .option("rowTag", "row")
+            .schema("event_id long, event_type string, value double")
+            .load(path)
+        )
+        _SIDE_MEMO[key] = (
+            back.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("cnt"),
+                dsum(F.col("value")).alias("total"),
+            )
+            .orderBy("event_type")
+        )
+    return _SIDE_MEMO[key]
+
+
+# ---------------------------------------------------------------------------
+# SQL UDFs (CREATE FUNCTION ... RETURNS, Spark 4): declarative scalar
+# + table functions that inline into the plan — the catalog-function
+# counterpart of the reference's registered scalar UDF surface, with
+# none of the serialization cost of external UDFs
+# ---------------------------------------------------------------------------
+@_q(
+    "ops_sql_udf",
+    f"""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS cnt,
+           {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')}
+             AS charged,
+           CAST(SUM(CAST(l_quantity >= 25 AS INTEGER)) AS BIGINT) AS n_bulk
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def ops_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scalar UDFs: ``charge(price, disc, tax)`` and
+    ``is_bulk(qty)`` declared with CREATE TEMPORARY FUNCTION ...
+    RETURN <expr> — Catalyst inlines the bodies, so the aggregate
+    compiles to the same whole-stage-codegen plan as hand-written
+    expressions (no Python boundary). The oracle inlines the same
+    arithmetic."""
+    key = ("ops_sql_udf", spark.sparkContext.applicationId, sf_dir)
+    if key not in _SIDE_MEMO:
+        spark.sql(
+            "CREATE OR REPLACE TEMPORARY FUNCTION charge("
+            "price DOUBLE, disc DOUBLE, tax DOUBLE) RETURNS DOUBLE "
+            "RETURN price * (1 - disc) * (1 + tax)"
+        )
+        spark.sql(
+            "CREATE OR REPLACE TEMPORARY FUNCTION is_bulk(qty DOUBLE) "
+            "RETURNS INT RETURN CAST(qty >= 25 AS INT)"
+        )
+        l = load_table(spark, sf_dir, "lineitem")
+        l.createOrReplaceTempView("ops_sql_udf_lineitem")
+        _SIDE_MEMO[key] = spark.sql(
+            f"""
+            SELECT l_returnflag,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   {dsum_sql(
+                       'charge(l_extendedprice, l_discount, l_tax)'
+                   )} AS charged,
+                   CAST(SUM(is_bulk(l_quantity)) AS BIGINT) AS n_bulk
+            FROM ops_sql_udf_lineitem
+            GROUP BY l_returnflag
+            ORDER BY l_returnflag
+            """
+        )
+    return _SIDE_MEMO[key]
+
+
+@_q(
+    "ops_sql_table_function",
+    """
+    SELECT m.bucket,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM orders
+    CROSS JOIN (SELECT UNNEST(range(3)) AS bucket) m
+    WHERE CAST(o_orderkey AS BIGINT) % 3 = m.bucket
+    GROUP BY m.bucket
+    ORDER BY m.bucket
+    """,
+)
+def ops_sql_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL TABLE function (CREATE FUNCTION ... RETURNS TABLE):
+    ``buckets(n)`` expands to n rows and participates in a lateral-
+    style join — the declarative UDTF surface (§2.2 Correlate) with
+    the body inlined by Catalyst. The oracle reproduces the expansion
+    with a range() unnest."""
+    key = (
+        "ops_sql_table_function",
+        spark.sparkContext.applicationId,
+        sf_dir,
+    )
+    if key not in _SIDE_MEMO:
+        spark.sql(
+            "CREATE OR REPLACE TEMPORARY FUNCTION buckets(n INT) "
+            "RETURNS TABLE(bucket BIGINT) "
+            "RETURN SELECT explode(sequence(0, n - 1))"
+        )
+        o = load_table(spark, sf_dir, "orders")
+        o.createOrReplaceTempView("ops_sql_tf_orders")
+        _SIDE_MEMO[key] = spark.sql(
+            """
+            SELECT m.bucket, CAST(count(*) AS BIGINT) AS cnt
+            FROM ops_sql_tf_orders, buckets(3) m
+            WHERE o_orderkey % 3 = m.bucket
+            GROUP BY m.bucket
+            ORDER BY m.bucket
+            """
+        )
+    return _SIDE_MEMO[key]

@@ -1475,3 +1475,95 @@ def st_rest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@_q(
+    "st_match_recognize",
+    """
+    WITH c AS (
+      SELECT user_id, ts, value,
+             row_number() OVER w AS pos,
+             CASE WHEN value < lag(value) OVER w THEN 'D'
+                  WHEN value > lag(value) OVER w THEN 'U'
+                  ELSE 'F' END AS dir
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), g AS (
+      SELECT *, CASE WHEN lag(dir) OVER w2 IS NULL
+                       OR lag(dir) OVER w2 <> dir
+                     THEN 1 ELSE 0 END AS chg
+      FROM c WINDOW w2 AS (PARTITION BY user_id ORDER BY pos)
+    ), r AS (
+      SELECT *, SUM(chg) OVER w2 AS run
+      FROM g WINDOW w2 AS (PARTITION BY user_id ORDER BY pos)
+    ), runs AS (
+      SELECT user_id, run, min(dir) AS dir, min(pos) AS run_pos,
+             arg_min(ts, pos) AS lo_o, arg_min(value, pos) AS lo_v,
+             arg_max(ts, pos) AS hi_o, arg_max(value, pos) AS hi_v,
+             count(*) AS n
+      FROM r GROUP BY 1, 2
+    ), paired AS (
+      SELECT user_id, dir, lead(dir) OVER w3 AS ndir,
+             lo_o, lo_v, hi_o, hi_v, n,
+             lead(hi_o) OVER w3 AS nhi_o, lead(hi_v) OVER w3 AS nhi_v,
+             lead(n) OVER w3 AS nn
+      FROM runs WINDOW w3 AS (PARTITION BY user_id ORDER BY run_pos)
+    )
+    SELECT user_id, lo_o AS start_ts, hi_o AS bottom_ts, nhi_o AS end_ts,
+           lo_v AS start_value, hi_v AS bottom_value, nhi_v AS end_value,
+           n AS down_rows, nn AS up_rows
+    FROM paired WHERE dir = 'D' AND ndir = 'U'
+    ORDER BY user_id, start_ts
+    """,
+)
+def st_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MATCH_RECOGNIZE (streaming/match.py): the events
+    table fed in 4 event-time-ordered micro-batches (batch 1 replayed
+    — the at-least-once foreachBatch contract) through the
+    watermark-driven V-shape CEP operator with 10-minute lateness;
+    after the final flush the emitted matches must equal the batch
+    MATCH_RECOGNIZE oracle EXACTLY — same run algebra, same SKIP PAST
+    LAST ROW pairing, now with per-batch closed-run emission and
+    O(open-pattern + lateness-window) keyed state. Reference:
+    StreamExecMatch.scala's keyed event-time NFA contract."""
+    import datetime as _dt
+
+    from ..streaming.match import StreamingMatchRecognize
+
+    work = _workdir("st_match_")
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    # ts-ordered batches come from ts quantiles so no on-time row is
+    # ever late (percentile needs a numeric: micros since epoch)
+    tq = (
+        e.withColumn("_us", F.unix_micros("ts"))
+        .agg(
+            F.expr("percentile(_us, 0.25)").alias("a"),
+            F.expr("percentile(_us, 0.5)").alias("b"),
+            F.expr("percentile(_us, 0.75)").alias("c"),
+        )
+        .collect()[0]
+    )
+    import datetime as _dt2
+
+    def _ts(us: float) -> _dt.datetime:
+        return _dt2.datetime(1970, 1, 1) + _dt2.timedelta(microseconds=us)
+
+    bounds = [None, _ts(tq.a), _ts(tq.b), _ts(tq.c), None]
+    m = StreamingMatchRecognize(
+        os.path.join(work, "state"), _dt.timedelta(minutes=10)
+    )
+    for i in range(4):
+        lo, hi = bounds[i], bounds[i + 1]
+        part = e
+        if lo is not None:
+            part = part.filter(F.col("ts") >= F.lit(lo))
+        if hi is not None:
+            part = part.filter(F.col("ts") < F.lit(hi))
+        m.foreach_batch(part, i)
+        if i == 1:  # at-least-once replay — must be a no-op
+            m.foreach_batch(part, i)
+    m.flush(spark)
+    assert m.late_dropped() == 0
+    return m.matches(spark).orderBy("user_id", "start_ts")

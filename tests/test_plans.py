@@ -594,3 +594,23 @@ def test_r9_entries_have_scale_safe_plans(spark, sf_dir):
             assert "WindowGroupLimit" in plan, (
                 "lateral top-k must decorrelate to WindowGroupLimit"
             )
+
+
+def test_r10_entries_have_scale_safe_plans(spark, sf_dir):
+    """Round-10 SQL surfaces: SQL UDFs must INLINE (no Python eval of
+    any kind — the body is a catalog expression, not a UDF boundary),
+    and none of the new entries may plan a cartesian/BNLJ. The XML and
+    catalog entries are scan-side, checked by their own modules."""
+    from flink_tpcds_spark.queries import all_queries
+
+    qs = all_queries()
+    for name in ("ops_sql_udf", "ops_sql_table_function"):
+        plan = qs[name](spark, sf_dir)._jdf.queryExecution() \
+            .executedPlan().toString()
+        for bad in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                    "BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+            assert bad not in plan, f"{name}: {bad} in plan"
+        # the function NAME must be gone from the physical plan — the
+        # body inlined into plain expressions (AQE hides codegen spans
+        # pre-execution, so inlining is the observable contract)
+        assert "charge(" not in plan and "buckets(" not in plan, name
