@@ -1852,3 +1852,90 @@ def dp_fuzzy_join_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.substring("text", 1, 12).alias("k")
     )
     return edit_distance_pairs(d, key_col="k", max_dist=2)
+
+
+@_q(
+    "dp_perplexity_filter",
+    f"""
+    WITH t AS (
+      SELECT doc_id, toks
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+      WHERE len(toks) >= 2
+    ),
+    inst AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+             unnest(list_transform(range(1, len(toks)), i -> toks[i + 1])) AS w2
+      FROM t
+    ),
+    c2 AS (SELECT w1, w2, count(*) AS n2 FROM inst GROUP BY w1, w2),
+    c1 AS (SELECT w1, sum(n2) AS n1 FROM c2 GROUP BY w1),
+    vocab AS (
+      SELECT count(DISTINCT u) AS v
+      FROM (SELECT unnest(toks) AS u FROM t)
+    ),
+    s AS (
+      SELECT inst.doc_id,
+             round(ln((c2.n2 + 0.5) / (c1.n1 + 0.5 * vocab.v)), 6) AS logp
+      FROM inst
+      JOIN c2 ON inst.w1 = c2.w1 AND inst.w2 = c2.w2
+      JOIN c1 ON inst.w1 = c1.w1
+      CROSS JOIN vocab
+    ),
+    scored AS (
+      SELECT doc_id,
+             round(CAST(SUM(CAST(logp AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(*), 4) AS avg_logp
+      FROM s GROUP BY doc_id
+    ),
+    bucketed AS (
+      SELECT d.doc_id, d.lang, scored.avg_logp,
+             NTILE(3) OVER (PARTITION BY d.lang
+                            ORDER BY scored.avg_logp DESC, d.doc_id)
+               AS tercile
+      FROM scored JOIN documents d ON scored.doc_id = d.doc_id
+    )
+    SELECT doc_id, lang,
+           CAST(tercile AS INTEGER) AS tercile,
+           CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                        ELSE 'tail' END AS bucket,
+           tercile <= 2 AS keep
+    FROM bucketed
+    ORDER BY doc_id
+    """,
+)
+def dp_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet head/middle/tail split completing the perplexity
+    pipeline: dp_bigram_lm scores -> PER-LANGUAGE terciles by mean
+    bigram log-prob (CCNet buckets within each language so no
+    language is filtered for being unlike another) -> keep
+    head+middle, drop the most atypical third. NTILE runs over the
+    ROUNDED score with doc_id tiebreak, so bucket assignment is
+    engine-deterministic. Scale: scoring is the bigram-LM shape
+    (map-combined counts, broadcastable vocab-sized join sides); the
+    tercile window partitions by lang — at 100 TB swap NTILE for
+    per-lang approx quantile cutpoints, same downstream contract —
+    datapipe/text.py:bigram_lm_scores."""
+    from pyspark.sql.window import Window
+
+    from ..datapipe.text import bigram_lm_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = bigram_lm_scores(d).select(
+        "doc_id", F.round("avg_logp", 4).alias("avg_logp")
+    )
+    joined = scored.join(d.select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("avg_logp"), F.asc("doc_id")
+    )
+    b = joined.withColumn("tercile", F.ntile(3).over(w))
+    return b.select(
+        "doc_id",
+        "lang",
+        F.col("tercile").cast("int").alias("tercile"),
+        F.when(F.col("tercile") == 1, "head")
+        .when(F.col("tercile") == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+        (F.col("tercile") <= 2).alias("keep"),
+    ).orderBy("doc_id")

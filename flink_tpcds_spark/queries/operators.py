@@ -2864,3 +2864,144 @@ def ops_sql_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
             """
         )
     return _SIDE_MEMO[key]
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE (Spark 4 WITH RECURSIVE): gap-filled time spine — the
+# densified rollup every calendar report needs; recursion generates
+# the month spine, the fact aggregates FIRST (map-combined) so the
+# join touches two month-sized sides
+# ---------------------------------------------------------------------------
+@_q(
+    "ops_recursive_cte",
+    """
+    WITH RECURSIVE spine(m, hi) AS (
+      SELECT date_trunc('month', min(o_orderdate)),
+             date_trunc('month', max(o_orderdate))
+      FROM orders
+      UNION ALL
+      SELECT CAST(m + INTERVAL 1 MONTH AS DATE), hi
+      FROM spine WHERE m < hi
+    ),
+    monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS m,
+             count(*) AS n
+      FROM orders GROUP BY 1
+    )
+    SELECT strftime(s.m, '%Y-%m') AS month,
+           CAST(coalesce(monthly.n, 0) AS BIGINT) AS n_orders
+    FROM spine s LEFT JOIN monthly ON monthly.m = s.m
+    ORDER BY month
+    """,
+)
+def ops_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE month spine from min to max order month, LEFT
+    JOINed to the pre-aggregated monthly order counts — months with
+    no orders surface as 0 instead of vanishing. The recursion depth
+    is the month span (~80), the join sides are month-sized; the only
+    full-table work is one map-combined aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("ops_rcte_orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE spine(m, hi) AS (
+          SELECT trunc(min(o_orderdate), 'MM'),
+                 trunc(max(o_orderdate), 'MM')
+          FROM ops_rcte_orders
+          UNION ALL
+          SELECT add_months(m, 1), hi FROM spine WHERE m < hi
+        ),
+        monthly AS (
+          SELECT trunc(o_orderdate, 'MM') AS m, count(*) AS n
+          FROM ops_rcte_orders GROUP BY 1
+        )
+        SELECT date_format(s.m, 'yyyy-MM') AS month,
+               CAST(coalesce(monthly.n, 0) AS BIGINT) AS n_orders
+        FROM spine s LEFT JOIN monthly ON monthly.m = s.m
+        ORDER BY month
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL session variables (Spark 4 DECLARE / SET VAR): the parameterized-
+# query surface — a data-driven scalar computed once, then used as a
+# plain literal-like reference in later statements
+# ---------------------------------------------------------------------------
+@_q(
+    "ops_sql_variables",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM orders
+    WHERE o_totalprice >
+          (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                  / count(*) FROM orders)
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def ops_sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECLARE VARIABLE + SET VAR ... = (scalar subquery), then the
+    variable used as a pushable filter constant: orders above the
+    mean price, counted by status. The mean goes through the decimal
+    bridge so both engines derive the bit-identical cutoff; the
+    variable reference plans as a literal (filter pushdown intact)."""
+    key = ("ops_sql_variables", spark.sparkContext.applicationId, sf_dir)
+    if key not in _SIDE_MEMO:
+        o = load_table(spark, sf_dir, "orders")
+        o.createOrReplaceTempView("ops_var_orders")
+        spark.sql(
+            "DECLARE OR REPLACE VARIABLE price_cutoff DOUBLE DEFAULT 0.0"
+        )
+        spark.sql(
+            """
+            SET VAR price_cutoff =
+              (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                           AS DOUBLE) / count(*)
+               FROM ops_var_orders)
+            """
+        )
+        _SIDE_MEMO[key] = spark.sql(
+            """
+            SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt
+            FROM ops_var_orders
+            WHERE o_totalprice > price_cutoff
+            GROUP BY o_orderstatus
+            ORDER BY o_orderstatus
+            """
+        )
+    return _SIDE_MEMO[key]
+
+
+# ---------------------------------------------------------------------------
+# GROUP BY ALL / ORDER BY ALL (Spark 4): infer the grouping set from
+# the select list — same text runs on DuckDB (the feature's origin)
+# ---------------------------------------------------------------------------
+@_q(
+    "ops_group_by_all",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS cnt,
+           {dsum_sql('o_totalprice')} AS total
+    FROM orders
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+)
+def ops_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL + ORDER BY ALL: the grouping keys inferred from
+    the non-aggregate select items — byte-identical SQL on both
+    engines."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("ops_gba_orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS cnt,
+               {dsum_sql('o_totalprice')} AS total
+        FROM ops_gba_orders
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
