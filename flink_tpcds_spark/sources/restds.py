@@ -429,13 +429,42 @@ class RestSimpleStreamReader(SimpleDataSourceStreamReader):
 
 
 class _StageCommit(WriterCommitMessage):
-    def __init__(self, sid: str):
-        self.sid = sid
+    def __init__(self, sids: list[str]):
+        self.sids = sids
+
+
+_STAGE_CHUNK_ROWS = 10_000
+
+
+def _stage_chunks(url: str, schema: StructType, it, base: str) -> list[str]:
+    """Stream the partition to the service in bounded chunks — memory
+    stays O(chunk), not O(partition). Each chunk gets its own stage
+    id (``<base>-c<k>``); a retried task attempt uses a different
+    base, so a partial loser's chunks are never in the winner's
+    commit list (they linger as staged garbage only — the same
+    storage-bloat-only contract as the SQLite 2PC writer)."""
+    names = [f.name for f in schema.fields]
+    sids: list[str] = []
+    buf: list[dict] = []
+
+    def _flush() -> None:
+        sid = f"{base}-c{len(sids)}"
+        _post(f"{url}/stage?id={sid}", ndjson=buf)
+        sids.append(sid)
+        buf.clear()
+
+    for r in it:
+        buf.append(dict(zip(names, tuple(r))))
+        if len(buf) >= _STAGE_CHUNK_ROWS:
+            _flush()
+    if buf or not sids:  # empty partition still stages one empty chunk
+        _flush()
+    return sids
 
 
 class RestBatchWriter(DataSourceWriter):
-    """Two-phase commit: write() stages under a per-task id, commit()
-    publishes exactly the listed ids atomically server-side."""
+    """Two-phase commit: write() stages under per-task chunk ids,
+    commit() publishes exactly the listed ids atomically server-side."""
 
     def __init__(self, schema: StructType, options, overwrite: bool):
         if overwrite:
@@ -447,22 +476,16 @@ class RestBatchWriter(DataSourceWriter):
         from pyspark import TaskContext
 
         ctx = TaskContext.get()
-        sid = f"task-{ctx.partitionId()}-{ctx.taskAttemptId()}"
-        names = [f.name for f in self.schema.fields]
-        rows = [dict(zip(names, tuple(r))) for r in it]
-        _post(f"{self.url}/stage?id={sid}", ndjson=rows)
-        return _StageCommit(sid)
+        base = f"task-{ctx.partitionId()}-{ctx.taskAttemptId()}"
+        return _StageCommit(_stage_chunks(self.url, self.schema, it, base))
 
     def commit(self, messages):
-        _post(
-            f"{self.url}/commit", obj={"ids": [m.sid for m in messages]}
-        )
+        ids = [s for m in messages for s in m.sids]
+        _post(f"{self.url}/commit", obj={"ids": ids})
 
     def abort(self, messages):
-        _post(
-            f"{self.url}/abort",
-            obj={"ids": [m.sid for m in messages if m is not None]},
-        )
+        ids = [s for m in messages if m is not None for s in m.sids]
+        _post(f"{self.url}/abort", obj={"ids": ids})
 
 
 class RestStreamWriter(DataSourceStreamWriter):
@@ -488,23 +511,19 @@ class RestStreamWriter(DataSourceStreamWriter):
         from pyspark import TaskContext
 
         ctx = TaskContext.get()
-        sid = f"epoch-p{ctx.partitionId()}-a{ctx.taskAttemptId()}"
-        names = [f.name for f in self.schema.fields]
-        rows = [dict(zip(names, tuple(r))) for r in it]
-        _post(f"{self.url}/stage?id={sid}", ndjson=rows)
-        return _StageCommit(sid)
+        base = f"epoch-p{ctx.partitionId()}-a{ctx.taskAttemptId()}"
+        return _StageCommit(_stage_chunks(self.url, self.schema, it, base))
 
     def commit(self, messages, batchId):  # noqa: N803
+        ids = [s for m in messages for s in m.sids]
         _post(
             f"{self.url}/commit?epoch={self.qid}-{batchId}",
-            obj={"ids": [m.sid for m in messages]},
+            obj={"ids": ids},
         )
 
     def abort(self, messages, batchId):  # noqa: N803
-        _post(
-            f"{self.url}/abort",
-            obj={"ids": [m.sid for m in messages if m is not None]},
-        )
+        ids = [s for m in messages if m is not None for s in m.sids]
+        _post(f"{self.url}/abort", obj={"ids": ids})
 
 
 class RestDataSource(DataSource):

@@ -213,3 +213,23 @@ def test_commit_unknown_stage_id_is_conflict(spark, sink_service):
             sink_service + "/commit", obj={"ids": ["never-staged"]}
         )
     assert ei.value.code == 409
+
+
+def test_batch_write_chunked_staging(spark, sink_service, monkeypatch):
+    """A partition larger than the stage chunk is streamed in bounded
+    chunks — every chunk id lands in the commit, memory stays
+    O(chunk)."""
+    monkeypatch.setattr(restds, "_STAGE_CHUNK_ROWS", 100)
+    restds.register(spark)
+    out = spark.createDataFrame(
+        [(i, "c", float(i)) for i in range(1050)], DDL
+    ).coalesce(2)
+    out.write.format("flinkrest").option("url", sink_service).mode(
+        "append"
+    ).save()
+    assert restds._get(sink_service + "/latest")["offset"] == 1050
+    got = sorted(
+        r.event_id
+        for r in _read(spark, sink_service, numpartitions=2).collect()
+    )
+    assert got == list(range(1050))
