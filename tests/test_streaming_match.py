@@ -193,3 +193,36 @@ def test_randomized_equivalence(spark):
             seed=seed,
         )
         assert got == _batch_oracle(spark, rows), (n_batches, seed)
+
+
+def test_property_streaming_equals_batch(spark):
+    """Model-based property test: random multi-key integer series,
+    random batch split points, random lateness — after flush the
+    streaming matcher must equal the batch matcher on the on-time
+    rows (arrival is event-time ordered, so everything is on time)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        series=st.dictionaries(
+            st.integers(1, 4),
+            st.lists(st.integers(0, 4), min_size=2, max_size=25),
+            min_size=1,
+            max_size=4,
+        ),
+        n_batches=st.integers(1, 6),
+        lateness=st.integers(1, 8),
+    )
+    def run(series, n_batches, lateness):
+        rows = _mk_rows(series)
+        _, got = _drive(
+            spark, rows, n_batches=n_batches, lateness_min=lateness
+        )
+        assert got == _batch_oracle(spark, rows)
+
+    run()
