@@ -1567,3 +1567,94 @@ def st_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
     m.flush(spark)
     assert m.late_dropped() == 0
     return m.matches(spark).orderBy("user_id", "start_ts")
+
+
+@_q(
+    "st_cep_generic",
+    """
+    WITH c AS (
+      SELECT user_id, ts, value,
+             row_number() OVER w AS pos,
+             CASE WHEN value < lag(value) OVER w THEN 'D'
+                  WHEN value > lag(value) OVER w THEN 'U'
+                  ELSE 'F' END AS dir
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), g AS (
+      SELECT *, CASE WHEN lag(dir) OVER w2 IS NULL
+                       OR lag(dir) OVER w2 <> dir
+                     THEN 1 ELSE 0 END AS chg
+      FROM c WINDOW w2 AS (PARTITION BY user_id ORDER BY pos)
+    ), r AS (
+      SELECT *, SUM(chg) OVER w2 AS run
+      FROM g WINDOW w2 AS (PARTITION BY user_id ORDER BY pos)
+    ), runs AS (
+      SELECT user_id, run, min(dir) AS dir, min(pos) AS run_pos,
+             arg_min(ts, pos) AS lo_o,
+             arg_max(ts, pos) AS hi_o,
+             count(*) AS n
+      FROM r GROUP BY 1, 2
+    ), paired AS (
+      SELECT user_id, dir, lead(dir) OVER w3 AS ndir,
+             lo_o, hi_o, n,
+             lead(hi_o) OVER w3 AS nhi_o, lead(n) OVER w3 AS nn
+      FROM runs WINDOW w3 AS (PARTITION BY user_id ORDER BY run_pos)
+    )
+    SELECT user_id,
+           lo_o AS start_ts,
+           nhi_o AS end_ts,
+           CAST(n + nn AS BIGINT) AS n_rows,
+           repeat('D', CAST(n AS INTEGER))
+             || repeat('U', CAST(nn AS INTEGER)) AS symbols
+    FROM paired WHERE dir = 'D' AND ndir = 'U'
+    ORDER BY user_id, start_ts
+    """,
+)
+def st_cep_generic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic-pattern streaming CEP (streaming/cep.py): the
+    quantified-symbol-chain NFA core of StreamExecMatch, instantiated
+    with ``"D+ U+"`` over the events table — 4 event-time-ordered
+    micro-batches (batch 1 replayed) through the per-key greedy
+    scanner that consumes only the watermark-frozen prefix and HOLDS
+    in-progress matches at the freeze boundary; after flush the
+    emitted (span, symbol-string) set must equal the run-length SQL
+    oracle EXACTLY. The scanner itself is property-tested against
+    Python re's greedy finditer on random pattern×string cases; keyed
+    state is the in-progress suffix + anchor + lateness window only."""
+    import datetime as _dt
+
+    from ..streaming.cep import StreamingCep
+
+    work = _workdir("st_cep_")
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    tq = (
+        e.withColumn("_us", F.unix_micros("ts"))
+        .agg(
+            F.expr("percentile(_us, 0.25)").alias("a"),
+            F.expr("percentile(_us, 0.5)").alias("b"),
+            F.expr("percentile(_us, 0.75)").alias("c"),
+        )
+        .collect()[0]
+    )
+
+    def _ts(us: float) -> _dt.datetime:
+        return _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=us)
+
+    bounds = [None, _ts(tq.a), _ts(tq.b), _ts(tq.c), None]
+    m = StreamingCep(
+        os.path.join(work, "state"), "D+ U+", _dt.timedelta(minutes=10)
+    )
+    for i in range(4):
+        part = e
+        if bounds[i] is not None:
+            part = part.filter(F.col("ts") >= F.lit(bounds[i]))
+        if bounds[i + 1] is not None:
+            part = part.filter(F.col("ts") < F.lit(bounds[i + 1]))
+        m.foreach_batch(part, i)
+        if i == 1:  # at-least-once replay — must be a no-op
+            m.foreach_batch(part, i)
+    m.flush(spark)
+    assert m.late_dropped() == 0
+    return m.matches(spark).orderBy("user_id", "start_ts")
