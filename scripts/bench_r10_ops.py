@@ -138,6 +138,30 @@ def main() -> None:
     out["match_rows_in"] = ev.count()
     out["match_n_matches"] = n_matches
     out["match_equals_batch"] = bool(n_matches == n_batch)
+
+    # ---- generic-pattern StreamingCep at x10 -------------------------
+    from flink_tpcds_spark.streaming.cep import StreamingCep
+
+    cw = tempfile.mkdtemp(prefix="bench_cep_")
+    cep = StreamingCep(
+        os.path.join(cw, "state"), "D+ U+", dt.timedelta(minutes=10)
+    )
+    cep_secs = []
+    for i in range(4):
+        part = ev
+        if bounds[i] is not None:
+            part = part.filter(F.col("ts") >= F.lit(bounds[i]))
+        if bounds[i + 1] is not None:
+            part = part.filter(F.col("ts") < F.lit(bounds[i + 1]))
+        t0 = time.time()
+        cep.foreach_batch(part, i)
+        cep_secs.append(round(time.time() - t0, 3))
+    t0 = time.time()
+    cep.flush(spark)
+    out["cep_batch_secs"] = cep_secs
+    out["cep_flush_sec"] = round(time.time() - t0, 3)
+    out["cep_n_matches"] = cep.matches(spark).count()
+    out["cep_equals_vshape"] = bool(out["cep_n_matches"] == n_matches)
     try:
         out["loadavg_1m"] = round(os.getloadavg()[0], 2)
     except OSError:
