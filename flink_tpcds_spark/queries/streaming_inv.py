@@ -1658,3 +1658,98 @@ def st_cep_generic(spark: SparkSession, sf_dir: str) -> DataFrame:
     m.flush(spark)
     assert m.late_dropped() == 0
     return m.matches(spark).orderBy("user_id", "start_ts")
+
+
+@_q(
+    "st_cep_flatbottom",
+    """
+    WITH c AS (
+      SELECT user_id, ts, value,
+             row_number() OVER w AS pos,
+             CASE WHEN value < lag(value) OVER w THEN 'D'
+                  WHEN value > lag(value) OVER w THEN 'U'
+                  ELSE 'F' END AS dir
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), g AS (
+      SELECT *, CASE WHEN lag(dir) OVER w2 IS NULL
+                       OR lag(dir) OVER w2 <> dir
+                     THEN 1 ELSE 0 END AS chg
+      FROM c WINDOW w2 AS (PARTITION BY user_id ORDER BY pos)
+    ), r AS (
+      SELECT *, SUM(chg) OVER w2 AS run
+      FROM g WINDOW w2 AS (PARTITION BY user_id ORDER BY pos)
+    ), runs AS (
+      SELECT user_id, run, min(dir) AS dir, min(pos) AS run_pos,
+             arg_min(ts, pos) AS lo_o,
+             arg_max(ts, pos) AS hi_o,
+             count(*) AS n
+      FROM r GROUP BY 1, 2
+    ), seq AS (
+      SELECT user_id, dir, lo_o, hi_o, n,
+             lead(dir)  OVER w3 AS d1, lead(hi_o) OVER w3 AS h1,
+             lead(n)    OVER w3 AS n1,
+             lead(dir, 2) OVER w3 AS d2, lead(hi_o, 2) OVER w3 AS h2,
+             lead(n, 2)   OVER w3 AS n2
+      FROM runs WINDOW w3 AS (PARTITION BY user_id ORDER BY run_pos)
+    )
+    SELECT user_id,
+           lo_o AS start_ts,
+           CASE WHEN d1 = 'U' THEN h1 ELSE h2 END AS end_ts,
+           CAST(n + CASE WHEN d1 = 'U' THEN n1 ELSE n1 + n2 END
+                AS BIGINT) AS n_rows,
+           repeat('D', CAST(n AS INTEGER))
+             || CASE WHEN d1 = 'U' THEN ''
+                     ELSE repeat('F', CAST(n1 AS INTEGER)) END
+             || repeat('U', CAST(CASE WHEN d1 = 'U' THEN n1 ELSE n2 END
+                               AS INTEGER)) AS symbols
+    FROM seq
+    WHERE dir = 'D'
+      AND (d1 = 'U' OR (d1 = 'F' AND d2 = 'U'))
+    ORDER BY user_id, start_ts
+    """,
+)
+def st_cep_flatbottom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat-bottom V-shapes — ``D+ F* U+`` — a pattern the run-pair
+    V-algebra CANNOT express (the descent may sit on a flat ledge of
+    any width before rising): the generic StreamingCep instantiated
+    beyond its V-shape anchor case. Same 4-micro-batch + replay +
+    flush drive as st_cep_generic; the oracle extends the run CTE
+    with two-run lookahead (D followed by U, or by exactly one
+    maximal F run then U — maximal runs make SKIP PAST LAST ROW
+    disjointness structural, so no recursion is needed)."""
+    import datetime as _dt
+
+    from ..streaming.cep import StreamingCep
+
+    work = _workdir("st_cepfb_")
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    tq = (
+        e.withColumn("_us", F.unix_micros("ts"))
+        .agg(
+            F.expr("percentile(_us, 0.25)").alias("a"),
+            F.expr("percentile(_us, 0.5)").alias("b"),
+            F.expr("percentile(_us, 0.75)").alias("c"),
+        )
+        .collect()[0]
+    )
+
+    def _ts(us: float) -> _dt.datetime:
+        return _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=us)
+
+    bounds = [None, _ts(tq.a), _ts(tq.b), _ts(tq.c), None]
+    m = StreamingCep(
+        os.path.join(work, "state"), "D+ F* U+", _dt.timedelta(minutes=10)
+    )
+    for i in range(4):
+        part = e
+        if bounds[i] is not None:
+            part = part.filter(F.col("ts") >= F.lit(bounds[i]))
+        if bounds[i + 1] is not None:
+            part = part.filter(F.col("ts") < F.lit(bounds[i + 1]))
+        m.foreach_batch(part, i)
+    m.flush(spark)
+    assert m.late_dropped() == 0
+    return m.matches(spark).orderBy("user_id", "start_ts")
