@@ -9,9 +9,10 @@ a thread-safe HTTP row service (stdlib ``http.server``) plus a
 ``DataSource`` implementation that exercises every connector trait on
 Spark's public Python DataSource API (SPARK-44076):
 
-- **batch reads** split into N ``InputPartition`` s fetched by
-  executors in parallel (each split is served ``row_index % N == i``,
-  so no two partitions overlap and their union is exact);
+- **batch reads** split into N contiguous index-range
+  ``InputPartition`` s fetched by executors in parallel (the count is
+  snapshotted at plan time, so the union is exact and the service
+  does O(N) total slicing work — not one full log scan per split);
 - **filter pushdown** (``DataSourceReader.pushFilters``): the
   comparison/null/IN/prefix filter classes are compiled into query
   parameters and evaluated server-side; everything else is returned
@@ -157,17 +158,23 @@ class _Handler(BaseHTTPRequestHandler):
             with st.lock:
                 self._json({"offset": len(st.rows)})
         elif url.path == "/rows":
-            split = int(q.get("split", ["0"])[0])
-            of = int(q.get("of", ["1"])[0])
             preds = [json.loads(f) for f in q.get("f", [])]
             with st.lock:
                 if preds:
                     st.pushed_filter_hits += 1
-                rows = [
-                    r
-                    for i, r in enumerate(st.rows)
-                    if i % of == split and _matches(r, preds)
-                ]
+                if "start" in q:  # contiguous range slice: O(slice)
+                    start = int(q["start"][0])
+                    end = int(q["end"][0])
+                    base = st.rows[start:end]
+                else:  # legacy modulo split: O(log) per request
+                    split = int(q.get("split", ["0"])[0])
+                    of = int(q.get("of", ["1"])[0])
+                    base = [
+                        r
+                        for i, r in enumerate(st.rows)
+                        if i % of == split
+                    ]
+                rows = [r for r in base if _matches(r, preds)]
             self._ndjson(rows)
         elif url.path == "/range":
             start = int(q["start"][0])
@@ -312,9 +319,9 @@ def _row_tuple(schema: StructType, d: dict) -> tuple:
 
 
 class RestPartition(InputPartition):
-    def __init__(self, split: int, of: int, preds: list[dict]):
-        self.split = split
-        self.of = of
+    def __init__(self, start: int, end: int, preds: list[dict]):
+        self.start = start
+        self.end = end
         self.preds = preds
 
 
@@ -336,13 +343,23 @@ class RestBatchReader(DataSourceReader):
         return rest
 
     def partitions(self):
-        return [
-            RestPartition(i, self.nparts, self.preds)
-            for i in range(self.nparts)
-        ]
+        # contiguous index ranges (count snapshotted at plan time):
+        # k partitions cost the service O(N) total, not k full scans
+        # the way a modulo split would — the same page-by-index shape
+        # a production endpoint serves cheaply
+        n = _get(f"{self.url}/meta")["count"]
+        step = (n + self.nparts - 1) // self.nparts if n else 0
+        parts = []
+        for i in range(self.nparts):
+            lo = min(i * step, n)
+            hi = min(lo + step, n)
+            parts.append(RestPartition(lo, hi, self.preds))
+        return parts
 
     def read(self, part: RestPartition):
-        qs = [("split", str(part.split)), ("of", str(part.of))] + [
+        if part.end <= part.start:
+            return
+        qs = [("start", str(part.start)), ("end", str(part.end))] + [
             ("f", json.dumps(p)) for p in part.preds
         ]
         rows = _get_ndjson(f"{self.url}/rows?{urllib.parse.urlencode(qs)}")
