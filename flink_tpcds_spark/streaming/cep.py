@@ -298,7 +298,34 @@ class StreamingCep(CrashSafeParquetState):
             if hi is not None:
                 wm = max(prev_wm, hi - self.lateness)
 
-        rows = pending.unionByName(on_time)
+        # touched-key isolation: a key is re-scanned only if this
+        # batch brought it rows OR the advancing watermark froze some
+        # of its pending rows (prev_wm ≤ ts < wm). Every other key's
+        # state passes through UNTOUCHED — per-batch scan cost is
+        # O(touched keys), not O(all keyed state), the property a
+        # million-key stream needs. (In-progress holds below prev_wm
+        # re-scan to the same hold, so skipping them is lossless.)
+        if final:
+            # end-of-stream closes held in-progress matches on EVERY
+            # key, including those whose rows all froze long ago
+            touched = pending.select("user_id").unionByName(
+                on_time.select("user_id")
+            ).distinct()
+        else:
+            touched = (
+                on_time.select("user_id")
+                .unionByName(
+                    pending.filter(
+                        (F.col("ts") >= F.lit(prev_wm))
+                        & (F.col("ts") < F.lit(wm))
+                    ).select("user_id")
+                )
+                .distinct()
+            )
+        pending_touched = pending.join(touched, "user_id", "left_semi")
+        pending_untouched = pending.join(touched, "user_id", "left_anti")
+
+        rows = pending_touched.unionByName(on_time)
         elems = self.elems
         clf = CLASSIFIERS[self.classify]
         is_final = final
@@ -373,7 +400,27 @@ class StreamingCep(CrashSafeParquetState):
             new_state_part = new_state_part.filter(
                 F.col("kind") == "match"
             )
-        new_state = prev_matches.unionByName(new_state_part)
+        untouched_state = pending_untouched.select(
+            F.when(F.col("is_anchor"), F.lit("anchor"))
+            .otherwise(F.lit("pending"))
+            .alias("kind"),
+            "user_id",
+            "ts",
+            "event_id",
+            "value",
+            *[
+                F.lit(None).cast(t).alias(n)
+                for n, t in [
+                    ("start_ts", "timestamp"),
+                    ("end_ts", "timestamp"),
+                    ("n_rows", "long"),
+                    ("symbols", "string"),
+                ]
+            ],
+        )
+        new_state = prev_matches.unionByName(new_state_part).unionByName(
+            untouched_state
+        )
         wm_us = int((wm - _EPOCH) / _dt.timedelta(microseconds=1))
         self._swap_in(
             new_state,

@@ -240,3 +240,46 @@ def test_state_bounded_on_never_matching_key(spark):
         assert pend <= 1 + 3 + 20, f"batch {b}: {pend}"
     m.flush(spark)
     assert m.matches(spark).count() == 0
+
+
+def test_untouched_keys_pass_through(spark):
+    """A batch touching only key 1 must not re-scan key 2: key 2's
+    pending/anchor state survives verbatim (the O(touched-keys)
+    per-batch property), and the final result is still exact."""
+    rows1 = _mk_rows({1: [5, 4, 3, 4, 5]})
+    rows2 = _mk_rows({2: [3, 2, 3, 2, 3]})
+    work = tempfile.mkdtemp(prefix="st_cep_")
+    m = StreamingCep(work + "/s", "D+ U+", dt.timedelta(minutes=2))
+    m.foreach_batch(spark.createDataFrame(rows1 + rows2, ROWS_DDL), 0)
+    before = sorted(
+        tuple(r)
+        for r in m._state(spark)
+        .filter(
+            F.col("kind").isin("pending", "anchor")
+            & (F.col("user_id") == 2)
+        )
+        .collect()
+    )
+    # key-1-only batch with the SAME max ts: watermark cannot advance,
+    # so key 2 is untouched
+    extra1 = [(1, T0 + dt.timedelta(minutes=4), 1999, 5.0)]
+    m.foreach_batch(spark.createDataFrame(extra1, ROWS_DDL), 1)
+    after = sorted(
+        tuple(r)
+        for r in m._state(spark)
+        .filter(
+            F.col("kind").isin("pending", "anchor")
+            & (F.col("user_id") == 2)
+        )
+        .collect()
+    )
+    assert after == before and len(after) > 0
+    m.flush(spark)
+    want = set(
+        batch_cep(
+            spark.createDataFrame(rows1 + rows2 + extra1, ROWS_DDL),
+            "D+ U+",
+        )
+    )
+    got = {tuple(r) for r in m.matches(spark).collect()}
+    assert got == want
