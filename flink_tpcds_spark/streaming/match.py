@@ -158,6 +158,29 @@ class StreamingMatchRecognize(CrashSafeParquetState):
             if hi is not None:
                 wm = max(prev_wm, hi - self.lateness)
 
+        # touched-key isolation (same contract as streaming/cep.py):
+        # only keys with new rows or newly-frozen pending rows
+        # re-enter the window algebra; everything else passes through
+        # verbatim, so per-batch cost is O(touched keys). flush()
+        # makes every pending key touched (wm → +∞ freezes all).
+        if final:
+            touched = pending.select("user_id").unionByName(
+                on_time.select("user_id")
+            ).distinct()
+        else:
+            touched = (
+                on_time.select("user_id")
+                .unionByName(
+                    pending.filter(
+                        (F.col("ts") >= F.lit(prev_wm))
+                        & (F.col("ts") < F.lit(wm))
+                    ).select("user_id")
+                )
+                .distinct()
+            )
+        pending_untouched = pending.join(touched, "user_id", "left_anti")
+        pending = pending.join(touched, "user_id", "left_semi")
+
         rows = pending.unionByName(on_time)
 
         # classification + run-length encoding (one shuffle on the key)
@@ -345,6 +368,11 @@ class StreamingMatchRecognize(CrashSafeParquetState):
         )
         if final:
             new_pending = new_pending.limit(0)
+        else:
+            # untouched keys keep their state rows verbatim
+            new_pending = new_pending.unionByName(
+                pending_untouched.select(*cols)
+            )
 
         new_state = prev_matches.unionByName(new_matches).unionByName(
             new_pending.select(

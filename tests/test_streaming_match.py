@@ -226,3 +226,29 @@ def test_property_streaming_equals_batch(spark):
         assert got == _batch_oracle(spark, rows)
 
     run()
+
+
+def test_untouched_keys_pass_through(spark):
+    """Touched-key isolation (same contract as StreamingCep): a batch
+    touching only key 1 leaves key 2's pending state rows verbatim,
+    and the final result stays exact."""
+    rows1 = _mk_rows({1: [5, 4, 3, 4, 5]})
+    rows2 = _mk_rows({2: [3, 2, 3, 2, 3]})
+    work = tempfile.mkdtemp(prefix="st_match_")
+    m = StreamingMatchRecognize(work + "/state", dt.timedelta(minutes=2))
+    m.foreach_batch(spark.createDataFrame(rows1 + rows2, ROWS_DDL), 0)
+    key2 = lambda: sorted(  # noqa: E731
+        tuple(r)
+        for r in m._state(spark)
+        .filter((F.col("kind") == "pending") & (F.col("user_id") == 2))
+        .collect()
+    )
+    before = key2()
+    extra1 = [(1, T0 + dt.timedelta(minutes=4), 1999, 5.0)]
+    m.foreach_batch(spark.createDataFrame(extra1, ROWS_DDL), 1)
+    after = key2()
+    assert after == before and len(after) > 0
+    m.flush(spark)
+    got = {tuple(r) for r in m.matches(spark).collect()}
+    want = _batch_oracle(spark, rows1 + rows2 + extra1)
+    assert got == want
