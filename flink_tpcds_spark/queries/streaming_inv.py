@@ -1753,3 +1753,73 @@ def st_cep_flatbottom(spark: SparkSession, sf_dir: str) -> DataFrame:
     m.flush(spark)
     assert m.late_dropped() == 0
     return m.matches(spark).orderBy("user_id", "start_ts")
+
+
+@_q(
+    "st_cep_spikes",
+    """
+    WITH c AS (
+      SELECT user_id, ts, (value > 75.0) AS hi,
+             row_number() OVER w AS pos
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), r AS (
+      SELECT *, pos - row_number()
+                  OVER (PARTITION BY user_id, hi ORDER BY pos) AS grp
+      FROM c
+    )
+    SELECT user_id,
+           min(ts) AS start_ts,
+           max(ts) AS end_ts,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           repeat('H', CAST(count(*) AS INTEGER)) AS symbols
+    FROM r WHERE hi
+    GROUP BY user_id, grp
+    ORDER BY user_id, start_ts
+    """,
+)
+def st_cep_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spike-episode detection: the generic CEP with its SECOND
+    registered classifier (magnitude threshold H/L instead of the
+    up-down derivative) and pattern ``H+`` — maximal runs of
+    value > 75 per user, streamed in 4 event-time batches and
+    flushed. Proves the classifier surface is pluggable end to end;
+    the oracle is plain gaps-and-islands on the same threshold."""
+    import datetime as _dt
+
+    from ..streaming.cep import StreamingCep
+
+    work = _workdir("st_spike_")
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    tq = (
+        e.withColumn("_us", F.unix_micros("ts"))
+        .agg(
+            F.expr("percentile(_us, 0.25)").alias("a"),
+            F.expr("percentile(_us, 0.5)").alias("b"),
+            F.expr("percentile(_us, 0.75)").alias("c"),
+        )
+        .collect()[0]
+    )
+
+    def _ts(us: float) -> _dt.datetime:
+        return _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=us)
+
+    bounds = [None, _ts(tq.a), _ts(tq.b), _ts(tq.c), None]
+    m = StreamingCep(
+        os.path.join(work, "state"),
+        "H+",
+        _dt.timedelta(minutes=10),
+        classify="threshold75",
+    )
+    for i in range(4):
+        part = e
+        if bounds[i] is not None:
+            part = part.filter(F.col("ts") >= F.lit(bounds[i]))
+        if bounds[i + 1] is not None:
+            part = part.filter(F.col("ts") < F.lit(bounds[i + 1]))
+        m.foreach_batch(part, i)
+    m.flush(spark)
+    assert m.late_dropped() == 0
+    return m.matches(spark).orderBy("user_id", "start_ts")

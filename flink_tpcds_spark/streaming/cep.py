@@ -189,7 +189,17 @@ def _classify_updown(prev_value, value) -> str:
     return "F"
 
 
-CLASSIFIERS = {"updown": _classify_updown}
+def _classify_threshold75(prev_value, value) -> str:
+    """Stateless magnitude classifier: H(igh) above 75.0, else L —
+    the spike-episode alphabet (`H+` = a maximal high run). The
+    constant lives in the NAME so state stays closure-free."""
+    return "H" if value > 75.0 else "L"
+
+
+CLASSIFIERS = {
+    "updown": _classify_updown,
+    "threshold75": _classify_threshold75,
+}
 
 # ---------------------------------------------------------------------------
 # the streaming operator
