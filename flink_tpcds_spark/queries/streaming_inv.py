@@ -1823,3 +1823,109 @@ def st_cep_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
     m.flush(spark)
     assert m.late_dropped() == 0
     return m.matches(spark).orderBy("user_id", "start_ts")
+
+
+@_q(
+    "st_cep_wshape",
+    """
+    WITH c AS (
+      SELECT user_id, ts, value,
+             row_number() OVER w AS pos,
+             CASE WHEN value < lag(value) OVER w THEN 'D'
+                  WHEN value > lag(value) OVER w THEN 'U'
+                  ELSE 'F' END AS dir
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), g AS (
+      SELECT *, CASE WHEN lag(dir) OVER w2 IS NULL
+                       OR lag(dir) OVER w2 <> dir
+                     THEN 1 ELSE 0 END AS chg
+      FROM c WINDOW w2 AS (PARTITION BY user_id ORDER BY pos)
+    ), r AS (
+      SELECT *, SUM(chg) OVER w2 AS run
+      FROM g WINDOW w2 AS (PARTITION BY user_id ORDER BY pos)
+    ), runs AS (
+      SELECT user_id, run, min(dir) AS dir, min(pos) AS run_pos,
+             arg_min(ts, pos) AS lo_o, arg_max(ts, pos) AS hi_o,
+             count(*) AS n
+      FROM r GROUP BY 1, 2
+    ),
+    -- F-free islands: runs alternate D/U strictly inside an island,
+    -- so greedy D+ U+ D+ U+ packing = quadruples counted from the
+    -- island's first D run (SKIP PAST LAST ROW resumes exactly at
+    -- the next D) — no recursion needed
+    isl AS (
+      SELECT *, SUM(CASE WHEN dir = 'F' THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY run_pos) AS island
+      FROM runs
+    ), du AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id, island
+                                   ORDER BY run_pos) AS rix,
+             min(CASE WHEN dir = 'D' THEN run_pos END)
+               OVER (PARTITION BY user_id, island) AS first_d_pos
+      FROM isl WHERE dir <> 'F'
+    ), dx AS (
+      SELECT *, rix - min(CASE WHEN run_pos = first_d_pos
+                               THEN rix END)
+                      OVER (PARTITION BY user_id, island) AS di
+      FROM du
+    ), quads AS (
+      SELECT user_id, island, CAST(di // 4 AS INTEGER) AS qid,
+             count(*) AS nrun,
+             min(lo_o) AS start_ts,
+             arg_max(hi_o, di) AS end_ts,
+             CAST(SUM(n) AS BIGINT) AS n_rows,
+             string_agg(repeat(dir, CAST(n AS INTEGER)), ''
+                        ORDER BY di) AS symbols
+      FROM dx WHERE di >= 0
+      GROUP BY user_id, island, CAST(di // 4 AS INTEGER)
+    )
+    SELECT user_id, start_ts, end_ts, n_rows, symbols
+    FROM quads WHERE nrun = 4
+    ORDER BY user_id, start_ts
+    """,
+)
+def st_cep_wshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-shapes — ``D+ U+ D+ U+`` — a FOUR-element chain through the
+    generic streaming CEP (4 event-time batches + flush). The oracle
+    expresses the scanner's greedy SKIP PAST LAST ROW packing without
+    recursion: inside an F-free island runs alternate strictly, so
+    consecutive quadruples counted from the island's first D run ARE
+    the greedy matches (the scanner resumes exactly at the next D)."""
+    import datetime as _dt
+
+    from ..streaming.cep import StreamingCep
+
+    work = _workdir("st_cepw_")
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    tq = (
+        e.withColumn("_us", F.unix_micros("ts"))
+        .agg(
+            F.expr("percentile(_us, 0.25)").alias("a"),
+            F.expr("percentile(_us, 0.5)").alias("b"),
+            F.expr("percentile(_us, 0.75)").alias("c"),
+        )
+        .collect()[0]
+    )
+
+    def _ts(us: float) -> _dt.datetime:
+        return _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=us)
+
+    bounds = [None, _ts(tq.a), _ts(tq.b), _ts(tq.c), None]
+    m = StreamingCep(
+        os.path.join(work, "state"),
+        "D+ U+ D+ U+",
+        _dt.timedelta(minutes=10),
+    )
+    for i in range(4):
+        part = e
+        if bounds[i] is not None:
+            part = part.filter(F.col("ts") >= F.lit(bounds[i]))
+        if bounds[i + 1] is not None:
+            part = part.filter(F.col("ts") < F.lit(bounds[i + 1]))
+        m.foreach_batch(part, i)
+    m.flush(spark)
+    assert m.late_dropped() == 0
+    return m.matches(spark).orderBy("user_id", "start_ts")
