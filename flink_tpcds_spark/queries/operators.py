@@ -3005,3 +3005,230 @@ def ops_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY ALL
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Aggregate FILTER clause (SQL:2003 <filter clause>; Calcite parses it
+# for the reference's planner — AggregateCall.filterArg — and Spark 3+
+# and DuckDB both execute it natively): per-group conditional
+# aggregation without CASE rewrites. Byte-identical SQL on both
+# engines.
+# ---------------------------------------------------------------------------
+@_q(
+    "ops_agg_filter",
+    f"""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS cnt_all,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'F')
+                AS BIGINT) AS cnt_f,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                FILTER (WHERE o_orderstatus = 'O')
+                AS DOUBLE) AS total_open,
+           CAST(count(DISTINCT o_custkey)
+                FILTER (WHERE o_totalprice > 150000)
+                AS BIGINT) AS big_spenders
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def ops_agg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2003 aggregate FILTER clause — plain, decimal-bridged, and
+    DISTINCT aggregates each under their own predicate, in one
+    grouped pass (Catalyst plans the distinct+filter mix as the same
+    two-phase expand it uses for multi-distinct)."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("ops_aggf_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS cnt_all,
+               CAST(count(*) FILTER (WHERE o_orderstatus = 'F')
+                    AS BIGINT) AS cnt_f,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                    FILTER (WHERE o_orderstatus = 'O')
+                    AS DOUBLE) AS total_open,
+               CAST(count(DISTINCT o_custkey)
+                    FILTER (WHERE o_totalprice > 150000)
+                    AS BIGINT) AS big_spenders
+        FROM ops_aggf_orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Null-safe equality join (<=> / IS NOT DISTINCT FROM — Calcite's
+# IS_NOT_DISTINCT_FROM join conditions, which the reference's planner
+# routes through BatchExecHashJoin's null-safe key path): NULL keys
+# MATCH each other instead of vanishing from the join.
+# ---------------------------------------------------------------------------
+@_q(
+    "ops_null_safe_join",
+    """
+    WITH a AS (
+      SELECT NULLIF(o_orderstatus, 'F') AS k,
+             CAST(count(*) AS BIGINT) AS cnt_o
+      FROM orders GROUP BY 1
+    ), b AS (
+      SELECT NULLIF(l_linestatus, 'F') AS k,
+             CAST(count(*) AS BIGINT) AS cnt_l
+      FROM lineitem GROUP BY 1
+    )
+    SELECT a.k AS k, cnt_o, cnt_l
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    ORDER BY k NULLS FIRST
+    """,
+)
+def ops_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join: NULLIF manufactures NULL keys on both
+    sides, then ``eqNullSafe`` joins them — the NULL↔NULL pair
+    survives (a plain equi-join would drop it), proving the planner
+    treats <=> as a hashable key, not a residual filter."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    a = (
+        o.groupBy(
+            F.nullif(F.col("o_orderstatus"), F.lit("F")).alias("k")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt_o"))
+    )
+    b = (
+        li.groupBy(
+            F.nullif(F.col("l_linestatus"), F.lit("F")).alias("k")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt_l"))
+    )
+    return (
+        a.join(b, a["k"].eqNullSafe(b["k"]), "inner")
+        .select(a["k"].alias("k"), "cnt_o", "cnt_l")
+        .orderBy(F.col("k").asc_nulls_first())
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANSI interval arithmetic (the reference's TimestampPlus/Minus
+# RexCalls over INTERVAL literals — planner ExpressionReducer folds
+# them; Spark's year-month / day-time interval types execute them):
+# timestamp ± day-time interval, date + year-month interval with
+# end-of-month clamping — identical calendars on both engines.
+# ---------------------------------------------------------------------------
+@_q(
+    "ops_interval_arith",
+    """
+    SELECT CAST(date_trunc('day', ts + INTERVAL 90 MINUTE) AS DATE)
+             AS shifted_day,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(min(o_next) AS DATE) AS first_next
+    FROM (
+      SELECT e.ts,
+             CAST(o.o_orderdate + INTERVAL 3 MONTH AS DATE) AS o_next
+      FROM events e
+      JOIN orders o ON o.o_orderkey % 10000 = e.event_id
+    )
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def ops_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-time (ts + 90 minutes) and year-month (date + 3 months,
+    calendar-clamped) interval arithmetic inside join/group/agg —
+    exercised as DataFrame expressions, value-matched against the
+    identical ANSI text in DuckDB."""
+    e = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    j = e.join(o, o["o_orderkey"] % 10000 == e["event_id"]).select(
+        (F.col("ts") + F.expr("INTERVAL 90 MINUTE")).alias("ts_p"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 3 MONTH"))
+        .cast("date")
+        .alias("o_next"),
+    )
+    return (
+        j.groupBy(
+            F.date_trunc("day", F.col("ts_p"))
+            .cast("date")
+            .alias("shifted_day")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.min("o_next").cast("date").alias("first_next"),
+        )
+        .orderBy("shifted_day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL pipe syntax (Spark 4, SQL:2023-adjacent |> operators): the same
+# logical plan the classic form produces — a beyond-parity surface
+# the reference's Calcite parser has no counterpart for. The oracle
+# is the classic rendering; Catalyst compiles both to one plan.
+# ---------------------------------------------------------------------------
+@_q(
+    "ops_sql_pipe",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(o_totalprice / 2 AS DECIMAL(18,6)))
+                AS DOUBLE) AS half_total
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def ops_sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax: FROM |> WHERE |> EXTEND |> AGGREGATE …
+    GROUP BY |> ORDER BY — the linear form of the classic query the
+    oracle runs; value-hash-identical because both lower to the same
+    Catalyst plan."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("ops_pipe_orders")
+    return spark.sql(
+        """
+        FROM ops_pipe_orders
+        |> WHERE o_orderstatus = 'O'
+        |> EXTEND o_totalprice / 2 AS half_price
+        |> AGGREGATE CAST(count(*) AS BIGINT) AS cnt,
+                     CAST(SUM(CAST(half_price AS DECIMAL(18,6)))
+                          AS DOUBLE) AS half_total
+           GROUP BY o_orderpriority
+        |> ORDER BY o_orderpriority
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lateral column alias (Spark 3.4+ / DuckDB): a SELECT item referring
+# to an alias defined earlier in the SAME select list — byte-identical
+# text on both engines.
+# ---------------------------------------------------------------------------
+@_q(
+    "ops_lateral_alias",
+    """
+    SELECT o_orderkey,
+           CAST(o_totalprice / 7 AS DECIMAL(18,6)) AS seventh,
+           seventh * 2 AS two_sevenths,
+           CAST(two_sevenths > 40000 AS BOOLEAN) AS is_big
+    FROM orders
+    ORDER BY o_orderkey
+    LIMIT 100
+    """,
+)
+def ops_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral column aliases: ``seventh`` and ``two_sevenths`` are
+    consumed by later items of the same select list (Catalyst
+    rewrites to nested projects) — the identical text runs on DuckDB,
+    where the feature originated."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("ops_lca_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               CAST(o_totalprice / 7 AS DECIMAL(18,6)) AS seventh,
+               seventh * 2 AS two_sevenths,
+               CAST(two_sevenths > 40000 AS BOOLEAN) AS is_big
+        FROM ops_lca_orders
+        ORDER BY o_orderkey
+        LIMIT 100
+        """
+    )

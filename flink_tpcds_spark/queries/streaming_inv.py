@@ -1929,3 +1929,205 @@ def st_cep_wshape(spark: SparkSession, sf_dir: str) -> DataFrame:
     m.flush(spark)
     assert m.late_dropped() == 0
     return m.matches(spark).orderBy("user_id", "start_ts")
+
+
+@_q(
+    "st_cep_timeout",
+    """
+    SELECT e.user_id, e.event_id, e.ts AS a_ts
+    FROM events e
+    WHERE e.event_type = 'view'
+      AND NOT EXISTS (
+        SELECT 1 FROM events b
+        WHERE b.user_id = e.user_id
+          AND b.event_type = 'purchase'
+          AND b.ts > e.ts
+          AND b.ts <= e.ts + INTERVAL 48 HOUR)
+    ORDER BY user_id, a_ts
+    """,
+)
+def st_cep_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming absence/timeout CEP (streaming/timeout.py): every
+    `view` NOT followed by a `purchase` from the same user within 48
+    hours — Flink CEP's ``notFollowedBy().within()`` (the NOT-state
+    the quantified-chain matchers cannot express; reference surface:
+    StreamExecMatch.scala over flink-cep's NFACompiler). The events
+    table streams in 4 event-time-ordered micro-batches (batch 1
+    replayed — at-least-once), each A decided exactly when the
+    watermark passes its deadline; after flush the emitted set must
+    equal the batch NOT EXISTS oracle EXACTLY. The whole per-batch
+    transition is JVM DataFrame algebra (keyed anti-join + range
+    predicates — zero Python in the row path); keyed state is
+    O(events in a (T + lateness) window)."""
+    import datetime as _dt
+
+    from ..streaming.timeout import StreamingTimeout
+
+    work = _workdir("st_timeout_")
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    tq = (
+        e.withColumn("_us", F.unix_micros("ts"))
+        .agg(
+            F.expr("percentile(_us, 0.25)").alias("a"),
+            F.expr("percentile(_us, 0.5)").alias("b"),
+            F.expr("percentile(_us, 0.75)").alias("c"),
+        )
+        .collect()[0]
+    )
+
+    def _ts(us: float) -> _dt.datetime:
+        return _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=us)
+
+    bounds = [None, _ts(tq.a), _ts(tq.b), _ts(tq.c), None]
+    m = StreamingTimeout(
+        os.path.join(work, "state"),
+        "view",
+        "purchase",
+        _dt.timedelta(hours=48),
+        _dt.timedelta(minutes=10),
+    )
+    for i in range(4):
+        part = e
+        if bounds[i] is not None:
+            part = part.filter(F.col("ts") >= F.lit(bounds[i]))
+        if bounds[i + 1] is not None:
+            part = part.filter(F.col("ts") < F.lit(bounds[i + 1]))
+        m.foreach_batch(part, i)
+        if i == 1:  # at-least-once replay — must be a no-op
+            m.foreach_batch(part, i)
+    m.flush(spark)
+    assert m.late_dropped() == 0
+    return m.matches(spark).orderBy("user_id", "a_ts")
+
+
+@_q(
+    "st_session_dynamic_gap",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'purchase' THEN INTERVAL 45 MINUTE
+                  ELSE INTERVAL 15 MINUTE END AS gap
+      FROM events
+    ), m AS (
+      SELECT user_id, ts,
+             CASE WHEN MAX(ts + gap) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  >= ts
+                  THEN 0 ELSE 1 END AS new_session
+      FROM g
+    )
+    SELECT user_id,
+           CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM m GROUP BY user_id ORDER BY user_id
+    """,
+)
+def st_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC-gap session windows as a REAL Structured Streaming
+    query: the per-row gap is an expression of the row (purchases
+    keep the session alive 45 minutes, everything else 15), so the
+    session an event opens is ``[ts, ts + gap(row))`` and overlapping
+    windows merge — the reference's SessionWindowAssigner with
+    per-element extraction (SessionWindowAssigner.java's
+    mergeWindows over assigner-provided spans). Append mode +
+    30-minute watermark over a time-ordered 4-file stream; one
+    far-future sentinel flushes every real session; the per-user
+    (n_sessions, n_events) must equal the generalized
+    gaps-and-islands oracle (new session iff ts exceeds the running
+    max of predecessors' ts+gap) exactly."""
+    work = _workdir("st_dyngap_")
+    src = os.path.join(work, "in")
+    os.makedirs(src)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    filters, lo, hi = _time_range_filters(e, 4)
+    for i, flt in enumerate(filters):
+        e.filter(flt).coalesce(2).write.parquet(
+            os.path.join(src, f"b{i}")
+        )
+    spark.createDataFrame(
+        [(-1, -1, hi, "view")],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    ).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 10 HOURS")
+    ).coalesce(1).write.parquet(os.path.join(src, "b4_sentinel"))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, "
+            "event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("45 minutes")
+    ).otherwise(F.lit("15 minutes"))
+    sessions = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .select("user_id", F.col("w.start").alias("s"), "cnt")
+    )
+    out_dir = os.path.join(work, "sessions")
+    (
+        sessions.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return (
+        spark.read.parquet(out_dir)
+        .filter(F.col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum("cnt").cast("bigint").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@_q(
+    "st_quantile_sketch",
+    """
+    WITH ranked AS (
+      SELECT CAST(n_chars AS DOUBLE) AS v,
+             md5(CAST(doc_id AS VARCHAR)) AS rk
+      FROM documents
+    )
+    SELECT v, rk FROM ranked ORDER BY rk, v LIMIT 64
+    """,
+)
+def st_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming mergeable quantile sketch
+    (streaming/quantile.py): the documents table fed in 4
+    micro-batches (batch 1 replayed — at-least-once) through the
+    bottom-64-by-md5 sample accumulator; because the merge law is a
+    set identity, the final state must equal the whole-corpus batch
+    sketch ROW FOR ROW — a full-value 64-row oracle, no tolerance.
+    Per batch: one distributed TakeOrdered + an O(k) merge; state is
+    exactly 64 rows forever."""
+    from ..streaming.quantile import StreamingQuantileSketch
+
+    work = _workdir("st_qsk_")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    m = StreamingQuantileSketch(
+        os.path.join(work, "state"), "n_chars", "doc_id", 64
+    )
+    for i in range(4):
+        part = docs.filter(F.pmod("doc_id", F.lit(4)) == i)
+        m.foreach_batch(part, i)
+        if i == 1:  # at-least-once replay — must be a no-op
+            m.foreach_batch(part, i)
+    return m.result(spark)
