@@ -3232,3 +3232,86 @@ def ops_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 100
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Runtime bloom-filter join pruning (Spark's runtime-filter injection;
+# the reference's closest analog is Blink's runtime filter pushdown
+# work in the planner — at 100 TB this is the difference between
+# shuffling the whole probe side and shuffling only rows that can
+# join). The entry EXECUTES under the injected plan (gated in-entry:
+# bloom_filter_agg must appear) and returns the value-checked result.
+# ---------------------------------------------------------------------------
+@_q(
+    "ops_runtime_filter",
+    f"""
+    SELECT l.l_returnflag,
+           CAST(count(*) AS BIGINT) AS cnt,
+           {dsum_sql('l.l_quantity')} AS sum_qty
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+)
+def ops_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter semi-join reduction: the selective dim
+    filter (urgent orders) is turned into a bloom filter applied to
+    the fact scan BEFORE the join shuffle. Broadcast is disabled so
+    the shuffle join is what the filter protects — the posture that
+    matters when neither side broadcasts at 100 TB (the app-side
+    size threshold is lowered only because sf0.01 is far below the
+    10 GB default that would trigger naturally at scale). The plan
+    is asserted to contain bloom_filter_agg, the result computed
+    UNDER that plan, and confs restored."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "true"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1"
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("cnt"),
+                dsum(F.col("l_quantity")).alias("sum_qty"),
+            )
+            .orderBy("l_returnflag")
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, (
+            "runtime bloom filter was not injected — plan gate failed"
+        )
+        rows = j.collect()  # executed UNDER the injected plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.createDataFrame(
+        rows, "l_returnflag string, cnt long, sum_qty double"
+    )

@@ -2131,3 +2131,55 @@ def st_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         if i == 1:  # at-least-once replay — must be a no-op
             m.foreach_batch(part, i)
     return m.result(spark)
+
+
+@_q(
+    "st_count_window",
+    """
+    WITH x AS (
+      SELECT user_id, ts, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) - 1 AS pos
+      FROM events
+    )
+    SELECT user_id, CAST(pos // 5 AS BIGINT) AS win,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+           min(ts) AS start_ts, max(ts) AS end_ts
+    FROM x
+    GROUP BY 1, 2
+    HAVING count(*) = 5
+    ORDER BY user_id, win
+    """,
+)
+def st_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING count windows (streaming/countwin.py — the
+    CountTumblingWindowAssigner surface, until now batch-only via
+    ops_count_window): tumbling windows of 5 rows per user in
+    event-time order, fed 4 event-time micro-batches (batch 1
+    replayed), each window firing exactly when its 5th row freezes
+    below the watermark; partials never fire (the CountWindow
+    contract — the oracle's HAVING count(*) = 5). Per-key state is
+    one partial-aggregate row + the mutable lateness region; sums
+    ride the int64 micro-unit decimal bridge so the totals are
+    bit-identical to the oracle's DECIMAL(18,6) sums."""
+    import datetime as _dt
+
+    from ..streaming.countwin import StreamingCountWindows
+
+    work = _workdir("st_cntw_")
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    filters, _, _ = _time_range_filters(e, 4)
+    m = StreamingCountWindows(
+        os.path.join(work, "state"), 5, _dt.timedelta(minutes=10)
+    )
+    for i, flt in enumerate(filters):
+        part = e.filter(flt)
+        m.foreach_batch(part, i)
+        if i == 1:  # at-least-once replay — must be a no-op
+            m.foreach_batch(part, i)
+    m.flush(spark)
+    assert m.late_dropped() == 0
+    return m.windows(spark).orderBy("user_id", "win")
