@@ -3315,3 +3315,73 @@ def ops_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "l_returnflag string, cnt long, sum_qty double"
     )
+
+
+# ---------------------------------------------------------------------------
+# LIMIT ... OFFSET (Spark 3.4+ OFFSET clause; Calcite's fetch/offset
+# on Sort — the reference's SortLimit carries both): pagination over
+# a deterministic total order.
+# ---------------------------------------------------------------------------
+@_q(
+    "ops_offset",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_orderkey
+    LIMIT 50 OFFSET 100
+    """,
+)
+def ops_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OFFSET pagination under a unique total order — planned as
+    GlobalLimit(offset+limit) over TakeOrdered, rows [100, 150)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .offset(100)
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# INTERSECT ALL / EXCEPT ALL — the MULTISET variants (Calcite
+# SqlSetOperator with all=true; the reference plans them through
+# ranked joins): duplicate multiplicities follow bag semantics
+# (min(m,n) for intersect, m−n clamped at 0 for except).
+# ---------------------------------------------------------------------------
+@_q(
+    "ops_set_ops_all",
+    """
+    WITH returned AS (
+      SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+    ), finished AS (
+      SELECT l_suppkey FROM lineitem WHERE l_linestatus = 'F'
+    )
+    SELECT 'intersect_all' AS op, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (SELECT * FROM returned INTERSECT ALL SELECT * FROM finished) a
+    UNION ALL
+    SELECT 'except_all' AS op, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (SELECT * FROM returned EXCEPT ALL SELECT * FROM finished) b
+    ORDER BY op
+    """,
+)
+def ops_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations: both inputs carry heavy
+    duplicate multiplicities (suppkeys repeat across lineitems), so
+    ALL-variant counts differ from the DISTINCT forms by
+    construction — Catalyst plans both via the generate+join rewrite
+    the reference expresses with ranked joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_suppkey")
+    finished = li.filter(F.col("l_linestatus") == "F").select("l_suppkey")
+    parts = [
+        returned.intersectAll(finished).agg(
+            F.lit("intersect_all").alias("op"),
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+        ),
+        returned.exceptAll(finished).agg(
+            F.lit("except_all").alias("op"),
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+        ),
+    ]
+    return parts[0].unionByName(parts[1]).orderBy("op")

@@ -2183,3 +2183,57 @@ def st_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     m.flush(spark)
     assert m.late_dropped() == 0
     return m.windows(spark).orderBy("user_id", "win")
+
+
+@_q(
+    "st_count_sliding",
+    """
+    WITH x AS (
+      SELECT user_id, ts, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) - 1 AS pos
+      FROM events
+    ), starts AS (
+      SELECT user_id, CAST(pos // 2 AS BIGINT) AS win,
+             pos AS start_pos
+      FROM x WHERE pos % 2 = 0
+    )
+    SELECT s.user_id, s.win,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(r.value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+           min(r.ts) AS start_ts, max(r.ts) AS end_ts
+    FROM starts s
+    JOIN x r ON r.user_id = s.user_id
+            AND r.pos >= s.start_pos AND r.pos < s.start_pos + 5
+    GROUP BY 1, 2
+    HAVING count(*) = 5
+    ORDER BY 1, 2
+    """,
+)
+def st_count_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING SLIDING count windows (CountSlidingWindowAssigner):
+    a 5-row window starts every 2 rows per user, so each row feeds up
+    to 3 concurrent partials; a window fires exactly when its 5th row
+    freezes. Same positional determinism, micro-unit sums, and
+    partial-never-fires contract as st_count_window — the oracle
+    assigns windows by row_number and keeps only full ones."""
+    import datetime as _dt
+
+    from ..streaming.countwin import StreamingCountWindows
+
+    work = _workdir("st_cnts_")
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    filters, _, _ = _time_range_filters(e, 4)
+    m = StreamingCountWindows(
+        os.path.join(work, "state"), 5, _dt.timedelta(minutes=10), slide=2
+    )
+    for i, flt in enumerate(filters):
+        part = e.filter(flt)
+        m.foreach_batch(part, i)
+        if i == 2:  # at-least-once replay — must be a no-op
+            m.foreach_batch(part, i)
+    m.flush(spark)
+    assert m.late_dropped() == 0
+    return m.windows(spark).orderBy("user_id", "win")

@@ -1,8 +1,10 @@
-"""Streaming COUNT windows: per-key tumbling windows of N rows.
+"""Streaming COUNT windows: per-key tumbling OR sliding windows of N
+rows (a window starts every ``slide`` rows; tumbling = slide of N).
 
-Reference surface: CountTumblingWindowAssigner.java (runtime/
-operators/window/assigners/) — the reference fires a window every N
-elements per key, in arrival order. Arrival order is not reproducible
+Reference surface: CountTumblingWindowAssigner.java and
+CountSlidingWindowAssigner.java (runtime/operators/window/assigners/)
+— the reference fires a window every N elements per key, in arrival
+order. Arrival order is not reproducible
 across replays, so this operator uses the same determinism posture as
 the rest of the streaming layer: rows enter their key's window
 sequence in EVENT-TIME order (ts, event_id), and a row is folded only
@@ -66,20 +68,34 @@ _MICRO_BOUND = 4_600_000_000_000  # half the int64 range at 1e6 scale
 
 
 class StreamingCountWindows(CrashSafeParquetState):
-    """Tumbling count-N windows per user_id over micro-batches of
-    (user_id, ts, event_id, value). ``windows()`` returns
+    """Count windows per user_id over micro-batches of
+    (user_id, ts, event_id, value): tumbling (``slide`` omitted) or
+    SLIDING (CountSlidingWindowAssigner — a window of ``n`` rows
+    starts every ``slide`` rows, so a row belongs to up to
+    ⌈n/slide⌉ windows). ``windows()`` returns
     (user_id, win, cnt, total, start_ts, end_ts) for every COMPLETED
     window; ``residuals()`` the open partials (never fired — the
-    CountWindow contract)."""
+    CountWindow contract). Per-key state: one META row (rows consumed
+    so far — window starts are positional), ≤ ⌈n/slide⌉ open
+    partials, and the mutable lateness region."""
 
     WM_MARKER = "_WATERMARK_US"
     LATE_MARKER = "_LATE_DROPPED"
 
-    def __init__(self, path: str, n: int, lateness: _dt.timedelta):
+    def __init__(
+        self,
+        path: str,
+        n: int,
+        lateness: _dt.timedelta,
+        slide: int | None = None,
+    ):
         super().__init__(path)
         if n < 1:
             raise ValueError("n must be ≥ 1")
         self.n = n
+        self.slide = n if slide is None else slide
+        if self.slide < 1:
+            raise ValueError("slide must be ≥ 1")
         self.lateness = lateness
 
     def watermark(self) -> _dt.datetime:
@@ -132,7 +148,9 @@ class StreamingCountWindows(CrashSafeParquetState):
     ) -> None:
         state = self._state(spark)
         done = state.filter(F.col("kind") == "win")
-        carried = state.filter(F.col("kind").isin("partial", "pending"))
+        carried = state.filter(
+            F.col("kind").isin("partial", "pending", "meta")
+        )
         prev_wm = self.watermark()
 
         rows = batch_df.select("user_id", "ts", "event_id", "value")
@@ -180,21 +198,26 @@ class StreamingCountWindows(CrashSafeParquetState):
             ],
         )
         n = self.n
+        slide = self.slide
         wm_py = wm
         out_schema = _STATE_SCHEMA
         cols = [f.name for f in _STATE_SCHEMA.fields]
 
         def fold(pdf: pd.DataFrame) -> pd.DataFrame:
             uid = int(pdf["user_id"].iloc[0])
-            part = pdf[pdf["kind"] == "partial"]
-            if len(part):
-                r = part.iloc[0]
-                win, cnt = int(r["win"]), int(r["cnt"])
-                total = int(r["total_micro"])
-                lo = r["start_ts"]
-                hi2 = r["end_ts"]
-            else:
-                win, cnt, total, lo, hi2 = 0, 0, 0, None, None
+            meta = pdf[pdf["kind"] == "meta"]
+            p = int(meta["cnt"].iloc[0]) if len(meta) else 0
+            open_w = [
+                {
+                    "win": int(r["win"]),
+                    "cnt": int(r["cnt"]),
+                    "total": int(r["total_micro"]),
+                    "lo": r["start_ts"],
+                    "hi": r["end_ts"],
+                }
+                for _, r in pdf[pdf["kind"] == "partial"].iterrows()
+            ]
+            open_w.sort(key=lambda d: d["win"])
             ev = (
                 pdf[pdf["kind"] == "pending"]
                 .sort_values(["ts", "event_id"])
@@ -206,47 +229,84 @@ class StreamingCountWindows(CrashSafeParquetState):
                 if ev["ts"].iloc[i] >= wm_py:
                     break
                 keep_from = i + 1
-                micro = round(float(ev["value"].iloc[i]) * 1_000_000)
-                total += micro
-                if abs(total) > _MICRO_BOUND:
-                    raise ValueError(
-                        "count-window micro-unit sum exceeds the "
-                        "int64 safety bound"
-                    )
-                cnt += 1
                 t = ev["ts"].iloc[i]
-                lo = t if lo is None or pd.isna(lo) else lo
-                hi2 = t
-                if cnt == n:
-                    out.append(
+                micro = round(float(ev["value"].iloc[i]) * 1_000_000)
+                if p % slide == 0:
+                    # a new window starts every `slide` rows; its
+                    # index is positional, so replays/batch splits
+                    # cannot renumber it
+                    open_w.append(
                         {
-                            "kind": "win",
-                            "user_id": uid,
-                            "ts": None,
-                            "event_id": None,
-                            "value": None,
-                            "win": win,
-                            "cnt": cnt,
-                            "total_micro": total,
-                            "start_ts": lo,
-                            "end_ts": hi2,
+                            "win": p // slide,
+                            "cnt": 0,
+                            "total": 0,
+                            "lo": None,
+                            "hi": None,
                         }
                     )
-                    win, cnt, total, lo, hi2 = win + 1, 0, 0, None, None
-            out.append(
-                {
-                    "kind": "partial",
-                    "user_id": uid,
-                    "ts": None,
-                    "event_id": None,
-                    "value": None,
-                    "win": win,
-                    "cnt": cnt,
-                    "total_micro": total,
-                    "start_ts": lo,
-                    "end_ts": hi2,
-                }
-            )
+                still = []
+                for w in open_w:
+                    w["cnt"] += 1
+                    w["total"] += micro
+                    if abs(w["total"]) > _MICRO_BOUND:
+                        raise ValueError(
+                            "count-window micro-unit sum exceeds "
+                            "the int64 safety bound"
+                        )
+                    if w["lo"] is None or pd.isna(w["lo"]):
+                        w["lo"] = t
+                    w["hi"] = t
+                    if w["cnt"] == n:
+                        out.append(
+                            {
+                                "kind": "win",
+                                "user_id": uid,
+                                "ts": None,
+                                "event_id": None,
+                                "value": None,
+                                "win": w["win"],
+                                "cnt": w["cnt"],
+                                "total_micro": w["total"],
+                                "start_ts": w["lo"],
+                                "end_ts": w["hi"],
+                            }
+                        )
+                    else:
+                        still.append(w)
+                open_w = still
+                p += 1
+            for w in open_w:
+                out.append(
+                    {
+                        "kind": "partial",
+                        "user_id": uid,
+                        "ts": None,
+                        "event_id": None,
+                        "value": None,
+                        "win": w["win"],
+                        "cnt": w["cnt"],
+                        "total_micro": w["total"],
+                        "start_ts": w["lo"],
+                        "end_ts": w["hi"],
+                    }
+                )
+            if p > 0:
+                # the consumed-row count IS the window numbering —
+                # keep it whenever the key has ever frozen a row
+                out.append(
+                    {
+                        "kind": "meta",
+                        "user_id": uid,
+                        "ts": None,
+                        "event_id": None,
+                        "value": None,
+                        "win": None,
+                        "cnt": p,
+                        "total_micro": None,
+                        "start_ts": None,
+                        "end_ts": None,
+                    }
+                )
             for i in range(keep_from, len(ev)):
                 out.append(
                     {
@@ -268,15 +328,6 @@ class StreamingCountWindows(CrashSafeParquetState):
             carried_t.unionByName(incoming)
             .groupBy("user_id")
             .applyInPandas(fold, out_schema)
-        )
-        # an all-zero partial (fresh key, nothing frozen yet) is pure
-        # noise — drop it so state size tracks live keys only
-        folded = folded.filter(
-            ~(
-                (F.col("kind") == "partial")
-                & (F.col("cnt") == 0)
-                & (F.col("win") == 0)
-            )
         )
         if final:
             folded = folded.filter(F.col("kind") != "pending")

@@ -137,3 +137,72 @@ def test_untouched_keys_pass_through(spark):
         )
     )
     assert s0 == s1
+
+
+def _batch_sliding(rows, n, slide):
+    by = {}
+    for u, m, e, v in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        by.setdefault(u, []).append((m, e, v))
+    out = []
+    for u, rs in by.items():
+        k = 0
+        while k * slide + n <= len(rs):
+            grp = rs[k * slide : k * slide + n]
+            out.append(
+                (
+                    u,
+                    k,
+                    n,
+                    round(sum(round(v * 1e6) for _, _, v in grp) / 1e6, 6),
+                    grp[0][0],
+                    grp[-1][0],
+                )
+            )
+            k += 1
+    return sorted(out)
+
+
+def test_sliding_equals_batch_random_splits(spark):
+    rnd = random.Random(23)
+    rows = []
+    eid = 0
+    for u in range(4):
+        t = 0
+        for _ in range(rnd.randint(4, 25)):
+            t += rnd.randint(1, 60)
+            rows.append((u, t, eid, round(rnd.uniform(0, 50), 2)))
+            eid += 1
+    rows.sort(key=lambda r: r[1])
+    for trial in range(2):
+        rnd2 = random.Random(100 + trial)
+        cuts = sorted(rnd2.sample(range(1, len(rows)), 3))
+        batches, lo = [], 0
+        for c in cuts + [len(rows)]:
+            batches.append(rows[lo:c])
+            lo = c
+        work = tempfile.mkdtemp(prefix="st_cws_")
+        m = StreamingCountWindows(
+            work + "/s", 4, dt.timedelta(minutes=5), slide=2
+        )
+        for i, b in enumerate(batches):
+            m.foreach_batch(_mk(spark, b), i)
+            if trial == 0 and i == 1:
+                m.foreach_batch(_mk(spark, b), i)  # replay no-op
+        m.flush(spark)
+        assert _collect(m, spark) == _batch_sliding(rows, 4, 2), trial
+
+
+def test_sliding_open_partials_bounded(spark):
+    # n=6, slide=2 -> at most ceil(6/2)=3 open partials per key
+    rows = [(1, i, i, 1.0) for i in range(20)]
+    work = tempfile.mkdtemp(prefix="st_cwb_")
+    m = StreamingCountWindows(
+        work + "/s", 6, dt.timedelta(minutes=1), slide=2
+    )
+    m.foreach_batch(_mk(spark, rows), 0)
+    m.flush(spark)
+    res = m.residuals(spark).collect()
+    assert len(res) <= 3
+    # every row is in 3 windows except edges; totals are window size
+    wins = m.windows(spark).collect()
+    assert all(r.cnt == 6 and abs(r.total - 6.0) < 1e-9 for r in wins)
