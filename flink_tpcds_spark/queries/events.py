@@ -324,3 +324,71 @@ def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(stage(3, "view>click>purchase", tp))
         .orderBy("stage")
     )
+
+
+# ---------------------------------------------------------------------------
+# Paned sliding-window aggregation (reference PanedWindowAssigner.java
+# — SURVEY §2.5: a hop window of size S sliding by s is the union of
+# S/s disjoint PANES of width gcd(S,s); aggregate once per pane, then
+# combine each pane's partial into the S/s windows containing it).
+# Same result as ev_sliding_window, different physical shape: the
+# ×(S/s) replication happens on PANE PARTIALS (one row per
+# pane×group), not on input rows — at 100 TB the expand feeds
+# panes×groups rows instead of 3× the fact table. Pane partials stay
+# DECIMAL so the two-level sum is exactly associative.
+# ---------------------------------------------------------------------------
+@_q(
+    "ev_sliding_paned",
+    f"""
+    SELECT ws AS window_start, event_type, COUNT(*) AS cnt,
+           {dsum_sql('value')} AS sum_value
+    FROM (
+      SELECT time_bucket(INTERVAL '10 minutes', ts)
+               - k.k * INTERVAL '10 minutes' AS ws,
+             event_type, value
+      FROM events CROSS JOIN (VALUES (0), (1), (2)) AS k(k)
+    ) t
+    GROUP BY ws, event_type
+    ORDER BY ws, event_type
+    """,
+)
+def ev_sliding_paned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOP(30 min, slide 10 min) via pane pre-aggregation: tumbling
+    10-minute pane partials (count + exact decimal sum), each pane
+    expanded to the 3 hop windows containing it, partials combined
+    per window. Value-identical to the direct window() form (the
+    oracle is byte-identical to ev_sliding_window's) — what changes
+    is WHERE the ×3 replication happens."""
+    e = load_table(spark, sf_dir, "events")
+    pane = e.groupBy(
+        F.window("ts", "10 minutes").alias("p"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("pcnt"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("psum"),
+    )
+    expanded = pane.select(
+        F.col("p.start").alias("pstart"),
+        "event_type",
+        "pcnt",
+        "psum",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("k"),
+    )
+    return (
+        expanded.select(
+            (
+                F.col("pstart")
+                - F.make_dt_interval(
+                    F.lit(0), F.lit(0), F.col("k") * 10, F.lit(0)
+                )
+            ).alias("window_start"),
+            "event_type",
+            "pcnt",
+            "psum",
+        )
+        .groupBy("window_start", "event_type")
+        .agg(
+            F.sum("pcnt").alias("cnt"),
+            F.sum("psum").cast("double").alias("sum_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )

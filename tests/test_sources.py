@@ -1511,3 +1511,104 @@ def test_apply_changeset_single_pass_both_layouts(spark, tmp_path):
     bad = spark.createDataFrame([(1, 5)], "k long, v int")
     with pytest.raises(ValueError, match="differ in type"):
         apply_changeset(spark, bkt, bad, dels, ["k"])
+
+
+def test_bucketed_table_adopted_across_sessions(spark, sf_dir):
+    """A later session (in-memory catalog empty) must ADOPT an intact
+    on-disk bucketed table via the spec marker instead of rewriting
+    it: same files (mtimes untouched), still shuffle-free on the
+    bucket key, identical rows. A directory without the marker (the
+    crashed-write shape) is rewritten."""
+    import glob
+    import os
+
+    from flink_tpcds_spark.sources.bucketing import (
+        _NAMESPACE,
+        _SPEC_MARKER,
+        install_bucketed_posture,
+        uninstall_bucketed_posture,
+    )
+
+    try:
+        w1 = install_bucketed_posture(spark, sf_dir)
+        from flink_tpcds_spark.schemas import load_table
+
+        rows1 = {
+            tuple(r)
+            for r in load_table(spark, sf_dir, "orders")
+            .groupBy("o_orderstatus")
+            .count()
+            .collect()
+        }
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        import hashlib
+        from urllib.parse import urlparse
+
+        whp = urlparse(wh).path
+        keys = {"orders": "o_orderkey", "lineitem": "l_orderkey"}
+        locs = {}
+        for t, k in keys.items():
+            fp = hashlib.md5(f"{sf_dir}|32|{k}".encode()).hexdigest()[:8]
+            locs[t] = [
+                os.path.join(whp, _NAMESPACE, f"bkt_{t}_{fp}")
+            ]
+        files_before = {
+            t: {
+                p: os.path.getmtime(p)
+                for d in ds
+                for p in glob.glob(os.path.join(d, "part-*"))
+            }
+            for t, ds in locs.items()
+        }
+        # simulate a new session: external DROP keeps the files
+        for t in ("orders", "lineitem"):
+            for d in locs[t]:
+                tbl = os.path.basename(d)
+                spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+                assert os.path.isfile(os.path.join(d, _SPEC_MARKER))
+        uninstall_bucketed_posture()
+
+        w2 = install_bucketed_posture(spark, sf_dir)
+        assert all(v == 0.0 for v in w2.values()), f"not adopted: {w2}"
+        files_after = {
+            t: {
+                p: os.path.getmtime(p)
+                for d in ds
+                for p in glob.glob(os.path.join(d, "part-*"))
+            }
+            for t, ds in locs.items()
+        }
+        assert files_before == files_after, "adoption must not rewrite"
+        rows2 = {
+            tuple(r)
+            for r in load_table(spark, sf_dir, "orders")
+            .groupBy("o_orderstatus")
+            .count()
+            .collect()
+        }
+        assert rows1 == rows2
+        # the adopted table still joins shuffle-free on the bucket key
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            o = load_table(spark, sf_dir, "orders")
+            li = load_table(spark, sf_dir, "lineitem")
+            j = o.join(li, o["o_orderkey"] == li["l_orderkey"]).groupBy(
+                "o_orderstatus"
+            ).count()
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange hashpartitioning(o_orderkey" not in plan
+            assert "Exchange hashpartitioning(l_orderkey" not in plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+        # crashed-write shape: marker missing -> rewrite, not adopt
+        for d in locs["orders"]:
+            tbl = os.path.basename(d)
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            os.remove(os.path.join(d, _SPEC_MARKER))
+        uninstall_bucketed_posture()
+        w3 = install_bucketed_posture(spark, sf_dir)
+        assert w3["orders"] > 0.0, "markerless dir must be rewritten"
+    finally:
+        uninstall_bucketed_posture()
