@@ -3385,3 +3385,41 @@ def ops_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ]
     return parts[0].unionByName(parts[1]).orderBy("op")
+
+
+# ---------------------------------------------------------------------------
+# IDENTIFIER() clause (Spark 3.5+): SQL-injection-safe parameterized
+# table/column names — the constant-expression-to-identifier bridge
+# a templated lakehouse job uses instead of string-splicing DDL/DML.
+# DuckDB has no IDENTIFIER; the oracle is the resolved query.
+# ---------------------------------------------------------------------------
+@_q(
+    "ops_identifier_clause",
+    """
+    SELECT l_linestatus,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+)
+def ops_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTIFIER('view_name') and IDENTIFIER('col') resolve
+    string-typed constants into catalog/column references at analysis
+    time — the Spark query is fully parameterized, the oracle is its
+    resolution."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("ops_ident_lineitem")
+    return spark.sql(
+        """
+        SELECT IDENTIFIER('l_linestatus'),
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(SUM(CAST(IDENTIFIER('l_extendedprice')
+                             AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM IDENTIFIER('ops_ident_lineitem')
+        GROUP BY IDENTIFIER('l_linestatus')
+        ORDER BY IDENTIFIER('l_linestatus')
+        """
+    )
