@@ -65,6 +65,8 @@ _WINDOW = 50
 _PRIORITY_RECHECK: set[str] = {
     # r9: CDC state rerouted to the bucketed merge layout
     "st_cdc_apply",
+    # r11: bucket_table gained the adoption marker write
+    "ops_bucketed_join",
 }
 
 
