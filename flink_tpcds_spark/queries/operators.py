@@ -3423,3 +3423,46 @@ def ops_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY IDENTIFIER('l_linestatus')
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# UNION by NAME (Spark unionByName w/ allowMissingColumns; DuckDB's
+# UNION ALL BY NAME — schema-evolution-tolerant stacking: columns
+# align by name, absent ones become NULL).
+# ---------------------------------------------------------------------------
+@_q(
+    "ops_union_by_name",
+    """
+    WITH a AS (
+      SELECT o_orderkey AS k, o_totalprice AS price
+      FROM orders WHERE o_orderstatus = 'P'
+    ), b AS (
+      SELECT l_extendedprice AS price, l_orderkey AS k,
+             l_quantity AS qty
+      FROM lineitem WHERE l_orderkey % 997 = 0
+    )
+    SELECT k, price, qty
+    FROM (SELECT * FROM a UNION ALL BY NAME SELECT * FROM b) u
+    ORDER BY k, price, qty NULLS FIRST
+    """,
+)
+def ops_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Name-aligned union across mismatched schemas (different column
+    order, one side missing `qty`) — Spark's
+    unionByName(allowMissingColumns=True) vs DuckDB's native
+    UNION ALL BY NAME; the missing column is NULL-filled on the
+    narrow side."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    a = o.filter(F.col("o_orderstatus") == "P").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+    )
+    b = li.filter(F.col("l_orderkey") % 997 == 0).select(
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_orderkey").alias("k"),
+        F.col("l_quantity").alias("qty"),
+    )
+    return a.unionByName(b, allowMissingColumns=True).orderBy(
+        "k", "price", F.col("qty").asc_nulls_first()
+    )
