@@ -117,6 +117,31 @@ def main() -> None:
 
     release_caches()  # evict shingle caches pinned by the near-dup ops
 
+    # Host calibration anchor (VERDICT r9 item 3): the shared machine's
+    # profile has shifted three rounds running (deep-warm h01
+    # 1.59/1.86/2.03 s across the hosts seen), making round-over-round
+    # comparisons an archaeology exercise. Record the anchor IN the
+    # artifact: h01 deep-warm min-of-5 (at this point h01 has already
+    # run 4+ times — the untimed pre-pass plus two timed runs — so
+    # these 5 reads are the steady-state protocol BENCH_NOTES uses),
+    # and report the headline both raw and anchor-normalized against
+    # the r8 host's 1.86 s reference. Normalization is only meaningful
+    # at the standard sf0.1 posture on the standard suite.
+    anchor_runs = []
+    for _ in range(5):
+        t0 = time.time()
+        qs["h01_pricing_summary"](spark, sf_dir).collect()
+        anchor_runs.append(time.time() - t0)
+    h01_anchor = round(min(anchor_runs), 3)
+    anchor_ref = 1.86  # r8 host deep-warm h01 (BENCH_NOTES "Round 8")
+    host_factor = round(h01_anchor / anchor_ref, 3)
+    calibration = {
+        "h01_deepwarm_min5": h01_anchor,
+        "anchor_ref_sec": anchor_ref,
+        "host_factor": host_factor,
+        "anchor_valid_for_sf": sf == 0.1,
+    }
+
     # TPC-DS corpus wall-clock (the reference's own implicit metric is
     # its ITCase's JUnit wall-clock over the same 103 queries). Timing
     # only — correctness is tests/test_tpcds.py's DuckDB parity gate.
@@ -141,11 +166,26 @@ def main() -> None:
             data_dir = datagen.generate()
             names = runner.query_names()
 
-            def corpus_pass() -> dict:
+            def corpus_pass(calibrate: bool = False) -> dict:
                 # Per-query wall-clock (VERDICT r6 item 4): the
                 # reference's implicit metric is per-case JUnit time
                 # (TpcDsBatchExecITCase.scala:96-99); without it,
                 # suite-level drift cannot be attributed to a query.
+                #
+                # calibrate=True (views posture only) records corpus
+                # q1 cold (first run in this posture — codegen compile
+                # included, the slow-C2-JIT host signature) vs warm
+                # (re-run after the full timed pass). Side effect on
+                # comparability: per_q["q1"] in the timed loop is then
+                # one run warmer than in r1-r9 readings; q1 reads
+                # ~0.3 s warm, so the suite total shift is noise-band,
+                # and the cold/warm pair is what adjudicates host
+                # drift (VERDICT r9 item 3).
+                cold = warm = None
+                if calibrate:
+                    q0 = time.time()
+                    runner.run_spark("q1", spark)
+                    cold = round(time.time() - q0, 3)
                 runner.run_spark("q96", spark)  # warmup
                 # SPARK_GRAFT_CORPUS_WARMUP=1: untimed full pre-pass
                 # (per-query codegen warm, like the headline's) —
@@ -161,18 +201,27 @@ def main() -> None:
                     q0 = time.time()
                     runner.run_spark(name, spark)
                     per_q[name] = round(time.time() - q0, 3)
+                total_sec = round(time.time() - t0, 3)
+                if calibrate:
+                    q0 = time.time()
+                    runner.run_spark("q1", spark)
+                    warm = round(time.time() - q0, 3)
                 slowest = dict(
                     sorted(per_q.items(), key=lambda kv: -kv[1])[:10]
                 )
-                return {
+                out = {
                     "queries": len(names),
-                    "total_sec": round(time.time() - t0, 3),
+                    "total_sec": total_sec,
                     "top10_slowest": slowest,
                 }
+                if calibrate:
+                    out["q1_cold_sec"] = cold
+                    out["q1_warm_sec"] = warm
+                return out
 
             if not stats_only:
                 runner.register_spark_views(spark, data_dir)
-                tpcds = corpus_pass()
+                tpcds = corpus_pass(calibrate=True)
             if not skip_stats:
                 t0 = time.time()
                 runner.register_catalog_tables(
@@ -383,6 +432,10 @@ def main() -> None:
             pass
 
     total = round(sum(times.values()), 3)
+    calibration["headline_raw_sec"] = total
+    calibration["headline_anchor_normalized_sec"] = round(
+        total / host_factor, 3
+    )
     out = {
         "metric": "headline_suite_wall_clock",
         "value": total,
@@ -393,10 +446,17 @@ def main() -> None:
         "loadavg_1m_at_start": load_1m,
         "load_gate_wait_sec": waited,
         "load_contended": load_contended,
+        "calibration": calibration,
     }
     if tpcds is not None:
+        tpcds["total_sec_anchor_normalized"] = round(
+            tpcds["total_sec"] / host_factor, 3
+        )
         out["tpcds_corpus"] = tpcds
     if tpcds_stats is not None:
+        tpcds_stats["total_sec_anchor_normalized"] = round(
+            tpcds_stats["total_sec"] / host_factor, 3
+        )
         out["tpcds_corpus_stats"] = tpcds_stats
     if bucketed is not None:
         out["bucketed_posture"] = bucketed

@@ -566,6 +566,173 @@ def bpe_merge_candidates(
     ).select("merge_rank", "pair", "n_occurrences")
 
 
+# ---------------------------------------------------------------------------
+# BPE tokenizer: full training + distributed encode (completes the
+# train-data pipeline end-to-end: curate → dedup → decontaminate →
+# pack → TOKENIZE — VERDICT r9 item 8). Word-level BPE in the
+# Sennrich subword-nmt shape: merges never cross word boundaries,
+# words come from the corpus-wide tokenization contract (text.TOKEN_RE).
+# ---------------------------------------------------------------------------
+
+
+def bpe_apply_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Apply a trained merge table to one word (GPT-2 ``bpe()`` shape):
+    repeatedly find the LOWEST-RANK adjacent pair present and merge
+    every occurrence left-to-right. For a training-ordered merge
+    table this equals applying merges sequentially in rank order
+    (each merge's parts are built only by earlier merges, and merging
+    (X,Y)→XY can never recreate the pair (X,Y) across a replacement
+    boundary) — the equivalence the DuckDB oracle's replace-chain
+    rendering relies on (queries/datapipe.py::dp_bpe_encode)."""
+    parts: list[str] = list(word)
+    while len(parts) > 1:
+        best_rank = None
+        best_pair = None
+        for i in range(len(parts) - 1):
+            r = ranks.get((parts[i], parts[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, (parts[i], parts[i + 1])
+        if best_pair is None:
+            break
+        x, y = best_pair
+        out: list[str] = []
+        i = 0
+        while i < len(parts):
+            if i < len(parts) - 1 and parts[i] == x and parts[i + 1] == y:
+                out.append(x + y)
+                i += 2
+            else:
+                out.append(parts[i])
+                i += 1
+        parts = out
+    return parts
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    vocab_budget: int = 100_000,
+) -> list[tuple[str, str]]:
+    """Train a BPE merge table on the corpus.
+
+    Scale shape: the corpus-sized work is ONE distributed word count
+    (explode → map-side-combined groupBy on the word key); training
+    then iterates over the weighted VOCABULARY — bounded by
+    ``vocab_budget`` via TakeOrdered (per-partition heaps, the same
+    pinned driver-collect budget the IVF k-means uses) — never over
+    the corpus. This is the standard production posture
+    (sentencepiece/HF train from word-frequency tables); at 100 TB
+    the top-100k word table is ~2 MB regardless of corpus size.
+    Ranks are deterministic: ties break lexicographically on the
+    pair, so the table is engine- and partitioning-stable.
+    """
+    word_counts = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(vocab_budget)
+        .collect()
+    )
+    vocab: dict[tuple[str, ...], int] = {
+        tuple(r["word"]): r["n"] for r in word_counts if len(r["word"]) >= 2
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for parts, n in vocab.items():
+            for i in range(len(parts) - 1):
+                p = (parts[i], parts[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + n
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        x, y = best
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for parts, n in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(parts):
+                if i < len(parts) - 1 and parts[i] == x and parts[i + 1] == y:
+                    out.append(x + y)
+                    i += 2
+                else:
+                    out.append(parts[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + n
+        vocab = new_vocab
+    return merges
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distributed tokenizer encode: apply a trained merge table to
+    every document. Returns (id, n_words, n_chars, n_tokens).
+
+    Scale shape: the merge table rides a broadcast variable (a real
+    tokenizer is ~50k merges ≈ 1 MB — broadcast, never shuffled);
+    documents stream through ONE Arrow-batched ``mapInPandas`` stage
+    with a per-executor word→token-count cache (Zipf reuse: the hot
+    vocabulary dominates, so the per-word BPE loop amortizes to a
+    dict hit for almost every token) — no shuffle at all, output is
+    one row per input row."""
+    import re
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from .text import TOKEN_RE
+
+    sc = df.sparkSession.sparkContext
+    ranks_bc = sc.broadcast({p: r for r, p in enumerate(merges)})
+    word_re = re.compile(TOKEN_RE)
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("n_words", T.LongType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("n_tokens", T.LongType()),
+        ]
+    )
+
+    def encode(batches):
+        ranks = ranks_bc.value
+        cache: dict[str, int] = {}
+
+        def word_tokens(w: str) -> int:
+            n = cache.get(w)
+            if n is None:
+                n = len(bpe_apply_word(w, ranks))
+                cache[w] = n
+            return n
+
+        for pdf in batches:
+            n_words, n_chars, n_tokens = [], [], []
+            for text in pdf[text_col]:
+                words = word_re.findall((text or "").lower())
+                n_words.append(len(words))
+                n_chars.append(sum(len(w) for w in words))
+                n_tokens.append(sum(word_tokens(w) for w in words))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "n_words": pd.Series(n_words, dtype="int64"),
+                    "n_chars": pd.Series(n_chars, dtype="int64"),
+                    "n_tokens": pd.Series(n_tokens, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(encode, schema)
+
+
 def length_histogram(
     df: DataFrame,
     text_col: str = "text",

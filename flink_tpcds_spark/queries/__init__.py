@@ -67,6 +67,18 @@ _PRIORITY_RECHECK: set[str] = {
     "st_cdc_apply",
     # r11: bucket_table gained the adoption marker write
     "ops_bucketed_join",
+    # r12 (= judge round 10): the Spark-4 SQL-surface batch siblings of
+    # the fixed ops_lateral_alias red re-enter early per VERDICT r9
+    # item 5 (lateral_alias itself re-enters first as the sole red)
+    "ops_sql_pipe",
+    "ops_agg_filter",
+    "ops_interval_arith",
+    "ops_identifier_clause",
+    "ops_sql_udf",
+    "ops_sql_table_function",
+    "ops_recursive_cte",
+    "ops_sql_variables",
+    "ops_group_by_all",
 }
 
 

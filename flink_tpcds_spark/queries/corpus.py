@@ -48,6 +48,15 @@ and the final oracle text are produced offline by
 registered query by running the exact driver comparison (column
 match + order-insensitive value hash, ``oracle.py``) against a
 vanilla DuckDB connection. Only certified queries are registered.
+
+Arithmetic contract for NON-corpus (suite) oracles, which run
+byte-identical SQL without this canonicalization: division by a
+literal with a non-terminating decimal expansion (any divisor with a
+prime factor other than 2/5) is BANNED outside a
+``CAST(... AS DOUBLE)`` context — DuckDB computes DECIMAL/INTEGER in
+DOUBLE while Spark divides exactly in decimal and HALF_UP-rounds, so
+such quotients flip near rounding boundaries (CORRECTNESS_r09's
+``ops_lateral_alias`` red). Enforced by ``tests/test_oracle_lint.py``.
 """
 
 from __future__ import annotations

@@ -325,7 +325,12 @@ def st_session_scale10(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts") >= cuts[2],
     ]
     for i, flt in enumerate(filters):
-        big.filter(flt).coalesce(2).write.parquet(
+        # coalesce(1): same file-ordering hazard as
+        # st_session_dynamic_gap (ADVICE r9) — with maxFilesPerTrigger
+        # =1, two files per range only stay exact if the later-time
+        # sibling is processed second, which file listing does not
+        # guarantee under the session watermark.
+        big.filter(flt).coalesce(1).write.parquet(
             os.path.join(src, f"b{i}")
         )
     # watermark-advancing sentinel: one far-future event for a user
@@ -2046,7 +2051,14 @@ def st_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     filters, lo, hi = _time_range_filters(e, 4)
     for i, flt in enumerate(filters):
-        e.filter(flt).coalesce(2).write.parquet(
+        # coalesce(1), not (2): with maxFilesPerTrigger=1 the two
+        # sibling files of a range would be separate micro-batches
+        # whose processing order is a file-listing artifact — if the
+        # later-time file lands first, the sibling's on-time rows are
+        # silently dropped as late under the 30-minute watermark
+        # (ADVICE r9). One file per time range removes the ordering
+        # assumption entirely.
+        e.filter(flt).coalesce(1).write.parquet(
             os.path.join(src, f"b{i}")
         )
     spark.createDataFrame(

@@ -83,6 +83,11 @@ def session_builder(
         # --- local test friendliness ---
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # Console progress bars emit thousands of control characters
+        # that can bury bench.py's single JSON metric line in a
+        # bounded tail capture (BENCH_r09's headline was unrecoverable
+        # from the artifact of record — VERDICT r9 item 4).
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.parquet.enableVectorizedReader", "true")
         # --- custom Python DataSources may absorb filters
         #     (sources/docgen.py pushFilters; off by default in 4.1) ---

@@ -82,14 +82,21 @@ def _try_adopt_bucketed(
     loc: str | None,
     keys: list[str],
     n_buckets: int,
+    sort_cols: list[str] | None = None,
 ) -> bool:
     """Re-register an existing on-disk external bucketed table in this
     session's (in-memory) catalog — CREATE TABLE … CLUSTERED BY …
     LOCATION over files whose names already carry their bucket ids
     (Spark's bucketed-write naming). Only adopts when the spec marker
-    matches exactly AND the metadata row count matches the marker's
-    (guards against a partially-written directory); returns False to
-    make the caller rewrite otherwise."""
+    matches exactly — bucket cols, bucket count, AND sort cols (a
+    same-bucket-spec directory written with a different SORTED BY
+    would silently change sort-merge elision behavior) — and the
+    metadata row count matches the marker's (guards against a
+    partially-written directory); returns False to make the caller
+    rewrite otherwise. Any failure past the marker check (unreadable
+    parquet after a crash mid-rmtree, CREATE TABLE refusal, bad
+    count) also degrades to False so the caller rewrites — adoption
+    is an optimization and must never abort the posture install."""
     import json
 
     if loc is None or not os.path.isdir(loc):
@@ -105,21 +112,29 @@ def _try_adopt_bucketed(
     if (
         spec.get("bucket_cols") != list(keys)
         or spec.get("n_buckets") != n_buckets
+        or spec.get("sort_cols") != list(sort_cols or [])
     ):
         return False
-    schema_ddl = spark.read.parquet(loc).schema.toDDL()
-    sort_cols = spec.get("sort_cols") or []
-    sorted_by = (
-        f"SORTED BY ({', '.join(sort_cols)}) " if sort_cols else ""
-    )
-    spark.sql(
-        f"CREATE TABLE {tbl} ({schema_ddl}) USING PARQUET "
-        f"CLUSTERED BY ({', '.join(keys)}) {sorted_by}"
-        f"INTO {n_buckets} BUCKETS LOCATION '{loc}'"
-    )
-    # parquet metadata count — cheap even at SF10
-    if spark.table(tbl).count() != spec.get("rows"):
-        spark.sql(f"DROP TABLE {tbl}")
+    try:
+        schema_ddl = spark.read.parquet(loc).schema.toDDL()
+        marker_sort = spec.get("sort_cols") or []
+        sorted_by = (
+            f"SORTED BY ({', '.join(marker_sort)}) " if marker_sort else ""
+        )
+        spark.sql(
+            f"CREATE TABLE {tbl} ({schema_ddl}) USING PARQUET "
+            f"CLUSTERED BY ({', '.join(keys)}) {sorted_by}"
+            f"INTO {n_buckets} BUCKETS LOCATION '{loc}'"
+        )
+        # parquet metadata count — cheap even at SF10
+        if spark.table(tbl).count() != spec.get("rows"):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            return False
+    except Exception:  # noqa: BLE001 — degrade to rewrite, never abort
+        try:
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        except Exception:  # noqa: BLE001
+            pass
         return False
     return True
 
@@ -210,7 +225,9 @@ def install_bucketed_posture(
             loc = None
             if wh:
                 loc = os.path.join(wh, _NAMESPACE, tbl.lower())
-            if _try_adopt_bucketed(spark, tbl, loc, keys, n_buckets):
+            if _try_adopt_bucketed(
+                spark, tbl, loc, keys, n_buckets, sort_cols=keys
+            ):
                 out[name] = 0.0
             else:
                 if loc and os.path.isdir(loc):
@@ -277,7 +294,9 @@ def install_bucketed_corpus_views(
             loc = None
             if wh:
                 loc = os.path.join(wh, _NAMESPACE, tbl.lower())
-            if _try_adopt_bucketed(spark, tbl, loc, keys, n_buckets):
+            if _try_adopt_bucketed(
+                spark, tbl, loc, keys, n_buckets, sort_cols=keys
+            ):
                 out[name] = 0.0
             else:
                 if loc and os.path.isdir(loc):

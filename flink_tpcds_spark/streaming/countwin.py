@@ -50,7 +50,7 @@ from ..sources.incremental import CrashSafeParquetState
 
 _STATE_SCHEMA = StructType(
     [
-        StructField("kind", StringType()),  # win | partial | pending
+        StructField("kind", StringType()),  # win | partial | pending | meta
         StructField("user_id", LongType()),
         StructField("ts", TimestampType()),  # pending rows
         StructField("event_id", LongType()),

@@ -133,9 +133,16 @@ class StreamingTimeout(CrashSafeParquetState):
         rb = state.filter(F.col("kind") == "rb").drop("kind")
         prev_wm = self.watermark()
 
-        ivl = F.expr(
-            f"INTERVAL {int(self.within.total_seconds())} SECOND"
+        # microsecond rendering (ADVICE r9): an int(total_seconds())
+        # cast would silently truncate a sub-second ``within``, making
+        # the cancel/expiry bound disagree with an oracle that uses
+        # the untruncated timedelta.
+        ivl_us = (
+            self.within.days * 86_400_000_000
+            + self.within.seconds * 1_000_000
+            + self.within.microseconds
         )
+        ivl = F.expr(f"INTERVAL {ivl_us} MICROSECOND")
 
         rows = batch_df.select("user_id", "event_id", "ts", "event_type")
         n_late = rows.filter(F.col("ts") < F.lit(prev_wm)).count()
