@@ -368,6 +368,100 @@ def resize_image(binary_df: DataFrame, out_h: int, out_w: int) -> DataFrame:
     return binary_df.mapInPandas(work, DECODED_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# Audio: real WAV (RIFF/PCM) codec via the stdlib ``wave`` module —
+# the audio leg of the multimodal column family, same honest-codec
+# stance as the image path (no fabricated samples; unsupported
+# containers raise).
+# ---------------------------------------------------------------------------
+
+
+def _encode_wav(
+    framerate: int, n_channels: int, samples: bytes, sampwidth: int = 2
+) -> bytes:
+    """PCM WAV container around little-endian interleaved samples."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(sampwidth)
+        w.setframerate(framerate)
+        w.writeframes(samples)
+    return buf.getvalue()
+
+
+def decode_audio_bytes(data: bytes) -> tuple[int, int, int, int, bytes]:
+    """(n_channels, sampwidth, framerate, n_frames, pcm bytes)."""
+    import io
+    import wave
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError(
+            f"unsupported audio format (magic {data[:4]!r}); "
+            "supported codecs: RIFF/PCM WAV"
+        )
+    with wave.open(io.BytesIO(data), "rb") as w:
+        n_frames = w.getnframes()
+        return (
+            w.getnchannels(),
+            w.getsampwidth(),
+            w.getframerate(),
+            n_frames,
+            w.readframes(n_frames),
+        )
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("framerate", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("peak_abs", T.LongType()),
+        T.StructField("sum_abs", T.LongType()),
+    ]
+)
+
+
+def decode_audio(binary_df: DataFrame) -> DataFrame:
+    """Arrow-batched WAV decode + per-item sample statistics over
+    ``(doc_id, payload)``: the feature-extraction stage an audio
+    pipeline runs after the container parse (here: peak and total
+    absolute amplitude over 16-bit PCM, exact integers)."""
+    import numpy as np
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, chs, rates, frames, peaks, sums = [], [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                nch, width, rate, nfr, pcm = decode_audio_bytes(
+                    bytes(payload)
+                )
+                if width != 2:
+                    raise ValueError("only 16-bit PCM supported")
+                arr = np.frombuffer(pcm, dtype="<i2").astype(np.int64)
+                ids.append(doc_id)
+                chs.append(nch)
+                rates.append(rate)
+                frames.append(nfr)
+                peaks.append(int(np.abs(arr).max()) if arr.size else 0)
+                sums.append(int(np.abs(arr).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_channels": pd.Series(chs, dtype="int32"),
+                    "framerate": pd.Series(rates, dtype="int32"),
+                    "n_frames": pd.Series(frames, dtype="int64"),
+                    "peak_abs": pd.Series(peaks, dtype="int64"),
+                    "sum_abs": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return binary_df.mapInPandas(decode, AUDIO_SCHEMA)
+
+
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

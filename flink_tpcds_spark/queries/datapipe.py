@@ -530,6 +530,59 @@ def dp_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(to_binary_table(d), frame_size=64, stride=2).orderBy("doc_id", "frame_idx")
 
 
+@_q(
+    "dp_audio_decode",
+    """
+    SELECT doc_id,
+           CAST(1 + doc_id % 2 AS INTEGER) AS n_channels,
+           CAST(8000 + 100 * (doc_id % 4) AS INTEGER) AS framerate,
+           CAST(100 + doc_id % 50 AS BIGINT) AS n_frames,
+           CAST(abs(doc_id % 1000 - 500) AS BIGINT) AS peak_abs,
+           CAST((100 + doc_id % 50) * (1 + doc_id % 2)
+                * abs(doc_id % 1000 - 500) AS BIGINT) AS sum_abs
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def dp_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode over binary payloads (the audio leg of the
+    multimodal family): per document a true RIFF/PCM WAV file is
+    encoded (channel count, frame rate, length, and amplitude are
+    closed forms of doc_id), then parsed back by the stdlib codec
+    (multimodal.decode_audio) which also extracts exact integer
+    sample statistics — any container-parse or sample-decode bug
+    breaks n_frames / peak_abs / sum_abs against the closed-form
+    oracle."""
+    import struct
+
+    import pandas as pd
+
+    from ..datapipe.multimodal import _encode_wav, decode_audio
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for raw_id in pdf["doc_id"]:
+                doc_id = int(raw_id)
+                nch = 1 + doc_id % 2
+                rate = 8000 + 100 * (doc_id % 4)
+                nfr = 100 + doc_id % 50
+                v = doc_id % 1000 - 500
+                samples = struct.pack("<h", v) * (nfr * nch)
+                payloads.append(_encode_wav(rate, nch, samples))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": payloads,
+                }
+            )
+
+    wavs = d.mapInPandas(synth, "doc_id long, payload binary")
+    return decode_audio(wavs).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # BPE tokenizer encode: the merge table below is FIXED (not trained
 # in-entry, so the oracle is closed over it) and training-ordered —

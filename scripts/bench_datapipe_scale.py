@@ -67,6 +67,43 @@ def build(spark, m: int) -> tuple[str, str]:
     return docs_path, embs_path
 
 
+def dp_image_decode_rows(spark, docs) -> int:
+    """The dp_image_decode pipeline over a scaled corpus: synth a real
+    PPM/PNG per doc → stdlib decode → NN resize (decode runs inside
+    the fused resize stage); one output row per document."""
+    import pandas as pd
+
+    from flink_tpcds_spark.datapipe.multimodal import (
+        _encode_png,
+        _encode_ppm,
+        resize_image,
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for raw in pdf["doc_id"]:
+                i = int(raw)
+                h, w = 3 + i % 7, 4 + i % 13
+                px = bytes([i % 251]) * (h * w * 3)
+                payloads.append(
+                    _encode_ppm(h, w, 3, px)
+                    if i % 2 == 0
+                    else _encode_png(h, w, 3, px, filter_type=i % 5)
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": payloads,
+                }
+            )
+
+    imgs = docs.select("doc_id").mapInPandas(
+        synth, "doc_id long, payload binary"
+    )
+    return resize_image(imgs, 4, 6).count()
+
+
 def main() -> None:
     scales = [1, 10, 100]
     if "--scales" in sys.argv:
@@ -76,7 +113,11 @@ def main() -> None:
         ]
     spark = get_spark("datapipe-scale")
 
-    from flink_tpcds_spark.datapipe.curate import length_histogram
+    from flink_tpcds_spark.datapipe.curate import (
+        bpe_encode,
+        length_histogram,
+    )
+    from flink_tpcds_spark.queries.datapipe import _BPE_MERGES
     from flink_tpcds_spark.datapipe.dedup import (
         edit_distance_pairs,
         exact_dedup_stats,
@@ -132,6 +173,21 @@ def main() -> None:
                 docs.select("doc_id", F.substring("text", 1, 16).alias("k")),
                 key_col="k",
             ).count(),
+            # tokenizer encode: n_words/n_chars are invariant under the
+            # per-copy character bijection (m× base exactly); n_tokens
+            # is not (the merge table names literal chars), so it is
+            # recorded for throughput only.
+            "bpe_encode": lambda: (
+                lambda r: {"chars": r[0], "tokens": r[1]}
+            )(
+                bpe_encode(docs, _BPE_MERGES)
+                .agg(F.sum("n_chars"), F.sum("n_tokens"))
+                .collect()[0]
+            ),
+            # real codec path: synth PPM/PNG per doc → decode → resize
+            # (the dp_image_decode pipeline); one output row per doc,
+            # so rows = m× base exactly.
+            "image_rows": lambda: dp_image_decode_rows(spark, docs),
             "knn_bf_rows": lambda: knn_bruteforce(embs, qf, k=10).count(),
             "knn_ivf_rows": lambda: knn_ivf(
                 embs, qf, k=10, n_clusters=n_cells
@@ -169,9 +225,15 @@ def main() -> None:
                 "minhash_pairs",
                 "jaccard_pairs",
                 "fuzzy_pairs",
+                "image_rows",
             ):
                 if n in res:
                     inv[n] = res[n]["val"] == m * base_vals[n]
+            if "bpe_encode" in res and "bpe_encode" in base_vals:
+                inv["bpe_chars"] = (
+                    res["bpe_encode"]["val"]["chars"]
+                    == m * base_vals["bpe_encode"]["chars"]
+                )
             if "length_hist" in base_vals:
                 base_h = {b: (nd, f) for b, nd, f in base_vals["length_hist"]}
                 got_h = {b: (nd, f) for b, nd, f in res["length_hist"]["val"]}

@@ -147,6 +147,63 @@ def test_resize_identity_and_reference():
 
 
 # ---------------------------------------------------------------------------
+# WAV audio codec
+# ---------------------------------------------------------------------------
+
+
+def test_wav_round_trip():
+    import struct
+
+    from flink_tpcds_spark.datapipe.multimodal import (
+        _encode_wav,
+        decode_audio_bytes,
+    )
+
+    vals = [0, 1, -1, 32767, -32768, 1234, -4321]
+    pcm = b"".join(struct.pack("<h", v) for v in vals)
+    for nch in (1, 2):
+        n_frames = len(vals) // nch
+        data = _encode_wav(16000, nch, pcm[: n_frames * nch * 2])
+        got = decode_audio_bytes(data)
+        assert got[:4] == (nch, 2, 16000, n_frames)
+        assert got[4] == pcm[: n_frames * nch * 2]
+
+
+def test_wav_unknown_magic_raises():
+    from flink_tpcds_spark.datapipe.multimodal import decode_audio_bytes
+
+    with pytest.raises(ValueError, match="unsupported audio format"):
+        decode_audio_bytes(b"OggS....vorbis")
+
+
+def test_decode_audio_stage(spark):
+    import struct
+
+    from flink_tpcds_spark.datapipe.multimodal import (
+        _encode_wav,
+        decode_audio,
+    )
+
+    rows = []
+    for i in range(6):
+        nch = 1 + i % 2
+        vals = [((37 * i + 11 * j) % 4001) - 2000 for j in range(20 * nch)]
+        pcm = b"".join(struct.pack("<h", v) for v in vals)
+        rows.append((i, _encode_wav(8000, nch, pcm), nch, vals))
+    df = spark.createDataFrame(
+        [(i, p) for i, p, *_ in rows], "doc_id long, payload binary"
+    )
+    got = {r["doc_id"]: r for r in decode_audio(df).collect()}
+    for i, _p, nch, vals in rows:
+        r = got[i]
+        assert r["n_channels"] == nch
+        assert r["framerate"] == 8000
+        assert r["n_frames"] == len(vals) // nch
+        assert r["peak_abs"] == max(abs(v) for v in vals)
+        assert r["sum_abs"] == sum(abs(v) for v in vals)
+
+
+# ---------------------------------------------------------------------------
 # Spark-side stages
 # ---------------------------------------------------------------------------
 
