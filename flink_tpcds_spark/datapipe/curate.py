@@ -733,6 +733,64 @@ def bpe_encode(
     return df.select(id_col, text_col).mapInPandas(encode, schema)
 
 
+def bpe_tokenize(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full tokenizer output: (id, tokens array<string>) — the flat
+    BPE token sequence of each document (word-internal merges only,
+    words in document order). Same distribution shape as
+    :func:`bpe_encode` (broadcast table, one Arrow-batched stage,
+    per-executor word cache), but materializing the token column a
+    training-data writer would feed to an id-mapping step."""
+    import re
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from .text import TOKEN_RE
+
+    sc = df.sparkSession.sparkContext
+    ranks_bc = sc.broadcast({p: r for r, p in enumerate(merges)})
+    word_re = re.compile(TOKEN_RE)
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("tokens", T.ArrayType(T.StringType())),
+        ]
+    )
+
+    def encode(batches):
+        ranks = ranks_bc.value
+        cache: dict[str, list[str]] = {}
+
+        def word_parts(w: str) -> list[str]:
+            p = cache.get(w)
+            if p is None:
+                p = bpe_apply_word(w, ranks)
+                cache[w] = p
+            return p
+
+        for pdf in batches:
+            toks = []
+            for text in pdf[text_col]:
+                out: list[str] = []
+                for w in word_re.findall((text or "").lower()):
+                    out.extend(word_parts(w))
+                toks.append(out)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "tokens": pd.Series(toks, dtype="object"),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(encode, schema)
+
+
 def length_histogram(
     df: DataFrame,
     text_col: str = "text",

@@ -662,6 +662,28 @@ def dp_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dp_bpe_tokens",
+    f"""
+    SELECT doc_id,
+           flatten([string_split(trim({_bpe_seq_sql('w')}, '|'), '||')
+                    for w in regexp_extract_all(lower(coalesce(text, '')),
+                                                '[a-z0-9]+')]) AS tokens
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def dp_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token SEQUENCES (not just counts): the flat per-document
+    BPE token array from curate.bpe_tokenize, value-hashed against the
+    oracle's independent replace-chain derivation — every merge
+    decision on every word of every document must match."""
+    from ..datapipe.curate import bpe_tokenize
+
+    d = load_table(spark, sf_dir, "documents")
+    return bpe_tokenize(d, _BPE_MERGES).orderBy("doc_id")
+
+
+@_q(
     "dp_image_decode",
     """
     SELECT doc_id,

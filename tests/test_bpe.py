@@ -126,6 +126,21 @@ def test_train_matches_reference(spark, sf_dir):
     assert bpe_train(docs, 12) == ref_train(12)
 
 
+def test_tokenize_sequences(spark, sf_dir):
+    from flink_tpcds_spark.datapipe.curate import bpe_tokenize
+
+    d = load_table(spark, sf_dir, "documents").limit(25)
+    word_re = re.compile(TOKEN_RE)
+    got = {r["doc_id"]: list(r["tokens"]) for r in bpe_tokenize(d, _BPE_MERGES).collect()}
+    for r in d.select("doc_id", "text").collect():
+        exp: list[str] = []
+        for w in word_re.findall(r["text"].lower()):
+            exp.extend(bpe_apply_word(w, _RANKS))
+        assert got[r["doc_id"]] == exp
+        # lossless: concatenation reproduces the word stream
+        assert "".join(exp) == "".join(word_re.findall(r["text"].lower()))
+
+
 def test_encode_conservation(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     rows = bpe_encode(d, _BPE_MERGES).collect()
