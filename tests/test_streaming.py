@@ -765,6 +765,36 @@ def test_streaming_curation_maps_match_batch(spark, sf_dir, tmp_path):
     assert s == b and len(s) == docs.count()
 
 
+def test_streaming_bpe_encode_matches_batch(spark, sf_dir, tmp_path):
+    """The tokenizer encode is a stateless Arrow map (mapInPandas is
+    trigger-agnostic): over a real file-source stream it must emit
+    exactly the batch result — tokenize slots into a streaming ingest
+    pipeline with no code change."""
+    from flink_tpcds_spark.datapipe.curate import bpe_encode
+    from flink_tpcds_spark.queries.datapipe import _BPE_MERGES
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "bpe_src")
+    docs.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        bpe_encode(stream, _BPE_MERGES)
+        .writeStream.format("memory")
+        .queryName("t_bpe")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    s = {tuple(r) for r in spark.table("t_bpe").collect()}
+    b = {tuple(r) for r in bpe_encode(docs, _BPE_MERGES).collect()}
+    assert s == b and len(s) == docs.count()
+
+
 def test_streaming_incremental_rollup_matches_batch(spark, sf_dir, tmp_path):
     """IncrementalAggState driven by a real file-source stream (one
     file per trigger) must equal the single-pass batch aggregation —
