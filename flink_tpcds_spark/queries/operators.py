@@ -3247,6 +3247,97 @@ def ops_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Parameterized SQL (Spark 3.4+ named parameter markers / Spark 4
+# EXECUTE IMMEDIATE ... USING): the Flink-side analog is the SQL
+# client's statement-set parameter binding; the oracle runs the same
+# query with the parameters inlined as literals (binding happens
+# before planning, so the plans are identical).
+# ---------------------------------------------------------------------------
+@_q(
+    "ops_parameterized_sql",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt
+    FROM orders
+    WHERE o_totalprice > 150000.0 AND o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def ops_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named parameter markers: ``:minp`` / ``:st`` bound via
+    ``spark.sql(..., args=...)`` — injection-safe server-side binding,
+    value-identical to the literal-inlined oracle."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("ops_param_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt
+        FROM ops_param_orders
+        WHERE o_totalprice > :minp AND o_orderstatus = :st
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+        args={"minp": 150000.0, "st": "O"},
+    )
+
+
+@_q(
+    "ops_execute_immediate",
+    """
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt
+    FROM orders
+    WHERE o_totalprice > 200000.0
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def ops_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE IMMEDIATE with positional USING binding (Spark 4 /
+    SQL-standard dynamic SQL): the statement text is itself a SQL
+    value, parameters bound at execution."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("ops_execimm_orders")
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+          'SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt
+           FROM ops_execimm_orders
+           WHERE o_totalprice > ?
+           GROUP BY o_orderstatus
+           ORDER BY o_orderstatus'
+        USING 200000.0
+        """
+    )
+
+
+@_q(
+    "ops_order_by_all",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM orders
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+)
+def ops_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY ALL (+ GROUP BY ALL): the DuckDB-origin shorthand,
+    byte-identical text on both engines; ALL expands to every select
+    item in order, giving a total output order."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("ops_oball_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM ops_oball_orders
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
 # Runtime bloom-filter join pruning (Spark's runtime-filter injection;
 # the reference's closest analog is Blink's runtime filter pushdown
 # work in the planner — at 100 TB this is the difference between
