@@ -268,15 +268,86 @@ def _encode_png(
     )
 
 
+# -- BMP / DIB (shared with the AVI video frames below) --------------------
+
+
+def _dib_stride(width: int) -> int:
+    """DIB rows are padded to 4-byte boundaries (24-bit BGR)."""
+    return (width * 3 + 3) & ~3
+
+
+def _decode_dib_bits(
+    bits: bytes, height: int, width: int
+) -> bytes:
+    """Raw 24-bit BI_RGB DIB bits → row-major top-down RGB pixels:
+    un-pad the 4-byte row stride, un-reverse the bottom-up row order,
+    and swap BGR → RGB."""
+    stride = _dib_stride(width)
+    if len(bits) < stride * height:
+        raise ValueError("truncated DIB bits")
+    out = bytearray(height * width * 3)
+    for y in range(height):
+        src = (height - 1 - y) * stride  # bottom-up storage
+        dst = y * width * 3
+        for x in range(width):
+            out[dst + 3 * x] = bits[src + 3 * x + 2]  # R ← file B pos
+            out[dst + 3 * x + 1] = bits[src + 3 * x + 1]
+            out[dst + 3 * x + 2] = bits[src + 3 * x]
+    return bytes(out)
+
+
+def _encode_dib_bits(height: int, width: int, pixels: bytes) -> bytes:
+    """Top-down RGB pixels → raw 24-bit BI_RGB DIB bits."""
+    stride = _dib_stride(width)
+    out = bytearray(stride * height)
+    for y in range(height):
+        dst = (height - 1 - y) * stride
+        src = y * width * 3
+        for x in range(width):
+            out[dst + 3 * x] = pixels[src + 3 * x + 2]
+            out[dst + 3 * x + 1] = pixels[src + 3 * x + 1]
+            out[dst + 3 * x + 2] = pixels[src + 3 * x]
+    return bytes(out)
+
+
+def _encode_bmp(height: int, width: int, pixels: bytes) -> bytes:
+    """24-bit uncompressed BMP (BITMAPFILEHEADER + BITMAPINFOHEADER)."""
+    bits = _encode_dib_bits(height, width, pixels)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(bits), 2835, 2835, 0, 0
+    )
+    off = 14 + 40
+    file_hdr = struct.pack("<2sIHHI", b"BM", off + len(bits), 0, 0, off)
+    return file_hdr + info + bits
+
+
+def _decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
+    """24-bit uncompressed (BI_RGB) bottom-up BMP → (h, w, 3, RGB)."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (off,) = struct.unpack_from("<I", data, 10)
+    hdr_size, width, height, _planes, bpp, compression = struct.unpack_from(
+        "<IiiHHI", data, 14
+    )
+    if hdr_size < 40 or bpp != 24 or compression != 0 or height <= 0:
+        raise ValueError(
+            "unsupported BMP (need 24-bit BI_RGB bottom-up, "
+            f"got bpp={bpp} compression={compression} height={height})"
+        )
+    return height, width, 3, _decode_dib_bits(data[off:], height, width)
+
+
 def decode_image_bytes(data: bytes) -> tuple[int, int, int, bytes]:
     """Dispatch on magic bytes → (height, width, channels, pixels)."""
     if data[:8] == _PNG_SIG:
         return _decode_png(data)
     if data[:2] in (b"P6", b"P5"):
         return _decode_ppm(data)
+    if data[:2] == b"BM":
+        return _decode_bmp(data)
     raise ValueError(
         f"unsupported image format (magic {data[:8]!r}); supported "
-        "codecs: netpbm P5/P6, 8-bit non-interlaced PNG"
+        "codecs: netpbm P5/P6, 8-bit non-interlaced PNG, 24-bit BMP"
     )
 
 
@@ -460,6 +531,205 @@ def decode_audio(binary_df: DataFrame) -> DataFrame:
             )
 
     return binary_df.mapInPandas(decode, AUDIO_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Video: real RIFF/AVI container with uncompressed 24-bit DIB frames
+# ('00db' chunks) — the video leg of the multimodal family. Container
+# parse + frame extraction + DIB decode are fully real (stdlib
+# struct); compressed codecs (MJPEG/H.264) genuinely need libraries
+# this container does not ship and raise.
+# ---------------------------------------------------------------------------
+
+
+def _riff_chunk(ctype: bytes, body: bytes) -> bytes:
+    pad = b"\x00" if len(body) % 2 else b""  # RIFF chunks are word-aligned
+    return ctype + struct.pack("<I", len(body)) + body + pad
+
+
+def _encode_avi(
+    height: int,
+    width: int,
+    frames: list[bytes],
+    usec_per_frame: int = 40_000,
+) -> bytes:
+    """Minimal spec-correct AVI: LIST hdrl (avih + LIST strl(strh,
+    strf)) + LIST movi of '00db' uncompressed-DIB frame chunks.
+    ``frames`` are top-down RGB pixel buffers of h*w*3 bytes."""
+    avih = struct.pack(
+        "<14I",
+        usec_per_frame,
+        0,
+        0,
+        0,
+        len(frames),
+        0,
+        1,
+        0,
+        width,
+        height,
+        0,
+        0,
+        0,
+        0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids",
+        b"DIB ",
+        0,
+        0,
+        0,
+        0,
+        1_000_000 // usec_per_frame if usec_per_frame else 25,
+        1,
+        0,
+        len(frames),
+        0,
+        0,
+        0,
+        0,
+        0,
+        width,
+        height,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII",
+        40,
+        width,
+        height,
+        1,
+        24,
+        0,
+        _dib_stride(width) * height,
+        0,
+        0,
+        0,
+        0,
+    )
+    strl = _riff_chunk(
+        b"LIST",
+        b"strl" + _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf),
+    )
+    hdrl = _riff_chunk(b"LIST", b"hdrl" + _riff_chunk(b"avih", avih) + strl)
+    movi_body = b"movi" + b"".join(
+        _riff_chunk(b"00db", _encode_dib_bits(height, width, f))
+        for f in frames
+    )
+    movi = _riff_chunk(b"LIST", movi_body)
+    return _riff_chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def decode_avi_bytes(
+    data: bytes,
+) -> tuple[int, int, int, int, list[bytes]]:
+    """(height, width, usec_per_frame, n_frames, [top-down RGB pixel
+    buffers]) — walks the RIFF tree, reads avih, and DIB-decodes every
+    uncompressed '00db' frame chunk in stream order."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError(
+            f"unsupported video format (magic {data[:4]!r}); "
+            "supported containers: RIFF/AVI with uncompressed DIB frames"
+        )
+    height = width = usec = total = None
+    frames: list[bytes] = []
+
+    def walk(buf: bytes, pos: int, end: int) -> None:
+        nonlocal height, width, usec, total
+        end = min(end, len(buf))  # a lying LIST length must not overrun
+        while pos + 8 <= end:
+            ctype = buf[pos : pos + 4]
+            (length,) = struct.unpack_from("<I", buf, pos + 4)
+            body_start = pos + 8
+            if body_start + length > len(buf):
+                raise ValueError("truncated AVI chunk")
+            if ctype == b"LIST":
+                walk(buf, body_start + 4, body_start + length)
+            elif ctype == b"avih":
+                vals = struct.unpack_from("<14I", buf, body_start)
+                usec, total = vals[0], vals[4]
+                width, height = vals[8], vals[9]
+            elif ctype == b"00db":
+                if height is None:
+                    raise ValueError("AVI frame before avih header")
+                frames.append(
+                    _decode_dib_bits(
+                        buf[body_start : body_start + length], height, width
+                    )
+                )
+            elif ctype in (b"00dc", b"01dc"):
+                raise ValueError(
+                    "compressed AVI stream requires a codec library; "
+                    "supported: uncompressed DIB ('00db') frames"
+                )
+            pos = body_start + length + (length % 2)  # word alignment
+
+    walk(data, 12, len(data))
+    if height is None:
+        raise ValueError("AVI missing avih header")
+    if total is not None and total != len(frames):
+        raise ValueError(
+            f"AVI header declares {total} frames, stream has {len(frames)}"
+        )
+    return height, width, usec, len(frames), frames
+
+
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("usec_per_frame", T.IntegerType()),
+        T.StructField("pixel_sum", T.LongType()),
+        T.StructField("corner_r", T.IntegerType()),
+    ]
+)
+
+
+def sample_video_frames(binary_df: DataFrame, stride: int = 2) -> DataFrame:
+    """Container-aware frame sampling over ``(doc_id, payload)`` AVI
+    payloads: parse → keep every ``stride``-th frame → per-frame
+    statistics (exact pixel sum + the top-left R probe that catches
+    bottom-up/BGR decode bugs). One-to-many Arrow-batched emission —
+    the real-ffmpeg pipeline shape with a real container parse."""
+    import numpy as np
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hs, ws, us, sums, corners = (
+                [],
+                [],
+                [],
+                [],
+                [],
+                [],
+                [],
+            )
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                h, w, usec, _n, frames = decode_avi_bytes(bytes(payload))
+                for k in range(0, len(frames), stride):
+                    arr = np.frombuffer(frames[k], dtype=np.uint8)
+                    ids.append(doc_id)
+                    idxs.append(k)
+                    hs.append(h)
+                    ws.append(w)
+                    us.append(usec)
+                    sums.append(int(arr.astype(np.int64).sum()))
+                    corners.append(int(arr[0]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "usec_per_frame": pd.Series(us, dtype="int32"),
+                    "pixel_sum": pd.Series(sums, dtype="int64"),
+                    "corner_r": pd.Series(corners, dtype="int32"),
+                }
+            )
+
+    return binary_df.mapInPandas(sample, VIDEO_FRAME_SCHEMA)
 
 
 FRAME_SCHEMA = T.StructType(

@@ -583,6 +583,80 @@ def dp_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_audio(wavs).orderBy("doc_id")
 
 
+@_q(
+    "dp_video_decode",
+    """
+    SELECT doc_id,
+           CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST(h AS INTEGER) AS height,
+           CAST(w AS INTEGER) AS width,
+           CAST(40000 AS INTEGER) AS usec_per_frame,
+           CAST(h*w*3*base + 3*h*w*(w-1)//2 + 3*w*h*(h-1) + 3*h*w
+                AS BIGINT) AS pixel_sum,
+           CAST(base AS INTEGER) AS corner_r
+    FROM (
+      SELECT doc_id, frame_idx,
+             2 + doc_id % 3 AS h,
+             4 + doc_id % 5 AS w,
+             (doc_id + frame_idx) % 200 AS base
+      FROM documents,
+           LATERAL (
+             SELECT unnest(range(0, CAST(3 + doc_id % 6 AS INTEGER), 2))
+                    AS frame_idx
+           ) f
+    )
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def dp_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video container parse + frame sampling (the video leg of
+    the multimodal family): per document a true RIFF/AVI file with
+    uncompressed 24-bit DIB frames is encoded (dims, frame count, and
+    a per-frame gradient pattern are closed forms of doc_id), then
+    every 2nd frame is extracted by the stdlib container parser
+    (multimodal.sample_video_frames). The gradient makes pixel_sum
+    sensitive to truncation and the corner_r probe (top-left R) to
+    bottom-up-row and BGR-order decode bugs."""
+    import pandas as pd
+
+    from ..datapipe.multimodal import _encode_avi, sample_video_frames
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for raw_id in pdf["doc_id"]:
+                doc_id = int(raw_id)
+                h, w = 2 + doc_id % 3, 4 + doc_id % 5
+                n_frames = 3 + doc_id % 6
+                frames = []
+                for k in range(n_frames):
+                    base = (doc_id + k) % 200
+                    frames.append(
+                        bytes(
+                            base + x + 2 * y + c
+                            for y in range(h)
+                            for x in range(w)
+                            for c in range(3)
+                        )
+                    )
+                payloads.append(
+                    _encode_avi(h, w, frames, usec_per_frame=40_000)
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": payloads,
+                }
+            )
+
+    vids = d.mapInPandas(synth, "doc_id long, payload binary")
+    return sample_video_frames(vids, stride=2).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
 # ---------------------------------------------------------------------------
 # BPE tokenizer encode: the merge table below is FIXED (not trained
 # in-entry, so the oracle is closed over it) and training-ordered —

@@ -147,6 +147,111 @@ def test_resize_identity_and_reference():
 
 
 # ---------------------------------------------------------------------------
+# BMP (DIB: bottom-up rows, 4-byte padding, BGR order)
+# ---------------------------------------------------------------------------
+
+
+def test_bmp_round_trip_padding_widths():
+    from flink_tpcds_spark.datapipe.multimodal import _encode_bmp
+
+    # widths 1,2,3,5,7 exercise every 4-byte-padding residue
+    for h, w in ((3, 5), (2, 4), (1, 1), (4, 7), (2, 2), (3, 3)):
+        px = _gradient(h, w, 3)
+        assert decode_image_bytes(_encode_bmp(h, w, px)) == (h, w, 3, px)
+
+
+def test_bmp_row_order_and_bgr_are_real():
+    """The decoder must actually un-reverse rows and un-swap BGR —
+    checked against hand-built DIB bits."""
+    from flink_tpcds_spark.datapipe.multimodal import _decode_bmp, _encode_bmp
+
+    # 2x1 image: top pixel RGB=(1,2,3), bottom pixel RGB=(4,5,6)
+    px = bytes([1, 2, 3, 4, 5, 6])
+    data = _encode_bmp(2, 1, px)
+    bits = data[54:]  # after file (14) + info (40) headers
+    # stored bottom-up + BGR + padded to 4 bytes per row
+    assert bits[:3] == bytes([6, 5, 4]) and bits[4:7] == bytes([3, 2, 1])
+    assert _decode_bmp(data) == (2, 1, 3, px)
+
+
+# ---------------------------------------------------------------------------
+# AVI video container
+# ---------------------------------------------------------------------------
+
+
+def test_avi_round_trip_and_header():
+    from flink_tpcds_spark.datapipe.multimodal import (
+        _encode_avi,
+        decode_avi_bytes,
+    )
+
+    frames = [_gradient(3, 5, 3), _gradient(3, 5, 3)[::-1], bytes(45)]
+    h, w, usec, n, out = decode_avi_bytes(
+        _encode_avi(3, 5, frames, usec_per_frame=33_333)
+    )
+    assert (h, w, usec, n) == (3, 5, 33_333, 3)
+    assert out == frames
+
+
+def test_avi_error_paths():
+    from flink_tpcds_spark.datapipe.multimodal import (
+        _encode_avi,
+        decode_avi_bytes,
+    )
+
+    with pytest.raises(ValueError, match="unsupported video format"):
+        decode_avi_bytes(b"\x00\x00\x00\x18ftypmp42....")  # MP4-ish
+    good = _encode_avi(2, 2, [bytes(12), bytes(12)])
+    # physically truncated stream (chunk overruns the buffer)
+    truncated = good[: good.rindex(b"00db") + 6]
+    with pytest.raises(ValueError, match="truncated AVI chunk"):
+        decode_avi_bytes(truncated)
+    # header/stream frame-count mismatch: patch avih dwTotalFrames
+    # (RIFF 12 + LIST hdr 8 + 'hdrl' 4 + 'avih'+size 8 → body; the
+    # count is the 5th dword of the body)
+    off = 12 + 8 + 4 + 8 + 16
+    import struct as _s
+
+    assert _s.unpack_from("<I", good, off)[0] == 2  # offset sanity
+    patched = good[:off] + _s.pack("<I", 3) + good[off + 4 :]
+    with pytest.raises(ValueError, match="declares 3 frames"):
+        decode_avi_bytes(patched)
+
+
+def test_sample_video_frames_stage(spark):
+    import numpy as np
+
+    from flink_tpcds_spark.datapipe.multimodal import (
+        _encode_avi,
+        sample_video_frames,
+    )
+
+    rows = []
+    for i in range(5):
+        h, w, nfr = 2 + i % 2, 3 + i % 3, 4 + i
+        frames = [_gradient(h, w, 3)[k:] + _gradient(h, w, 3)[:k] for k in range(nfr)]
+        rows.append((i, _encode_avi(h, w, frames), h, w, frames))
+    df = spark.createDataFrame(
+        [(i, p) for i, p, *_ in rows], "doc_id long, payload binary"
+    )
+    got = {
+        (r["doc_id"], r["frame_idx"]): r
+        for r in sample_video_frames(df, stride=2).collect()
+    }
+    for i, _p, h, w, frames in rows:
+        expected_idx = list(range(0, len(frames), 2))
+        assert sorted(
+            k for (d, k) in got if d == i
+        ) == expected_idx
+        for k in expected_idx:
+            r = got[(i, k)]
+            arr = np.frombuffer(frames[k], dtype=np.uint8)
+            assert (r["height"], r["width"]) == (h, w)
+            assert r["pixel_sum"] == int(arr.astype(np.int64).sum())
+            assert r["corner_r"] == frames[k][0]
+
+
+# ---------------------------------------------------------------------------
 # WAV audio codec
 # ---------------------------------------------------------------------------
 
