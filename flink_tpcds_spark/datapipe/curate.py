@@ -45,17 +45,35 @@ def sequence_pack(
     the degenerate case this signature avoids by construction.
     """
     n_tok = F.size(tokens(F.col(text_col))).cast("bigint")
+    return pack_rows(
+        df.select(part_col, id_col, n_tok.alias("n_tokens")),
+        budget,
+        part_col=part_col,
+        id_col=id_col,
+    )
+
+
+def pack_rows(
+    counts_df: DataFrame,
+    budget: int,
+    part_col: str = "source",
+    id_col: str = "doc_id",
+    count_col: str = "n_tokens",
+) -> DataFrame:
+    """Greedy budget packing over PRE-COMPUTED per-row counts (e.g.
+    real tokenizer output from :func:`bpe_encode` instead of the
+    regex estimate) — same shard-local window as
+    :func:`sequence_pack`, one shuffle on the shard key."""
     w = (
         Window.partitionBy(part_col)
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("bigint"))
-    return (
-        df.select(part_col, id_col, n_tok.alias("n_tokens"))
-        .withColumn(
-            "pack_id", F.floor(cum_before / F.lit(budget)).cast("bigint")
-        )
+    cum_before = F.coalesce(
+        F.sum(count_col).over(w), F.lit(0).cast("bigint")
+    )
+    return counts_df.withColumn(
+        "pack_id", F.floor(cum_before / F.lit(budget)).cast("bigint")
     )
 
 

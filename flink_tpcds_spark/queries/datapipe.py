@@ -758,6 +758,53 @@ def dp_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dp_bpe_pack",
+    f"""
+    WITH words AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                       '[a-z0-9]+')) AS w
+      FROM documents
+    ),
+    enc AS (
+      SELECT doc_id, {_bpe_seq_sql('w')} AS s
+      FROM words
+    ),
+    tok AS (
+      SELECT d.source, d.doc_id,
+             CAST(coalesce(sum(
+               (length(e.s) - length(replace(e.s, '|', ''))) // 2
+             ), 0) AS BIGINT) AS n_tokens
+      FROM documents d LEFT JOIN enc e USING (doc_id)
+      GROUP BY d.source, d.doc_id
+    )
+    SELECT source, doc_id, n_tokens,
+           CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+                  PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ), 0) / 256.0) AS BIGINT) AS pack_id
+    FROM tok
+    ORDER BY source, doc_id
+    """,
+)
+def dp_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline COMPOSITION under one gate: real tokenizer counts
+    (curate.bpe_encode) feeding the shard-local greedy packer
+    (curate.pack_rows) — tokenize → pack with no estimate in the
+    loop, the shape a training-data writer actually runs. The oracle
+    re-derives both stages (replace-chain token counts + windowed
+    cumulative-sum packing)."""
+    from ..datapipe.curate import bpe_encode, pack_rows
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = bpe_encode(d, _BPE_MERGES).select("doc_id", "n_tokens")
+    joined = d.select("source", "doc_id").join(counts, "doc_id")
+    return pack_rows(joined, budget=256).select(
+        "source", "doc_id", "n_tokens", "pack_id"
+    ).orderBy("source", "doc_id")
+
+
+@_q(
     "dp_image_decode",
     """
     SELECT doc_id,
