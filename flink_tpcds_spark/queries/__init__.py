@@ -59,26 +59,32 @@ _WINDOW = 50
 # row — a fresh green round says nothing about code it never ran, so
 # these re-enter the window ahead of stale-green re-confirmations
 # (after reds and never-seen entries). Maintained by hand when a
-# round rewrites the guts behind a registered query; the driver's
-# next green row supersedes the old one, after which the name can be
-# dropped here (harmless if left — it just re-confirms early).
-_PRIORITY_RECHECK: set[str] = {
-    # r9: CDC state rerouted to the bucketed merge layout
-    "st_cdc_apply",
-    # r11: bucket_table gained the adoption marker write
-    "ops_bucketed_join",
-    # r12 (= judge round 10): the Spark-4 SQL-surface batch siblings of
-    # the fixed ops_lateral_alias red re-enter early per VERDICT r9
-    # item 5 (lateral_alias itself re-enters first as the sole red)
-    "ops_sql_pipe",
-    "ops_agg_filter",
-    "ops_interval_arith",
-    "ops_identifier_clause",
-    "ops_sql_udf",
-    "ops_sql_table_function",
-    "ops_recursive_cte",
-    "ops_sql_variables",
-    "ops_group_by_all",
+# round rewrites the guts behind a registered query. The value is the
+# CORRECTNESS-file round number of the change: the bump is ACTIVE
+# only until the driver records a green row in a round >= that
+# threshold, then the entry demotes back to normal stale ordering —
+# ONE early re-confirmation, not a standing reservation (a perpetual
+# bump would starve stale greens out of the ⌈N/50⌉ rotation; gated by
+# tests/test_oracle_parity.py's rotation tests).
+_PRIORITY_RECHECK: dict[str, int] = {
+    # file r9: CDC state rerouted to the bucketed merge layout
+    # (re-confirmed green in CORRECTNESS_r09 → inert)
+    "st_cdc_apply": 9,
+    # file r9: bucket_table gained the adoption marker write
+    # (re-confirmed green in CORRECTNESS_r09 → inert)
+    "ops_bucketed_join": 9,
+    # file r10: the Spark-4 SQL-surface batch siblings of the fixed
+    # ops_lateral_alias red re-enter early per VERDICT r9 item 5
+    # (lateral_alias itself re-enters first as the sole red)
+    "ops_sql_pipe": 10,
+    "ops_agg_filter": 10,
+    "ops_interval_arith": 10,
+    "ops_identifier_clause": 10,
+    "ops_sql_udf": 10,
+    "ops_sql_table_function": 10,
+    "ops_recursive_cte": 10,
+    "ops_sql_variables": 10,
+    "ops_group_by_all": 10,
 }
 
 
@@ -174,7 +180,11 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         key=lambda n: (green[n], stable_idx[n]),
     )
 
-    recheck = [n for n in _PRIORITY_RECHECK if n in merged]
+    recheck = [
+        n
+        for n, thr in _PRIORITY_RECHECK.items()
+        if n in merged and green.get(n, -1) < thr
+    ]
 
     front: list[str] = []
     for group in (red, unseen_corpus, unseen_other, recheck, stale_green):

@@ -233,23 +233,41 @@ def test_window_rotation_steady_state_reconfirms_stalest_greens(
     (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(r1))
     (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps(r2))
     monkeypatch.setattr(q, "_REPO", str(tmp_path))
-    monkeypatch.setattr(q, "_PRIORITY_RECHECK", set())
+    monkeypatch.setattr(q, "_PRIORITY_RECHECK", {})
     window = list(q.all_queries())[:50]
     # all 50 come from the r1 (stalest) cohort, in stable suite order
     assert window == names[:50]
 
-    # a changed-implementation entry (priority recheck) jumps ahead
-    # of the stale-green cohort even when its own green is FRESH
-    monkeypatch.setattr(q, "_PRIORITY_RECHECK", {names[-1]})
+    # a changed-implementation entry (priority recheck with a round
+    # threshold ABOVE its latest green) jumps ahead of the
+    # stale-green cohort even when its own green is FRESH …
+    monkeypatch.setattr(q, "_PRIORITY_RECHECK", {names[-1]: 3})
     window = list(q.all_queries())[:50]
     assert window[0] == names[-1]
     assert window[1:] == names[:49]
 
+    # … but DEMOTES once the driver certifies it in a round >= the
+    # threshold (one early re-confirmation, not a standing
+    # reservation that would starve the rotation)
+    import json as _json
+
+    r3 = {names[-1]: {"rows_match": True, "schema_match": True,
+                      "hash_match": True, "err": None}}
+    (tmp_path / "CORRECTNESS_r03.json").write_text(_json.dumps(r3))
+    window = list(q.all_queries())[:50]
+    assert names[-1] not in window  # freshest green → back of the line
+    assert window == names[:50]
+
 
 def test_window_rotation_full_registry_recertifies(tmp_path, monkeypatch):
-    """Simulated driver loop: with everything green once, successive
-    50-entry windows must re-certify EVERY registered query within
-    ⌈N/50⌉ rounds (no query starves out of the rotation)."""
+    """Simulated driver loop AGAINST THE REAL _PRIORITY_RECHECK dict:
+    with everything green once, successive 50-entry windows must
+    re-certify EVERY registered query within ⌈N/50⌉ + 1 rounds (the
+    +1 absorbs the one-shot priority re-confirmations; a PERPETUAL
+    priority bump would starve stale greens and fail this gate —
+    exactly what the round-12 threshold semantics prevent).
+    Simulated round numbers start above every threshold so the
+    demotion path is the one exercised."""
     import json
     import math
 
@@ -258,12 +276,16 @@ def test_window_rotation_full_registry_recertifies(tmp_path, monkeypatch):
     names = list(_QUERIES)
     green = {n: {"rows_match": True, "schema_match": True,
                  "hash_match": True, "err": None} for n in names}
-    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(green))
+    (tmp_path / "CORRECTNESS_r50.json").write_text(json.dumps(green))
     monkeypatch.setattr(q, "_REPO", str(tmp_path))
+    assert all(thr <= 50 for thr in q._PRIORITY_RECHECK.values()), (
+        "simulation starts at round 51; bump its base above every "
+        "_PRIORITY_RECHECK threshold"
+    )
 
-    need = math.ceil(len(names) / 50)
+    need = math.ceil(len(names) / 50) + 1
     recertified: set[str] = set()
-    for rnd in range(2, 2 + need):
+    for rnd in range(51, 51 + need):
         window = list(q.all_queries())[:50]
         rows = {n: {"rows_match": True, "schema_match": True,
                     "hash_match": True, "err": None} for n in window}
