@@ -690,9 +690,13 @@ def bpe_encode(
     merges: list[tuple[str, str]],
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Distributed tokenizer encode: apply a trained merge table to
-    every document. Returns (id, n_words, n_chars, n_tokens).
+    every document. Returns (id, *keep_cols, n_words, n_chars,
+    n_tokens) — ``keep_cols`` pass through the Arrow stage so a
+    downstream consumer (e.g. the shard-local packer) needs no
+    re-join shuffle against the input.
 
     Scale shape: the merge table rides a broadcast variable (a real
     tokenizer is ~50k merges ≈ 1 MB — broadcast, never shuffled);
@@ -708,13 +712,16 @@ def bpe_encode(
 
     from .text import TOKEN_RE
 
+    keep_cols = keep_cols or []
     sc = df.sparkSession.sparkContext
     ranks_bc = sc.broadcast({p: r for r, p in enumerate(merges)})
     word_re = re.compile(TOKEN_RE)
 
+    in_schema = {f.name: f.dataType for f in df.schema.fields}
     schema = T.StructType(
-        [
-            T.StructField(id_col, T.LongType()),
+        [T.StructField(id_col, T.LongType())]
+        + [T.StructField(c, in_schema[c]) for c in keep_cols]
+        + [
             T.StructField("n_words", T.LongType()),
             T.StructField("n_chars", T.LongType()),
             T.StructField("n_tokens", T.LongType()),
@@ -739,16 +746,17 @@ def bpe_encode(
                 n_words.append(len(words))
                 n_chars.append(sum(len(w) for w in words))
                 n_tokens.append(sum(word_tokens(w) for w in words))
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].astype("int64"),
-                    "n_words": pd.Series(n_words, dtype="int64"),
-                    "n_chars": pd.Series(n_chars, dtype="int64"),
-                    "n_tokens": pd.Series(n_tokens, dtype="int64"),
-                }
-            )
+            out = {id_col: pdf[id_col].astype("int64")}
+            for c in keep_cols:
+                out[c] = pdf[c]
+            out["n_words"] = pd.Series(n_words, dtype="int64")
+            out["n_chars"] = pd.Series(n_chars, dtype="int64")
+            out["n_tokens"] = pd.Series(n_tokens, dtype="int64")
+            yield pd.DataFrame(out)
 
-    return df.select(id_col, text_col).mapInPandas(encode, schema)
+    return df.select(id_col, *keep_cols, text_col).mapInPandas(
+        encode, schema
+    )
 
 
 def bpe_tokenize(

@@ -797,9 +797,13 @@ def dp_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..datapipe.curate import bpe_encode, pack_rows
 
     d = load_table(spark, sf_dir, "documents")
-    counts = bpe_encode(d, _BPE_MERGES).select("doc_id", "n_tokens")
-    joined = d.select("source", "doc_id").join(counts, "doc_id")
-    return pack_rows(joined, budget=256).select(
+    # keep_cols carries the shard key through the Arrow stage — the
+    # packer's window shuffle on `source` is the plan's ONLY exchange
+    # (no re-join of counts against the input)
+    counts = bpe_encode(d, _BPE_MERGES, keep_cols=["source"]).select(
+        "source", "doc_id", "n_tokens"
+    )
+    return pack_rows(counts, budget=256).select(
         "source", "doc_id", "n_tokens", "pack_id"
     ).orderBy("source", "doc_id")
 

@@ -141,6 +141,28 @@ def test_tokenize_sequences(spark, sf_dir):
         assert "".join(exp) == "".join(word_re.findall(r["text"].lower()))
 
 
+def test_bpe_pack_single_exchange(spark, sf_dir):
+    """tokenize → pack must shuffle exactly once (the packer's window
+    on the shard key); keep_cols pass-through means no re-join of
+    counts against the input."""
+    import re as _re
+
+    from flink_tpcds_spark.datapipe.curate import bpe_encode, pack_rows
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = bpe_encode(d, _BPE_MERGES, keep_cols=["source"])
+    packed = pack_rows(counts, budget=256)
+    plan = packed._jdf.queryExecution().executedPlan().toString()
+    assert len(_re.findall(r"Exchange", plan)) == 1, plan
+    # and the pass-through is value-correct
+    src = {
+        r["doc_id"]: r["source"]
+        for r in d.select("doc_id", "source").collect()
+    }
+    for r in packed.select("doc_id", "source").collect():
+        assert src[r["doc_id"]] == r["source"]
+
+
 def test_encode_conservation(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     rows = bpe_encode(d, _BPE_MERGES).collect()
