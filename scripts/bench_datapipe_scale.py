@@ -104,6 +104,79 @@ def dp_image_decode_rows(spark, docs) -> int:
     return resize_image(imgs, 4, 6).count()
 
 
+def dp_audio_decode_rows(spark, docs) -> int:
+    """The dp_audio_decode pipeline over a scaled corpus: synth a real
+    PCM WAV per doc → stdlib parse + exact sample stats."""
+    import struct
+
+    import pandas as pd
+
+    from flink_tpcds_spark.datapipe.multimodal import (
+        _encode_wav,
+        decode_audio,
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for raw in pdf["doc_id"]:
+                i = int(raw)
+                nch = 1 + i % 2
+                nfr = 100 + i % 50
+                samples = struct.pack("<h", i % 1000 - 500) * (nfr * nch)
+                payloads.append(_encode_wav(8000, nch, samples))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": payloads,
+                }
+            )
+
+    wavs = docs.select("doc_id").mapInPandas(
+        synth, "doc_id long, payload binary"
+    )
+    return decode_audio(wavs).count()
+
+
+def dp_video_frames(spark, docs) -> int:
+    """The dp_video_decode pipeline over a scaled corpus: synth a real
+    AVI per doc → container parse → every-2nd-frame DIB decode."""
+    import pandas as pd
+
+    from flink_tpcds_spark.datapipe.multimodal import (
+        _encode_avi,
+        sample_video_frames,
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for raw in pdf["doc_id"]:
+                i = int(raw)
+                h, w = 2 + i % 3, 4 + i % 5
+                frames = [
+                    bytes(
+                        (i + k) % 200 + x + 2 * y + c
+                        for y in range(h)
+                        for x in range(w)
+                        for c in range(3)
+                    )
+                    for k in range(3 + i % 6)
+                ]
+                payloads.append(_encode_avi(h, w, frames))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": payloads,
+                }
+            )
+
+    vids = docs.select("doc_id").mapInPandas(
+        synth, "doc_id long, payload binary"
+    )
+    return sample_video_frames(vids, stride=2).count()
+
+
 def main() -> None:
     scales = [1, 10, 100]
     if "--scales" in sys.argv:
@@ -188,6 +261,13 @@ def main() -> None:
             # (the dp_image_decode pipeline); one output row per doc,
             # so rows = m× base exactly.
             "image_rows": lambda: dp_image_decode_rows(spark, docs),
+            # audio: synth WAV per doc → parse + exact PCM stats
+            "audio_rows": lambda: dp_audio_decode_rows(spark, docs),
+            # video: synth AVI per doc → container parse → every-2nd-
+            # frame DIB decode; sampled-frame count is doc_id-derived,
+            # and scaled copies use fresh ids, so only throughput and
+            # the per-doc coverage invariant (checked in-op) apply
+            "video_frames": lambda: dp_video_frames(spark, docs),
             "knn_bf_rows": lambda: knn_bruteforce(embs, qf, k=10).count(),
             "knn_ivf_rows": lambda: knn_ivf(
                 embs, qf, k=10, n_clusters=n_cells
@@ -226,6 +306,7 @@ def main() -> None:
                 "jaccard_pairs",
                 "fuzzy_pairs",
                 "image_rows",
+                "audio_rows",
             ):
                 if n in res:
                     inv[n] = res[n]["val"] == m * base_vals[n]
