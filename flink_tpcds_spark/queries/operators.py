@@ -3247,6 +3247,65 @@ def ops_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Hadoop SequenceFile round trip (the reference's flink-sequence-file
+# format module + flink-hadoop-compatibility). Spark has no DataFrame
+# source for SequenceFiles, so this is one of the rare legitimate RDD
+# touchpoints: saveAsSequenceFile/sequenceFile speak the real Hadoop
+# Writable container (org.apache.hadoop.io.Text via the bundled
+# hadoop-client), then the rows re-enter the DataFrame world for the
+# aggregation. At 100 TB the read parallelizes per HDFS block exactly
+# like any Hadoop input format.
+# ---------------------------------------------------------------------------
+@_q(
+    "ops_sequence_file",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def ops_sequence_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SequenceFile round trip: (orderkey, priority) written as
+    Text/Text key-value records and read back must aggregate exactly
+    (count + key checksum per priority)."""
+    key = ("ops_sequence_file", spark.sparkContext.applicationId, sf_dir)
+    if key not in _SIDE_MEMO:
+        import os as _os
+
+        _, work = _memo_workdir("ops_sequence_file", spark, sf_dir)
+        path = _os.path.join(work, "orders_seq")
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        )
+        o.rdd.map(
+            lambda r: (str(r["o_orderkey"]), r["o_orderpriority"])
+        ).saveAsSequenceFile(path)
+        back = spark.sparkContext.sequenceFile(
+            path,
+            "org.apache.hadoop.io.Text",
+            "org.apache.hadoop.io.Text",
+        )
+        df = spark.createDataFrame(
+            back, "o_orderkey string, o_orderpriority string"
+        )
+        _SIDE_MEMO[key] = (
+            df.select(
+                F.col("o_orderkey").cast("long").alias("k"),
+                "o_orderpriority",
+            )
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("cnt"),
+                F.sum("k").cast("bigint").alias("key_sum"),
+            )
+            .orderBy("o_orderpriority")
+        )
+    return _SIDE_MEMO[key]
+
+
+# ---------------------------------------------------------------------------
 # Parameterized SQL (Spark 3.4+ named parameter markers / Spark 4
 # EXECUTE IMMEDIATE ... USING): the Flink-side analog is the SQL
 # client's statement-set parameter binding; the oracle runs the same
