@@ -3247,6 +3247,61 @@ def ops_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Small-file compaction (sources/compact.py) under the driver gate:
+# the operational rewrite every long-lived lake needs. The entry
+# fragments orders into 64 undersized files, compacts them toward a
+# size target, asserts IN-ENTRY that the file count actually dropped
+# (the operator's whole point), and value-checks the compacted table
+# against the pristine oracle — a lossy rewrite cannot hide.
+# ---------------------------------------------------------------------------
+@_q(
+    "ops_compact_table",
+    """
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS price_sum
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def ops_compact_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fragment → compact → verify: 64 small files rewritten into
+    size-targeted ones by one round-robin repartition (no shuffle
+    key, no skew), rows preserved exactly."""
+    key = ("ops_compact_table", spark.sparkContext.applicationId, sf_dir)
+    if key not in _SIDE_MEMO:
+        import os as _os
+
+        from ..sources.compact import compact_parquet
+
+        _, work = _memo_workdir("ops_compact_table", spark, sf_dir)
+        frag = _os.path.join(work, "orders_fragmented")
+        compacted = _os.path.join(work, "orders_compacted")
+        o = load_table(spark, sf_dir, "orders")
+        o.repartition(64).write.parquet(frag)
+        manifest = compact_parquet(
+            spark, frag, compacted, target_file_bytes=64 * 1024 * 1024
+        )
+        if manifest["dst_files"] >= manifest["src_files"]:
+            raise AssertionError(
+                f"compaction did not reduce file count: {manifest}"
+            )
+        back = spark.read.parquet(compacted)
+        _SIDE_MEMO[key] = (
+            back.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("cnt"),
+                F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+                dsum(F.col("o_totalprice")).alias("price_sum"),
+            )
+            .orderBy("o_orderstatus")
+        )
+    return _SIDE_MEMO[key]
+
+
+# ---------------------------------------------------------------------------
 # Hadoop SequenceFile round trip (the reference's flink-sequence-file
 # format module + flink-hadoop-compatibility). Spark has no DataFrame
 # source for SequenceFiles, so this is one of the rare legitimate RDD
