@@ -1,0 +1,153 @@
+"""Materialized-view definition + automatic aggregate query rewrite.
+
+The warehouse feature behind the reference's Calcite heritage
+(Calcite's ``MaterializedViewAggregateRule`` family, which the Blink
+planner inherits): a query that groups a base table on a SUBSET of an
+MV's grouping columns and asks only for re-aggregable measures should
+never touch the base table — it re-aggregates the (usually orders of
+magnitude smaller) MV. At 100 TB this turns a full fact scan into a
+scan of a few thousand rollup rows; it composes with the engine's IVM
+surface (``sources/ivm.py``, ``st_incremental_rollup``), which keeps
+the MV itself fresh under a changelog.
+
+Re-aggregation algebra (the standard decomposable-aggregate laws):
+
+========  =========================================
+query     from the MV
+========  =========================================
+SUM(x)    SUM(mv.sum_x)
+COUNT(*)  SUM(mv.cnt)
+COUNT(x)  SUM(mv.cnt_x)
+MIN(x)    MIN(mv.min_x)
+MAX(x)    MAX(mv.max_x)
+AVG(x)    SUM(mv.sum_x) / SUM(mv.cnt_x)  (sum/count split)
+========  =========================================
+
+Non-decomposable measures (MEDIAN, COUNT(DISTINCT ...)) are rejected
+— ``try_rewrite`` returns None and the caller falls back to the base
+table; a silent wrong rewrite is the one unforgivable MV bug.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: measure functions an MV can store and a query can re-aggregate
+_DECOMPOSABLE = {"sum", "count", "min", "max"}
+
+
+@dataclass
+class MaterializedView:
+    """A parquet-backed rollup of ``base`` grouped by ``group_cols``.
+
+    ``measures`` maps the MV's stored column name to ``(fn, src_col)``
+    with ``fn`` in sum/count/min/max; ``count`` with ``src_col=None``
+    is COUNT(*). The row-count measure is mandatory (created
+    automatically) — AVG and COUNT re-aggregation need it.
+    """
+
+    name: str
+    base: str
+    path: str
+    group_cols: list[str]
+    measures: dict[str, tuple[str, str | None]] = field(default_factory=dict)
+
+
+def create_mv(
+    spark: SparkSession,
+    name: str,
+    base_name: str,
+    base_df: DataFrame,
+    path: str,
+    group_cols: list[str],
+    measures: dict[str, tuple[str, str | None]],
+) -> MaterializedView:
+    """Materialize the rollup at ``path``. One shuffle on the grouping
+    key — the same cost as running the coarsest query once; every
+    subsequent matching query amortizes it."""
+    aggs = []
+    for out, (fn, col) in measures.items():
+        if fn not in _DECOMPOSABLE:
+            raise ValueError(f"non-decomposable measure {fn}({col})")
+        if fn == "count" and col is None:
+            aggs.append(F.count(F.lit(1)).alias(out))
+        else:
+            aggs.append(getattr(F, fn)(F.col(col)).alias(out))
+    if "__cnt" not in measures:
+        aggs.append(F.count(F.lit(1)).alias("__cnt"))
+        measures = dict(measures) | {"__cnt": ("count", None)}
+    base_df.groupBy(*group_cols).agg(*aggs).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return MaterializedView(name, base_name, path, list(group_cols), measures)
+
+
+class MvCatalog:
+    """Registry + matcher: ``try_rewrite`` answers an aggregate query
+    spec from the freshest matching MV, or returns None (caller runs
+    on the base table). Deliberately spec-level, not plan-level: the
+    engine's query layer builds aggregates from (table, group-by set,
+    measure list) specs, which is exactly the information Calcite's
+    rule extracts back out of the logical plan."""
+
+    def __init__(self) -> None:
+        self._views: list[MaterializedView] = []
+
+    def register(self, mv: MaterializedView) -> None:
+        self._views.append(mv)
+
+    def try_rewrite(
+        self,
+        spark: SparkSession,
+        base: str,
+        group_cols: list[str],
+        want: dict[str, tuple[str, str | None]],
+    ) -> DataFrame | None:
+        """want: output column -> (fn, src_col); fn additionally
+        allows 'avg'. Returns the re-aggregated DataFrame reading ONLY
+        the MV parquet, or None if no registered view covers the
+        query."""
+        for mv in self._views:
+            if mv.base != base or not set(group_cols) <= set(mv.group_cols):
+                continue
+            stored = {
+                (fn, col): out for out, (fn, col) in mv.measures.items()
+            }
+            aggs = []
+            ok = True
+            for out, (fn, col) in want.items():
+                if fn == "sum" and ("sum", col) in stored:
+                    aggs.append(F.sum(stored[("sum", col)]).alias(out))
+                elif fn == "count" and ("count", col) in stored:
+                    aggs.append(
+                        F.sum(stored[("count", col)]).cast("bigint").alias(out)
+                    )
+                elif fn == "min" and ("min", col) in stored:
+                    aggs.append(F.min(stored[("min", col)]).alias(out))
+                elif fn == "max" and ("max", col) in stored:
+                    aggs.append(F.max(stored[("max", col)]).alias(out))
+                elif (
+                    fn == "avg"
+                    and ("sum", col) in stored
+                    and (("count", col) in stored or ("count", None) in stored)
+                ):
+                    cnt = stored.get(("count", col), stored.get(("count", None)))
+                    aggs.append(
+                        (
+                            F.sum(stored[("sum", col)])
+                            / F.sum(cnt).cast("double")
+                        ).alias(out)
+                    )
+                else:
+                    ok = False
+                    break
+            if not ok:
+                continue
+            mv_df = spark.read.parquet(mv.path)
+            if not group_cols:
+                return mv_df.agg(*aggs)
+            return mv_df.groupBy(*group_cols).agg(*aggs)
+        return None

@@ -3683,3 +3683,281 @@ def ops_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b, allowMissingColumns=True).orderBy(
         "k", "price", F.col("qty").asc_nulls_first()
     )
+
+
+# ---------------------------------------------------------------------------
+# LISTAGG WITHIN GROUP (SQL:2016 ordered string aggregation — Spark
+# 4.0's listagg; the reference exposes it via Calcite's LISTAGG,
+# flink-table planner aggfunctions). Distinct from ops_collect_aggs:
+# this is the standard syntax with DUPLICATES RETAINED and an explicit
+# WITHIN GROUP order, plus the DISTINCT form — not a collect_set
+# rendering. DuckDB's equivalent spelling is string_agg(... ORDER BY).
+# ---------------------------------------------------------------------------
+@_q(
+    "ops_listagg",
+    """
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations_csv,
+           string_agg(DISTINCT substr(n_name, 1, 1), ''
+                      ORDER BY substr(n_name, 1, 1)) AS initials
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+)
+def ops_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """listagg(...) WITHIN GROUP (ORDER BY ...): duplicates retained,
+    deterministic order; the DISTINCT form dedups before joining.
+    Whole-stage codegen aggregate on the JVM — no UDF."""
+    n = load_table(spark, sf_dir, "nation")
+    n.createOrReplaceTempView("ops_listagg_nation")
+    return spark.sql(
+        """
+        SELECT n_regionkey,
+               listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)
+                   AS nations_csv,
+               listagg(DISTINCT substr(n_name, 1, 1), '')
+                   WITHIN GROUP (ORDER BY substr(n_name, 1, 1))
+                   AS initials
+        FROM ops_listagg_nation
+        GROUP BY n_regionkey
+        ORDER BY n_regionkey
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordered-set aggregates (SQL:2008 WITHIN GROUP family): PERCENTILE_CONT
+# (linear interpolation), PERCENTILE_DISC (smallest value with
+# cume_dist >= p), MODE. Reference: Calcite's ordered-set agg surface
+# in the Blink planner.
+#
+# percentile_cont bit-exactness: both engines interpolate as
+# ``lo + (hi - lo) * frac`` in double arithmetic, so the driver's
+# full-precision repr hash cannot flake (seeded adversarial property
+# test: tests/test_operators.py::test_percentile_cont_bit_exact_...).
+#
+# mode() determinism: engines break ties differently, and the
+# synthetic lineitem is near-uniform in every raw column (ties DO
+# occur at sf0.001 — measured), so the modal column is derived with a
+# guaranteed-majority value: quantities <= 25 collapse to -1 (~50 %
+# of rows), every surviving raw value keeps ~2 % — the mode is -1 by
+# an enormous structural margin, while MODE still aggregates a
+# 26-valued multiset per group.
+# ---------------------------------------------------------------------------
+@_q(
+    "ops_ordered_set_aggs",
+    """
+    SELECT l_returnflag,
+           CAST(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5)
+                AS DOUBLE) AS median_qty,
+           CAST(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9)
+                AS DOUBLE) AS p90_price,
+           CAST(quantile_disc(CAST(l_quantity AS DOUBLE), 0.25)
+                AS DOUBLE) AS q1_qty_disc,
+           CAST(mode(CASE WHEN l_quantity <= 25 THEN -1
+                          ELSE CAST(l_quantity AS BIGINT) END)
+                AS BIGINT) AS mode_bucket
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def ops_ordered_set_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENTILE_CONT / PERCENTILE_DISC / MODE via the standard
+    WITHIN GROUP syntax; exact (sort-based) percentiles, not the
+    approx_percentile sketch — the oracle uses DuckDB's quantile
+    spellings of the same definitions."""
+    l = load_table(spark, sf_dir, "lineitem")
+    l.createOrReplaceTempView("ops_osa_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(percentile_cont(0.5) WITHIN GROUP
+                    (ORDER BY CAST(l_quantity AS DOUBLE))
+                    AS DOUBLE) AS median_qty,
+               CAST(percentile_cont(0.9) WITHIN GROUP
+                    (ORDER BY CAST(l_extendedprice AS DOUBLE))
+                    AS DOUBLE) AS p90_price,
+               CAST(percentile_disc(0.25) WITHIN GROUP
+                    (ORDER BY CAST(l_quantity AS DOUBLE))
+                    AS DOUBLE) AS q1_qty_disc,
+               CAST(mode(CASE WHEN l_quantity <= 25 THEN -1
+                              ELSE CAST(l_quantity AS BIGINT) END)
+                    AS BIGINT) AS mode_bucket
+        FROM ops_osa_lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering rewrite (sources/zorder.py): multi-dimensional
+# file skipping — the Delta OPTIMIZE ZORDER BY / Iceberg sort-order
+# rewrite surface. The entry rewrites lineitem clustered on
+# (l_partkey, l_orderkey), PROVES the skipping property in-entry from
+# parquet footer statistics (a partkey box spanning 1/16 of the
+# domain must prune >= half the z-ordered files while touching EVERY
+# file of an orderkey-sorted control layout — the non-leading-
+# dimension case that motivates z-order at all), proves losslessness
+# (row count), and value-checks a two-sided box query against the
+# pristine oracle — the layout must be invisible to query results.
+# ---------------------------------------------------------------------------
+@_q(
+    "ops_zorder_cluster",
+    """
+    SELECT l_orderkey, CAST(l_partkey AS BIGINT) AS partkey,
+           CAST(l_suppkey AS BIGINT) AS suppkey,
+           CAST(l_quantity AS DOUBLE) AS qty
+    FROM lineitem
+    WHERE l_partkey <= 100 AND l_orderkey <= 5000
+    ORDER BY l_orderkey, partkey, suppkey, qty
+    """,
+)
+def ops_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ... ZORDER BY (l_partkey, l_orderkey): quantile-rank
+    Morton-key range-partitioned rewrite (sources/zorder.py, skew-
+    proof bucketing); footer-stats pruning asserted against a
+    single-column-sorted control layout."""
+    key = ("ops_zorder_cluster", spark.sparkContext.applicationId, sf_dir)
+    if key not in _SIDE_MEMO:
+        import os as _os
+
+        from ..sources.zorder import files_touched, write_zordered
+
+        _, work = _memo_workdir("ops_zorder_cluster", spark, sf_dir)
+        zdst = _os.path.join(work, "lineitem_z")
+        ldst = _os.path.join(work, "lineitem_linear")
+        l = load_table(spark, sf_dir, "lineitem")
+        n_files = 32
+        write_zordered(l, zdst, ["l_partkey", "l_orderkey"], n_files=n_files)
+        # control: the classic single-column layout (sorted by the
+        # OTHER dimension), same file count
+        (
+            l.repartitionByRange(n_files, "l_orderkey")
+            .sortWithinPartitions("l_orderkey")
+            .write.mode("overwrite")
+            .parquet(ldst)
+        )
+        # skipping property on the non-leading dimension: a partkey
+        # box spanning 1/16 of the domain
+        b = l.agg(
+            F.min("l_partkey").alias("lo"), F.max("l_partkey").alias("hi")
+        ).collect()[0]
+        box_hi = b.lo + max(1, (b.hi - b.lo) // 16)
+        z_t, z_n = files_touched(zdst, "l_partkey", b.lo, box_hi)
+        lin_t, lin_n = files_touched(ldst, "l_partkey", b.lo, box_hi)
+        if not (z_t * 2 <= z_n and lin_t == lin_n):
+            raise AssertionError(
+                f"z-order skipping property failed: z {z_t}/{z_n}, "
+                f"linear {lin_t}/{lin_n}"
+            )
+        back = spark.read.parquet(zdst)
+        if back.count() != l.count():
+            raise AssertionError("z-order rewrite lost rows")
+        _SIDE_MEMO[key] = (
+            back.filter(
+                (F.col("l_partkey") <= 100) & (F.col("l_orderkey") <= 5000)
+            )
+            .select(
+                "l_orderkey",
+                F.col("l_partkey").cast("bigint").alias("partkey"),
+                F.col("l_suppkey").cast("bigint").alias("suppkey"),
+                F.col("l_quantity").cast("double").alias("qty"),
+            )
+            .orderBy("l_orderkey", "partkey", "suppkey", "qty")
+        )
+    return _SIDE_MEMO[key]
+
+
+# ---------------------------------------------------------------------------
+# Materialized-view aggregate rewrite (plans/mv.py): the Calcite
+# MaterializedViewAggregateRule surface the Blink planner inherits.
+# The entry materializes a 3-key rollup of lineitem, answers a
+# 1-key aggregate query THROUGH the rewriter, plan-gates IN-ENTRY
+# that the physical scan reads the MV parquet and never the base
+# table, and value-checks against the oracle running directly on the
+# base — the rewrite must be semantically invisible. Freshness under
+# a changelog is the already-gated IVM surface (st_incremental_rollup,
+# st_join_view); this entry is the read-side rule.
+# ---------------------------------------------------------------------------
+@_q(
+    "ops_mv_rewrite",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)))
+                AS DECIMAL(28,6)) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                / CAST(COUNT(*) AS DOUBLE) AS DOUBLE) AS avg_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def ops_mv_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate query answered from a registered MV: group-by subset
+    + decomposable-measure re-aggregation (AVG via sum/count split);
+    the base table is provably untouched (plan-gated)."""
+    key = ("ops_mv_rewrite", spark.sparkContext.applicationId, sf_dir)
+    if key not in _SIDE_MEMO:
+        import os as _os
+
+        from ..plans.checks import explain_text
+        from ..plans.mv import MvCatalog, create_mv
+
+        _, work = _memo_workdir("ops_mv_rewrite", spark, sf_dir)
+        path = _os.path.join(work, "mv_lineitem_rollup")
+        l = load_table(spark, sf_dir, "lineitem").withColumn(
+            "qty_dec", F.col("l_quantity").cast("decimal(18,6)")
+        )
+        cat = MvCatalog()
+        cat.register(
+            create_mv(
+                spark,
+                "mv_lineitem_rollup",
+                "lineitem",
+                l,
+                path,
+                ["l_returnflag", "l_linestatus", "l_linenumber"],
+                {
+                    "sum_qty_dec": ("sum", "qty_dec"),
+                    "min_price": ("min", "l_extendedprice"),
+                    "max_price": ("max", "l_extendedprice"),
+                },
+            )
+        )
+        got = cat.try_rewrite(
+            spark,
+            "lineitem",
+            ["l_returnflag"],
+            {
+                "sum_qty_raw": ("sum", "qty_dec"),
+                "cnt": ("count", None),
+                "min_price": ("min", "l_extendedprice"),
+                "max_price": ("max", "l_extendedprice"),
+                "avg_qty": ("avg", "qty_dec"),
+            },
+        )
+        if got is None:
+            raise AssertionError("MV rewrite did not match")
+        plan = explain_text(got)
+        if "mv_lineitem_rollup" not in plan or "lineitem.parquet" in plan:
+            raise AssertionError(
+                "MV rewrite plan still touches the base table"
+            )
+        _SIDE_MEMO[key] = got.select(
+            "l_returnflag",
+            F.col("sum_qty_raw").cast("decimal(28,6)").alias("sum_qty"),
+            "cnt",
+            F.col("min_price").cast("double").alias("min_price"),
+            F.col("max_price").cast("double").alias("max_price"),
+            (
+                F.col("sum_qty_raw").cast("double")
+                / F.col("cnt").cast("double")
+            ).alias("avg_qty"),
+        ).orderBy("l_returnflag")
+    return _SIDE_MEMO[key]

@@ -83,3 +83,32 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def files_touched(path: str, col: str, lo, hi) -> tuple[int, int]:
+    """(files whose footer [min, max] for ``col`` intersects
+    [lo, hi], total files) — the same statistics-only decision a
+    parquet reader makes before touching data pages. Driver-side over
+    FOOTERS only (O(files), not O(rows)); on a cluster the identical
+    stats drive Spark's own row-group pruning inside the scan."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    touched = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.to_arrow_schema().get_field_index(col)
+        f_lo, f_hi = None, None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                f_lo = None
+                break
+            f_lo = st.min if f_lo is None else min(f_lo, st.min)
+            f_hi = st.max if f_hi is None else max(f_hi, st.max)
+        if f_lo is None or (f_hi >= lo and f_lo <= hi):
+            touched += 1
+    return touched, len(files)

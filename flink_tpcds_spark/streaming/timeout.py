@@ -259,7 +259,15 @@ def batch_timeouts(
     """Batch reference semantics: the same absence predicate as one
     anti-join over the whole input (the DataFrame form of the oracle's
     NOT EXISTS). Used by tests and as the batch-mode operator."""
-    ivl = F.expr(f"INTERVAL {int(within.total_seconds())} SECOND")
+    # Microsecond rendering, same contract as the streaming path
+    # (update() above): int(total_seconds()) would silently truncate
+    # a sub-second ``within`` and disagree with the streaming operator.
+    ivl_us = (
+        within.days * 86_400_000_000
+        + within.seconds * 1_000_000
+        + within.microseconds
+    )
+    ivl = F.expr(f"INTERVAL {ivl_us} MICROSECOND")
     a = df.filter(F.col("event_type") == a_type).select(
         "user_id", "event_id", "ts"
     )

@@ -1,0 +1,125 @@
+"""Materialized-view aggregate rewrite (plans/mv.py): matcher safety
+and re-aggregation algebra against direct aggregation."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from flink_tpcds_spark.plans.checks import explain_text
+from flink_tpcds_spark.plans.mv import MvCatalog, create_mv
+
+
+def _make_mv(spark, tmp_path, df):
+    cat = MvCatalog()
+    cat.register(
+        create_mv(
+            spark,
+            "mv_t",
+            "t",
+            df,
+            str(tmp_path / "mv_t"),
+            ["a", "b"],
+            {
+                "s_x": ("sum", "x"),
+                "mn_x": ("min", "x"),
+                "mx_x": ("max", "x"),
+                "c_x": ("count", "x"),
+            },
+        )
+    )
+    return cat
+
+
+def _rand_df(spark, seed=11):
+    random.seed(seed)
+    rows = [
+        (
+            random.randint(0, 4),
+            random.randint(0, 3),
+            random.randint(-100, 100),
+        )
+        for _ in range(2000)
+    ]
+    return spark.createDataFrame(rows, "a int, b int, x long")
+
+
+def test_rewrite_matches_direct_aggregation(spark, tmp_path):
+    """Every decomposable measure re-aggregated from the MV equals the
+    direct aggregate over the base — including AVG via the sum/count
+    split (integer sums: exact, no float-order concerns)."""
+    df = _rand_df(spark)
+    cat = _make_mv(spark, tmp_path, df)
+    got = cat.try_rewrite(
+        spark,
+        "t",
+        ["a"],
+        {
+            "s": ("sum", "x"),
+            "c": ("count", "x"),
+            "mn": ("min", "x"),
+            "mx": ("max", "x"),
+            "av": ("avg", "x"),
+        },
+    )
+    assert got is not None
+    want = (
+        df.groupBy("a")
+        .agg(
+            F.sum("x").alias("s"),
+            F.count("x").alias("c"),
+            F.min("x").alias("mn"),
+            F.max("x").alias("mx"),
+            (F.sum("x") / F.count("x").cast("double")).alias("av"),
+        )
+        .orderBy("a")
+        .collect()
+    )
+    got_rows = got.orderBy("a").collect()
+    assert [tuple(r) for r in got_rows] == [tuple(r) for r in want]
+
+
+def test_rewrite_empty_group_by_is_global(spark, tmp_path):
+    df = _rand_df(spark, seed=12)
+    cat = _make_mv(spark, tmp_path, df)
+    got = cat.try_rewrite(spark, "t", [], {"s": ("sum", "x")})
+    assert got is not None
+    assert got.collect()[0].s == df.agg(F.sum("x")).collect()[0][0]
+
+
+def test_rewrite_refuses_uncovered_queries(spark, tmp_path):
+    """The matcher must return None — never a wrong answer — for:
+    a grouping column outside the MV key, a measure the MV does not
+    store, and a different base table."""
+    df = _rand_df(spark, seed=13)
+    cat = _make_mv(spark, tmp_path, df)
+    assert cat.try_rewrite(spark, "t", ["x"], {"s": ("sum", "x")}) is None
+    assert cat.try_rewrite(spark, "t", ["a"], {"s": ("sum", "b")}) is None
+    assert cat.try_rewrite(spark, "u", ["a"], {"s": ("sum", "x")}) is None
+
+
+def test_rewrite_plan_reads_only_the_mv(spark, tmp_path):
+    """The physical scan of the rewritten query references the MV
+    parquet path and nothing else."""
+    df = _rand_df(spark, seed=14)
+    cat = _make_mv(spark, tmp_path, df)
+    got = cat.try_rewrite(spark, "t", ["b"], {"mx": ("max", "x")})
+    plan = explain_text(got)
+    assert "mv_t" in plan
+
+
+def test_create_mv_rejects_nondecomposable(spark, tmp_path):
+    import pytest
+
+    df = _rand_df(spark, seed=15)
+    with pytest.raises(ValueError):
+        create_mv(
+            spark,
+            "bad",
+            "t",
+            df,
+            str(tmp_path / "bad"),
+            ["a"],
+            {"m": ("median", "x")},
+        )

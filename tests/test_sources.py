@@ -1612,3 +1612,79 @@ def test_bucketed_table_adopted_across_sessions(spark, sf_dir):
         assert w3["orders"] > 0.0, "markerless dir must be rewritten"
     finally:
         uninstall_bucketed_posture()
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering (sources/zorder.py) — Morton math + files_touched
+# ---------------------------------------------------------------------------
+def _py_morton(coords: list[int], bits: int) -> int:
+    out = 0
+    for d, v in enumerate(coords):
+        for i in range(bits):
+            out |= ((v >> i) & 1) << (i * len(coords) + d)
+    return out
+
+
+def test_morton_interleave_matches_python_reference(spark):
+    """The shift/or expression tree computes the textbook Morton
+    interleave for every 2-D point of a 16x16 grid (exhaustive) and a
+    3-D sample — against a bit-twiddling Python reference."""
+    from pyspark.sql import functions as F
+
+    from flink_tpcds_spark.sources.zorder import _BITS, _interleave
+
+    pts = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {
+        (r.x, r.y): r.m
+        for r in df.select(
+            "x", "y", _interleave([F.col("x"), F.col("y")]).alias("m")
+        ).collect()
+    }
+    for x, y in pts:
+        assert got[(x, y)] == _py_morton([x, y], _BITS), (x, y)
+
+    pts3 = [(1, 2, 3), (7, 0, 5), (4, 4, 4), (255, 128, 1)]
+    df3 = spark.createDataFrame(pts3, "x long, y long, z long")
+    got3 = df3.select(
+        _interleave([F.col("x"), F.col("y"), F.col("z")]).alias("m")
+    ).collect()
+    for row, point in zip(got3, pts3):
+        assert row.m == _py_morton(list(point), _BITS), point
+
+
+def test_files_touched_prunes_both_dimensions(spark, tmp_path):
+    """files_touched (the footer-stats pruning counter the registered
+    entry asserts with): on a uniform 2-D grid, a 1/8-span box on
+    EITHER dimension must prune at least half the z-ordered files —
+    the defining property a single-column sort cannot deliver for its
+    non-leading column."""
+    from flink_tpcds_spark.sources.zorder import (
+        files_touched,
+        write_zordered,
+    )
+
+    rows = [(x, y, x * 1000 + y) for x in range(200) for y in range(200)]
+    df = spark.createDataFrame(rows, "a long, b long, payload long")
+    dst = str(tmp_path / "grid_z")
+    write_zordered(df, dst, ["a", "b"], n_files=16)
+    for col in ("a", "b"):
+        t, n = files_touched(dst, col, 0, 24)
+        assert n == 16
+        assert t * 2 <= n, (col, t, n)
+    back = spark.read.parquet(dst)
+    assert back.count() == len(rows)
+    assert back.agg({"payload": "sum"}).collect()[0][0] == sum(
+        r[2] for r in rows
+    )
+
+
+def test_zorder_degenerate_constant_column(spark, tmp_path):
+    """A constant z-column must not break quantile bucketing (all
+    boundaries equal -> every row in bucket 0)."""
+    from flink_tpcds_spark.sources.zorder import write_zordered
+
+    df = spark.createDataFrame([(1, 7), (2, 7), (3, 7)], "a long, c long")
+    dst = str(tmp_path / "const_z")
+    write_zordered(df, dst, ["a", "c"], n_files=2)
+    assert spark.read.parquet(dst).count() == 3
