@@ -914,3 +914,80 @@ def leakage_safe_split(
         .when(h.isin("c", "d"), "val")
         .otherwise("test"),
     )
+
+
+def token_budget_mix(
+    df: DataFrame,
+    budget_tokens: int,
+    alpha: float = 0.5,
+    max_epochs: int = 4,
+    domain_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize a training mixture to a TOKEN BUDGET: the step
+    after ``domain_mix_weights`` that actually picks documents. Each
+    domain gets ``floor(budget * w_d)`` tokens; a domain smaller than
+    its share is up-sampled whole-corpus-at-a-time (epochs, capped at
+    ``max_epochs`` — the standard guard against memorizing a tiny
+    domain), a larger one is down-sampled by a deterministic
+    hash-ordered prefix (md5 of the id — reproducible on any engine,
+    any run, any partitioning).
+
+    Per selected document the output carries ``n_epochs``: full
+    passes over the domain plus one more if the document falls inside
+    the remainder prefix (a document is IN the prefix when the
+    cumulative token count of all hash-earlier documents is still
+    below the remainder — the crossing document is included, the
+    "fill then stop" rule).
+
+    Scale shape: weights are domain-granular (broadcast); the only
+    per-document work is one window cumsum keyed by domain — a single
+    shuffle, no global sort, no driver collect. Token totals per
+    domain ride the same broadcast row.
+    """
+    w = domain_mix_weights(df, alpha, domain_col, text_col)
+    targets = w.select(
+        "domain",
+        F.col("n_tokens").alias("dom_tokens"),
+        F.floor(
+            F.col("mix_weight").cast("decimal(18,6)")
+            * F.lit(int(budget_tokens))
+        )
+        .cast("bigint")
+        .alias("target_tokens"),
+    )
+    docs = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(domain_col).alias("domain"),
+        F.size(tokens(F.col(text_col))).cast("bigint").alias("n_tokens"),
+        F.md5(F.col(id_col).cast("string")).alias("skey"),
+    )
+    win = (
+        Window.partitionBy("domain")
+        .orderBy("skey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    docs = docs.withColumn(
+        "cum_before", F.sum("n_tokens").over(win) - F.col("n_tokens")
+    )
+    j = docs.join(F.broadcast(targets), "domain")
+    # integer division (`div`), NOT floor(a / b): bigint `/` goes
+    # through a double, and an exact-multiple boundary one ulp low
+    # would floor to n-1 — `div` stays in exact integer arithmetic
+    # on both engines (DuckDB `//`).
+    n_full = F.least(
+        F.expr("target_tokens div dom_tokens"),
+        F.lit(int(max_epochs)),
+    ).cast("bigint")
+    rem = F.when(
+        n_full < max_epochs,
+        F.col("target_tokens") - n_full * F.col("dom_tokens"),
+    ).otherwise(F.lit(0))
+    n_epochs = (
+        n_full + (F.col("cum_before") < rem).cast("bigint")
+    ).alias("n_epochs")
+    return (
+        j.select("domain", "doc_id", "n_tokens", n_epochs)
+        .filter(F.col("n_epochs") > 0)
+    )

@@ -126,3 +126,90 @@ def merge_quantile_sketches(sketches: list[DataFrame], size: int) -> DataFrame:
 
     merged = functools.reduce(lambda a, b: a.unionByName(b), sketches)
     return merged.orderBy("rk", "v").limit(size)
+
+
+def _cms_bucket(key: Column, row: int, width: int) -> Column:
+    """Row ``row``'s bucket for ``key``: md5 of the salted key, first
+    8 hex digits as an integer, mod width — the engine-portable hash
+    family (same ``concat('0x', substr(md5(...)))`` bridge the
+    sampling operators use, so a SQL oracle replays it exactly)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{row}:"), key)), 1, 8), 16, 10
+    ).cast("bigint")
+    return F.pmod(h, F.lit(width))
+
+
+def count_min_build(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str | None = None,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-min sketch (Cormode-Muthukrishnan) as a depth x width
+    counter table: rows (row, bucket, cnt). Point-frequency estimates
+    are biased UP only (collisions add, never subtract): with width w
+    and total weight N, est - true <= 2N/w with prob >= 1 - 2^-depth.
+
+    Mergeability — the property that matters at 100 TB — is plain
+    ``UNION ALL + groupBy(row, bucket).sum``: per-shard sketches roll
+    up without rescanning, exactly like the HLL/quantile sketches in
+    this module. Build cost: keys are pre-aggregated to (key, weight)
+    BEFORE hashing (one map-side-combined shuffle), so the d hash
+    evaluations run once per DISTINCT key, not once per row; the
+    sketch itself is O(depth * width) rows regardless of input size.
+    """
+    w = (
+        F.col(weight_col).cast("bigint")
+        if weight_col
+        else F.lit(1).cast("bigint")
+    )
+    per_key = (
+        df.select(F.col(key_col).alias("k"), w.alias("w"))
+        .groupBy("k")
+        .agg(F.sum("w").alias("w"))
+    )
+    rows = [
+        per_key.select(
+            F.lit(r).alias("row"),
+            _cms_bucket(F.col("k"), r, width).alias("bucket"),
+            F.col("w"),
+        )
+        for r in range(depth)
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return (
+        out.groupBy("row", "bucket")
+        .agg(F.sum("w").cast("bigint").alias("cnt"))
+    )
+
+
+def count_min_query(
+    sketch: DataFrame,
+    keys: list[str],
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-frequency estimates for ``keys``: min over the sketch's
+    depth rows of the counter at each key's bucket (absent bucket =
+    0). The keys list is a literal VALUES relation broadcast against
+    the O(depth*width) sketch — no scan of the original data."""
+    spark = sketch.sparkSession
+    kdf = spark.createDataFrame([(k,) for k in keys], "k string")
+    probes = None
+    for r in range(depth):
+        p = kdf.select(
+            "k",
+            F.lit(r).alias("row"),
+            _cms_bucket(F.col("k"), r, width).alias("bucket"),
+        )
+        probes = p if probes is None else probes.unionAll(p)
+    est = (
+        probes.join(sketch, ["row", "bucket"], "left")
+        .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
+        .groupBy("k")
+        .agg(F.min("cnt").cast("bigint").alias("cms_estimate"))
+    )
+    return est

@@ -2333,3 +2333,80 @@ def dp_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bucket"),
         (F.col("tercile") <= 2).alias("keep"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Token-budget mixture materialization (datapipe/curate.py:
+# token_budget_mix): domain_mix_weights picks WEIGHTS; this picks the
+# DOCUMENTS — floor(budget * w_d) tokens per domain, whole-corpus
+# epochs (capped) when a domain is smaller than its share, a
+# deterministic md5-ordered prefix when it is larger. The oracle
+# replays the identical arithmetic: decimal-bridged weights, exact
+# integer division for full epochs (div / //, never a double floor),
+# window cumsum over the same hash order.
+# ---------------------------------------------------------------------------
+@_q(
+    "dp_token_budget_mix",
+    f"""
+    WITH per AS (
+      SELECT source AS domain,
+             CAST(sum(len(toks)) AS BIGINT) AS dom_tokens
+      FROM (SELECT source, {_TOKS} AS toks FROM documents)
+      GROUP BY source
+    ),
+    p AS (
+      SELECT domain, dom_tokens,
+             CAST(sqrt(CAST(dom_tokens AS DOUBLE)) AS DECIMAL(18,6)) AS powed
+      FROM per
+    ),
+    t AS (SELECT CAST(sum(powed) AS DECIMAL(38,6)) AS ptot FROM p),
+    w AS (
+      SELECT domain, dom_tokens,
+             CAST(floor(
+               CAST(round(CAST(powed AS DOUBLE) / CAST(ptot AS DOUBLE), 6)
+                    AS DECIMAL(18,6)) * 200000) AS BIGINT) AS target_tokens
+      FROM p, t
+    ),
+    docs AS (
+      SELECT source AS domain, doc_id,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS skey
+      FROM documents
+    ),
+    c AS (
+      SELECT domain, doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (
+                    PARTITION BY domain ORDER BY skey, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - n_tokens AS BIGINT) AS cum_before
+      FROM docs
+    ),
+    e AS (
+      SELECT c.domain, c.doc_id, c.n_tokens,
+             least(w.target_tokens // w.dom_tokens, 3) AS n_full,
+             CASE WHEN least(w.target_tokens // w.dom_tokens, 3) < 3
+                  THEN w.target_tokens
+                       - least(w.target_tokens // w.dom_tokens, 3)
+                         * w.dom_tokens
+                  ELSE 0 END AS rem,
+             c.cum_before
+      FROM c JOIN w USING (domain)
+    )
+    SELECT domain, doc_id, n_tokens,
+           CAST(n_full + CASE WHEN cum_before < rem THEN 1 ELSE 0 END
+                AS BIGINT) AS n_epochs
+    FROM e
+    WHERE n_full + CASE WHEN cum_before < rem THEN 1 ELSE 0 END > 0
+    ORDER BY domain, doc_id
+    """,
+)
+def dp_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-aware token-budget mixture: 200k-token budget, alpha=0.5
+    temperature weights, <= 3 epochs per domain —
+    datapipe/curate.py:token_budget_mix."""
+    from ..datapipe.curate import token_budget_mix
+
+    d = load_table(spark, sf_dir, "documents")
+    return token_budget_mix(
+        d, budget_tokens=200_000, alpha=0.5, max_epochs=3
+    ).orderBy("domain", "doc_id")

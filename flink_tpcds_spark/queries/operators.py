@@ -3961,3 +3961,129 @@ def ops_mv_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_qty"),
         ).orderBy("l_returnflag")
     return _SIDE_MEMO[key]
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (operators/sketch.py): the fourth classic sketch
+# next to the HLL / Misra-Gries / bottom-k-quantile trio — point
+# FREQUENCY estimates from an O(depth x width) counter table,
+# mergeable by plain cell-wise sum. The hash family rides the
+# engine-portable md5 bridge, so the oracle replays the exact sketch
+# (cells, probes, minima) in SQL. In-entry property check: every
+# estimate bounds its true count from above (CMS can only over-count).
+# ---------------------------------------------------------------------------
+_CMS_KEYS = [
+    "column", "join", "key", "merge", "qzxv", "scan", "value", "window",
+]
+_CMS_KEYS_SQL = ", ".join(f"'{k}'" for k in _CMS_KEYS)
+
+
+@_q(
+    "ops_countmin_sketch",
+    f"""
+    WITH tok AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS k
+      FROM documents
+    ),
+    per AS (SELECT k, CAST(count(*) AS BIGINT) AS w FROM tok GROUP BY k),
+    rows_ AS (SELECT CAST(g AS BIGINT) AS row FROM generate_series(0, 3) s(g)),
+    cells AS (
+      SELECT rows_.row,
+             CAST(CAST(concat('0x',
+                    substr(md5(concat(rows_.row, ':', per.k)), 1, 8))
+                  AS UBIGINT) % 256 AS BIGINT) AS bucket,
+             per.w
+      FROM per, rows_
+    ),
+    sk AS (
+      SELECT row, bucket, CAST(sum(w) AS BIGINT) AS cnt
+      FROM cells GROUP BY row, bucket
+    ),
+    q AS (SELECT unnest([{_CMS_KEYS_SQL}]) AS k),
+    probes AS (
+      SELECT q.k, rows_.row,
+             CAST(CAST(concat('0x',
+                    substr(md5(concat(rows_.row, ':', q.k)), 1, 8))
+                  AS UBIGINT) % 256 AS BIGINT) AS bucket
+      FROM q, rows_
+    )
+    SELECT k, CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS cms_estimate
+    FROM probes LEFT JOIN sk USING (row, bucket)
+    GROUP BY k
+    ORDER BY k
+    """,
+)
+def ops_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS over the documents token stream (depth 4, width 256):
+    build once per distinct token, probe 8 fixed keys (one absent),
+    estimates asserted >= exact counts in-entry."""
+    from ..operators.sketch import count_min_build, count_min_query
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("k")
+    )
+    sketch = count_min_build(toks, "k", depth=4, width=256)
+    est = count_min_query(sketch, _CMS_KEYS, depth=4, width=256)
+    exact = toks.filter(F.col("k").isin(_CMS_KEYS)).groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_cnt")
+    )
+    viol = (
+        est.join(exact, "k", "left")
+        .filter(
+            F.col("cms_estimate")
+            < F.coalesce(F.col("true_cnt"), F.lit(0))
+        )
+        .count()
+    )
+    if viol:
+        raise AssertionError("CMS under-counted — impossible by design")
+    return est.orderBy("k")
+
+
+# ---------------------------------------------------------------------------
+# TIME data type (Spark 4.1, behind spark.sql.timeType.enabled): the
+# SQL-standard time-of-day type the reference supports natively
+# (Flink's TIME WITHOUT TIME ZONE, LogicalTypeRoot.TIME_WITHOUT_TIME_
+# ZONE). Spark 4.1 cannot yet cast TIMESTAMP -> TIME directly, so the
+# extraction rides a formatted-string bridge (microsecond precision
+# preserved — verified value-identical to DuckDB's native
+# CAST(ts AS TIME) on this data). The entry enables the flag itself:
+# the driver's session is vanilla. TIME values aggregate (min/max),
+# group and order like any other atomic type.
+# ---------------------------------------------------------------------------
+@_q(
+    "ops_time_type",
+    """
+    SELECT CAST(hour(CAST(ts AS TIME)) AS INTEGER) AS h,
+           CAST(count(*) AS BIGINT) AS cnt,
+           min(CAST(ts AS TIME)) AS first_t,
+           max(CAST(ts AS TIME)) AS last_t
+    FROM events
+    GROUP BY h
+    ORDER BY h
+    """,
+)
+def ops_time_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-typed time-of-day rollup: extract, group by hour, min/max
+    TIME per hour — the time-without-date class of the reference's
+    type system."""
+    spark.conf.set("spark.sql.timeType.enabled", "true")
+    e = load_table(spark, sf_dir, "events")
+    e.createOrReplaceTempView("ops_time_events")
+    return spark.sql(
+        """
+        SELECT CAST(hour(t) AS INT) AS h,
+               CAST(count(*) AS BIGINT) AS cnt,
+               min(t) AS first_t,
+               max(t) AS last_t
+        FROM (
+          SELECT CAST(date_format(ts, 'HH:mm:ss.SSSSSS') AS TIME) AS t
+          FROM ops_time_events
+        )
+        GROUP BY h
+        ORDER BY h
+        """
+    )

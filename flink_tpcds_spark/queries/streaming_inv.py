@@ -2249,3 +2249,77 @@ def st_count_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     m.flush(spark)
     assert m.late_dropped() == 0
     return m.windows(spark).orderBy("user_id", "win")
+
+
+# ---------------------------------------------------------------------------
+# Streaming PIVOT (streaming/pivot.py): fixed-category pivot as
+# update-mode conditional aggregates — the only sound streaming-pivot
+# semantics (the category scan batch pivot performs is impossible on
+# an unbounded input). 4 micro-batches through the upsert sink; the
+# keep-last snapshot must equal the batch pivot bit-for-bit
+# (decimal-bridged totals).
+# ---------------------------------------------------------------------------
+_PIVOT_CATS = ["click", "error", "purchase", "signup", "view"]
+
+
+def _pivot_oracle() -> str:
+    cols = []
+    for c in _PIVOT_CATS:
+        case1 = f"CASE WHEN event_type = '{c}' THEN 1 END"
+        casev = f"CASE WHEN event_type = '{c}' THEN value END"
+        cols.append(f"CAST(count({case1}) AS BIGINT) AS {c}_cnt")
+        cols.append(f"{dsum_sql(casev)} AS {c}_total")
+    sel = ",\n           ".join(cols)
+    return f"""
+    SELECT CAST(user_id % 16 AS BIGINT) AS cohort,
+           {sel}
+    FROM events
+    GROUP BY cohort
+    ORDER BY cohort
+    """
+
+
+@_q("st_pivot", _pivot_oracle())
+def st_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming pivot on event_type over 16 user cohorts: declared
+    category list lowered to FILTER-ed aggregate pairs (the Blink
+    streaming-agg spelling), update mode, upsert keep-last sink."""
+    from ..streaming.pivot import streaming_pivot
+    from ..streaming.sinks import ParquetUpsertSink
+
+    work = _workdir("st_pivot_")
+    src = os.path.join(work, "in")
+    os.makedirs(src)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    for i in range(4):
+        events.filter(F.pmod("event_id", F.lit(4)) == i).coalesce(
+            1
+        ).write.parquet(os.path.join(src, f"b{i}"))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+        .withColumn("cohort", F.pmod("user_id", F.lit(16)).cast("bigint"))
+    )
+    piv = streaming_pivot(
+        stream, ["cohort"], "event_type", _PIVOT_CATS, "value"
+    )
+    sink = ParquetUpsertSink(os.path.join(work, "log"), ["cohort"])
+    (
+        piv.writeStream.outputMode("update")
+        .foreachBatch(sink.foreach_batch)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    out_cols = ["cohort"] + [
+        f"{c}_{m}" for c in _PIVOT_CATS for m in ("cnt", "total")
+    ]
+    return sink.snapshot(spark).select(*out_cols).orderBy("cohort")

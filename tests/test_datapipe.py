@@ -1434,3 +1434,82 @@ def test_leakage_safe_split_never_splits_a_cluster(spark, sf_dir):
     n = sum(frac.values())
     assert 0.55 < frac["train"] / n < 0.92
     assert frac["val"] > 0 and frac["test"] > 0
+
+
+# ---------------------------------------------------------------------------
+# token_budget_mix (datapipe/curate.py)
+# ---------------------------------------------------------------------------
+def test_token_budget_mix_accounting(spark, sf_dir):
+    """Per-domain budget accounting: selected tokens (n_tokens
+    weighted by epochs) land in [target - max_doc, target] when the
+    domain is not epoch-capped — the fill-then-stop rule overshoots
+    by at most zero and undershoots by less than one document; a
+    capped domain contributes exactly max_epochs * domain_tokens."""
+    from pyspark.sql import functions as F
+
+    from flink_tpcds_spark.datapipe.curate import (
+        domain_mix_weights,
+        token_budget_mix,
+    )
+    from flink_tpcds_spark.schemas import load_table
+
+    budget, cap = 200_000, 3
+    d = load_table(spark, sf_dir, "documents")
+    out = token_budget_mix(d, budget, alpha=0.5, max_epochs=cap)
+    assert out.agg(F.max("n_epochs")).collect()[0][0] <= cap
+
+    w = {
+        r.domain: r
+        for r in domain_mix_weights(d, alpha=0.5).collect()
+    }
+    got = {
+        r.domain: r
+        for r in out.groupBy("domain")
+        .agg(
+            F.sum(F.col("n_tokens") * F.col("n_epochs")).alias("sel"),
+            F.max("n_tokens").alias("max_doc"),
+        )
+        .collect()
+    }
+    for dom, row in w.items():
+        from decimal import Decimal
+
+        target = int(
+            Decimal(f"{row.mix_weight:.6f}") * budget
+        )  # floor(decimal * int)
+        full = min(target // row.n_tokens, cap)
+        sel = got[dom].sel if dom in got else 0
+        if full == cap:
+            assert sel == cap * row.n_tokens, (dom, sel)
+        else:
+            assert target - got[dom].max_doc < sel <= target + got[dom].max_doc, (
+                dom,
+                sel,
+                target,
+            )
+
+
+def test_token_budget_mix_partitioning_invariant(spark, sf_dir):
+    """The selection is a pure function of the data — repartitioning
+    the input must not change a single (doc_id, n_epochs) pair."""
+    from flink_tpcds_spark.datapipe.curate import token_budget_mix
+    from flink_tpcds_spark.schemas import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    a = sorted(
+        map(
+            tuple,
+            token_budget_mix(d, 150_000, max_epochs=2)
+            .select("doc_id", "n_epochs")
+            .collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            token_budget_mix(d.repartition(17), 150_000, max_epochs=2)
+            .select("doc_id", "n_epochs")
+            .collect(),
+        )
+    )
+    assert a == b and len(a) > 0

@@ -877,3 +877,52 @@ def test_mode_bucket_has_structural_majority(spark, sf_dir):
         majority = d.get(-1, 0)
         runner_up = max(v for k, v in d.items() if k != -1)
         assert majority > 5 * runner_up, (flag, majority, runner_up)
+
+
+def test_count_min_merge_law_and_bounds(spark):
+    """CMS invariants: (1) cell-wise sum of two shard sketches equals
+    the sketch of the union (the 100 TB rollup path); (2) estimates
+    never under-count; (3) with width 256 and few distinct keys, the
+    estimate of a present key is exact unless a collision occurred —
+    and the total over-count across all keys is bounded by the
+    collision mass (here: zero, 30 keys into 256 buckets x 4 rows
+    makes a shared bucket in EVERY row astronomically unlikely)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from flink_tpcds_spark.operators.sketch import (
+        count_min_build,
+        count_min_query,
+    )
+
+    random.seed(3)
+    rows = [(f"k{random.randint(0, 29)}",) for _ in range(5000)]
+    df = spark.createDataFrame(rows, "k string")
+    a, b = df.filter(F.length("k") <= 2), df.filter(F.length("k") > 2)
+    whole = count_min_build(df, "k")
+    merged = (
+        count_min_build(a, "k")
+        .unionAll(count_min_build(b, "k"))
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+    keys = [f"k{i}" for i in range(30)] + ["absent"]
+    est = {
+        r.k: r.cms_estimate
+        for r in count_min_query(whole, keys).collect()
+    }
+    true = {
+        r.k: r.cnt
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    for k in keys:
+        assert est[k] >= true.get(k, 0), k
+    assert est["absent"] == 0
+    assert sum(est[k] - true.get(k, 0) for k in keys) == 0

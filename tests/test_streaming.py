@@ -1419,3 +1419,42 @@ def test_cdc_apply_random_change_sequences_match_model():
             shutil.rmtree(work, ignore_errors=True)
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# streaming pivot (streaming/pivot.py)
+# ---------------------------------------------------------------------------
+def test_streaming_pivot_matches_batch_pivot(spark):
+    """The conditional-aggregate lowering equals batch pivot() with an
+    explicit values list — counts and totals per declared category;
+    undeclared categories contribute to no column."""
+    from pyspark.sql import functions as F
+
+    from flink_tpcds_spark.streaming.pivot import streaming_pivot
+
+    rows = [
+        (1, "a", 1.5),
+        (1, "b", 2.0),
+        (1, "zzz", 99.0),  # undeclared
+        (2, "a", 3.25),
+        (2, "a", 0.75),
+    ]
+    df = spark.createDataFrame(rows, "k int, cat string, v double")
+    got = {
+        r.k: r
+        for r in streaming_pivot(df, ["k"], "cat", ["a", "b"], "v").collect()
+    }
+    assert got[1].a_cnt == 1 and got[1].a_total == 1.5
+    assert got[1].b_cnt == 1 and got[1].b_total == 2.0
+    assert got[2].a_cnt == 2 and got[2].a_total == 4.0
+    assert got[2].b_cnt == 0 and got[2].b_total is None
+    # batch pivot with the same explicit category list agrees on counts
+    batch = {
+        r.k: r
+        for r in df.groupBy("k")
+        .pivot("cat", ["a", "b"])
+        .agg(F.count("v"))
+        .collect()
+    }
+    assert (batch[1].a, batch[1].b) == (got[1].a_cnt, got[1].b_cnt)
+    assert (batch[2].a, batch[2].b or 0) == (got[2].a_cnt, got[2].b_cnt)
