@@ -1688,3 +1688,4 @@ def test_zorder_degenerate_constant_column(spark, tmp_path):
     dst = str(tmp_path / "const_z")
     write_zordered(df, dst, ["a", "c"], n_files=2)
     assert spark.read.parquet(dst).count() == 3
+
