@@ -60,21 +60,72 @@ def _interleave(bucket_cols: list[Column]) -> Column:
     return reduce(lambda a, b: a.bitwiseOR(b), parts).alias("__zkey")
 
 
+def _zkey_arrow(cols: list[str], bounds: list[list[float]]) -> Column:
+    """Arrow-batched z-key: numpy ``searchsorted`` (a real binary
+    search, O(log 2^_BITS) per value) + vectorized bit-interleave.
+
+    This is the gated-vectorization escape hatch (the minhash
+    precedent): Spark evaluates higher-order array functions
+    INTERPRETED, allocating the 255-literal boundary array per row
+    per column — measured 191 s vs 13 s for the plain sort-write on a
+    6M-row rewrite, i.e. the JVM-expression bucket lookup dominated
+    the whole job. One ArrowEvalPython stage in a bulk REWRITE (not a
+    query hot path) buys back that order of magnitude; the JVM
+    expression path (``_bucket_expr`` + ``_interleave``) stays as the
+    definitional reference and equivalence-test oracle."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    np_bounds = [np.asarray(b, dtype=np.float64) for b in bounds]
+    n = len(cols)
+
+    # no *args type hints: the hint-based signature parser rejects
+    # variadics, so the functionType is passed explicitly (SCALAR)
+    def _fn(*series):
+        out = np.zeros(len(series[0]), dtype=np.int64)
+        for d, (s, b) in enumerate(zip(series, np_bounds)):
+            v = s.to_numpy(dtype=np.float64, na_value=np.nan)
+            # count of boundaries strictly below v (= side='left');
+            # NULL/NaN buckets to 0 — the JVM reference's semantics
+            # (a null comparison filters out every boundary)
+            buck = np.searchsorted(b, v, side="left").astype(np.int64)
+            buck = np.where(np.isnan(v), 0, buck)
+            for i in range(_BITS):
+                out |= ((buck >> i) & 1) << (i * n + d)
+        return pd.Series(out)
+
+    zkey = pandas_udf(_fn, "long")
+    return zkey(*[F.col(c).cast("double") for c in cols])
+
+
+def _quantile_bounds(df: DataFrame, cols: list[str]) -> list[list[float]]:
+    """Per-column quantile boundaries from ONE approxQuantile pass
+    (the API takes a column list) — per-column calls would rescan the
+    input len(cols) times, the difference between 1 and N full passes
+    over a 100 TB table."""
+    qs = [i / (1 << _BITS) for i in range(1, 1 << _BITS)]
+    return df.approxQuantile(cols, qs, 0.001)
+
+
 def zorder_key(df: DataFrame, cols: list[str]) -> DataFrame:
     """Attach ``__zkey``: the Morton code of the listed numeric
     columns' quantile ranks. Quantile bucketing (not min/max scaling)
     makes the curve occupancy uniform under any value distribution —
     skew in a column costs resolution, not balance."""
-    qs = [i / (1 << _BITS) for i in range(1, 1 << _BITS)]
-    # ONE quantile pass for every clustered column (approxQuantile
-    # accepts a column list) — per-column calls would rescan the
-    # input len(cols) times, the difference between 1 and N full
-    # passes over a 100 TB table.
-    all_bounds = df.approxQuantile(cols, qs, 0.001)
-    buckets = [
-        _bucket_expr(c, boundaries)
-        for c, boundaries in zip(cols, all_bounds)
-    ]
+    return df.withColumn(
+        "__zkey", _zkey_arrow(cols, _quantile_bounds(df, cols))
+    )
+
+
+def zorder_key_jvm(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pure-JVM-expression form of :func:`zorder_key` (filter-count
+    buckets + shift/or interleave). Definitional reference for the
+    Arrow fast path — byte-identical keys, asserted in
+    tests/test_sources.py; use when a deployment forbids Python
+    workers entirely."""
+    bounds = _quantile_bounds(df, cols)
+    buckets = [_bucket_expr(c, b) for c, b in zip(cols, bounds)]
     return df.withColumn("__zkey", _interleave(buckets))
 
 

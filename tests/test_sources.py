@@ -1689,3 +1689,33 @@ def test_zorder_degenerate_constant_column(spark, tmp_path):
     write_zordered(df, dst, ["a", "c"], n_files=2)
     assert spark.read.parquet(dst).count() == 3
 
+
+
+def test_zorder_arrow_key_equals_jvm_reference(spark):
+    """The Arrow searchsorted z-key must equal the pure-JVM
+    filter-count + shift/or reference byte-for-byte — including NULL
+    values (bucket 0 on both paths) and values exactly on a
+    boundary."""
+    import random
+
+    from flink_tpcds_spark.sources.zorder import zorder_key, zorder_key_jvm
+
+    random.seed(41)
+    rows = [
+        (i, float(random.randint(0, 300)), random.uniform(-10, 10))
+        for i in range(3000)
+    ]
+    rows.append((3000, None, 0.0))
+    rows.append((3001, 5.0, None))
+    df = spark.createDataFrame(rows, "id long, a double, b double")
+    fast = {
+        r["id"]: r["__zkey"]
+        for r in zorder_key(df, ["a", "b"]).select("id", "__zkey").collect()
+    }
+    ref = {
+        r["id"]: r["__zkey"]
+        for r in zorder_key_jvm(df, ["a", "b"])
+        .select("id", "__zkey")
+        .collect()
+    }
+    assert fast == ref
