@@ -2323,3 +2323,81 @@ def st_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{c}_{m}" for c in _PIVOT_CATS for m in ("cnt", "total")
     ]
     return sink.snapshot(spark).select(*out_cols).orderBy("cohort")
+
+
+# ---------------------------------------------------------------------------
+# Streaming HLL distinct-count rollup: hll_sketch_agg as the
+# STREAMING aggregate (the state store holds one sketch buffer per
+# group — bounded state for distinct-count over an unbounded stream),
+# upsert keep-last snapshot, then hll_union_agg rolls the per-source
+# sketches into the corpus sketch — the partial/merge topology every
+# 1000-executor distinct-count runs. Same hard gate as the batch
+# entry (ops_hll_mergeable): every estimate within 5 % of the exact
+# count computed batch-side in the same job; the oracle pins the
+# group list.
+# ---------------------------------------------------------------------------
+@_q(
+    "st_hll_rollup",
+    """
+    SELECT source, TRUE AS within_tolerance
+    FROM (SELECT DISTINCT source FROM documents
+          UNION ALL SELECT '__all__')
+    ORDER BY source
+    """,
+)
+def st_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct document-content counting over a 4-micro-batch
+    stream: HLL sketch state per source, merged corpus-wide after the
+    stream drains."""
+    from ..streaming.sinks import ParquetUpsertSink
+
+    work = _workdir("st_hll_")
+    src = os.path.join(work, "in")
+    os.makedirs(src)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5("text").alias("h")
+    )
+    for i in range(4):
+        d.filter(F.pmod("doc_id", F.lit(4)) == i).coalesce(1).write.parquet(
+            os.path.join(src, f"b{i}")
+        )
+    stream = (
+        spark.readStream.schema("doc_id long, source string, h string")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    agg = stream.groupBy("source").agg(F.hll_sketch_agg("h").alias("sk"))
+    sink = ParquetUpsertSink(os.path.join(work, "log"), ["source"])
+    (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(sink.foreach_batch)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    snap = sink.snapshot(spark)
+    per = snap.select(
+        "source", F.hll_sketch_estimate("sk").alias("est")
+    )
+    merged = snap.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).select(F.lit("__all__").alias("source"), "est")
+    exact = d.groupBy("source").agg(F.count_distinct("h").alias("exact"))
+    exact_all = d.agg(F.count_distinct("h").alias("exact")).select(
+        F.lit("__all__").alias("source"), "exact"
+    )
+    est = per.unionByName(merged)
+    ex = exact.unionByName(exact_all)
+    return (
+        est.join(ex, "source")
+        .select(
+            "source",
+            (
+                F.abs(F.col("est") - F.col("exact"))
+                <= 0.05 * F.col("exact")
+            ).alias("within_tolerance"),
+        )
+        .orderBy("source")
+    )
