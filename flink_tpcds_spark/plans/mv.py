@@ -151,3 +151,50 @@ class MvCatalog:
                 return mv_df.agg(*aggs)
             return mv_df.groupBy(*group_cols).agg(*aggs)
         return None
+
+
+def apply_insert_delta(
+    spark: SparkSession, mv: MaterializedView, delta_df: DataFrame
+) -> None:
+    """Fold an INSERT-ONLY delta into the MV without rescanning the
+    base: aggregate the delta with the MV's own measure definitions
+    (a delta-sized job), full-outer-merge with the stored rollup by
+    the decomposable-aggregate laws (sum/count add, min/max combine),
+    atomically replace the MV parquet. Cost is O(delta + groups) —
+    the MV is rollup-sized, orders of magnitude under the base.
+
+    Insert-only is the honest boundary for min/max: a DELETE could
+    retract the current extremum, which is not recoverable from the
+    rollup alone — updates/deletes route through the engine's CDC /
+    MERGE surface and a rebuild of the touched groups instead.
+    """
+    import shutil
+    import tempfile
+
+    aggs = []
+    for out, (fn, col) in mv.measures.items():
+        if fn == "count" and col is None:
+            aggs.append(F.count(F.lit(1)).alias(out))
+        else:
+            aggs.append(getattr(F, fn)(F.col(col)).alias(out))
+    d = delta_df.groupBy(*mv.group_cols).agg(*aggs)
+    cur = spark.read.parquet(mv.path)
+    combined = []
+    for out, (fn, _col) in mv.measures.items():
+        a, b = F.col(f"cur.{out}"), F.col(f"d.{out}")
+        if fn in ("sum", "count"):
+            merged = F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0))
+        elif fn == "min":
+            merged = F.least(F.coalesce(a, b), F.coalesce(b, a))
+        else:  # max
+            merged = F.greatest(F.coalesce(a, b), F.coalesce(b, a))
+        combined.append(merged.alias(out))
+    merged_df = (
+        cur.alias("cur")
+        .join(d.alias("d"), mv.group_cols, "full_outer")
+        .select(*mv.group_cols, *combined)
+    )
+    tmp = tempfile.mkdtemp(prefix="mv_delta_")
+    merged_df.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(mv.path)
+    shutil.move(tmp, mv.path)

@@ -4087,3 +4087,80 @@ def ops_time_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY h
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# MV freshness under an insert delta (plans/mv.py:apply_insert_delta):
+# the write-path half of the MV lifecycle. Build the rollup from 3/4
+# of lineitem, fold the remaining 1/4 in as an insert-only delta
+# (O(delta + groups), base never rescanned), answer the query through
+# the rewriter, value-check against the oracle running on the FULL
+# base — a stale or mis-merged MV cannot hash-match.
+# ---------------------------------------------------------------------------
+@_q(
+    "ops_mv_incremental",
+    """
+    SELECT l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)))
+                AS DECIMAL(28,6)) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price
+    FROM lineitem
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+)
+def ops_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MV built from a prefix, kept fresh by delta folding, queried
+    through the rewrite rule — create / maintain / serve end-to-end."""
+    key = ("ops_mv_incremental", spark.sparkContext.applicationId, sf_dir)
+    if key not in _SIDE_MEMO:
+        import os as _os
+
+        from ..plans.mv import MvCatalog, apply_insert_delta, create_mv
+
+        _, work = _memo_workdir("ops_mv_incremental", spark, sf_dir)
+        path = _os.path.join(work, "mv_inc")
+        l = load_table(spark, sf_dir, "lineitem").withColumn(
+            "qty_dec", F.col("l_quantity").cast("decimal(18,6)")
+        )
+        head = l.filter(F.pmod("l_orderkey", F.lit(4)) != 0)
+        delta = l.filter(F.pmod("l_orderkey", F.lit(4)) == 0)
+        cat = MvCatalog()
+        mv = create_mv(
+            spark,
+            "mv_inc",
+            "lineitem",
+            head,
+            path,
+            ["l_returnflag", "l_linestatus"],
+            {
+                "s": ("sum", "qty_dec"),
+                "mn": ("min", "l_extendedprice"),
+                "mx": ("max", "l_extendedprice"),
+            },
+        )
+        cat.register(mv)
+        apply_insert_delta(spark, mv, delta)
+        got = cat.try_rewrite(
+            spark,
+            "lineitem",
+            ["l_linestatus"],
+            {
+                "sum_qty_raw": ("sum", "qty_dec"),
+                "cnt": ("count", None),
+                "min_price": ("min", "l_extendedprice"),
+                "max_price": ("max", "l_extendedprice"),
+            },
+        )
+        if got is None:
+            raise AssertionError("MV rewrite did not match")
+        _SIDE_MEMO[key] = got.select(
+            "l_linestatus",
+            F.col("sum_qty_raw").cast("decimal(28,6)").alias("sum_qty"),
+            "cnt",
+            F.col("min_price").cast("double").alias("min_price"),
+            F.col("max_price").cast("double").alias("max_price"),
+        ).orderBy("l_linestatus")
+    return _SIDE_MEMO[key]

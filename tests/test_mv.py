@@ -123,3 +123,44 @@ def test_create_mv_rejects_nondecomposable(spark, tmp_path):
             ["a"],
             {"m": ("median", "x")},
         )
+
+
+def test_apply_insert_delta_equals_rebuild(spark, tmp_path):
+    """Delta folding must equal a from-scratch rebuild over base+delta
+    for every measure — including groups only in the delta, groups
+    untouched by the delta, and a delta that moves a group's min/max."""
+    import random
+
+    from flink_tpcds_spark.plans.mv import apply_insert_delta, create_mv
+
+    random.seed(21)
+    base_rows = [
+        (random.randint(0, 5), random.randint(-50, 50)) for _ in range(1500)
+    ]
+    delta_rows = [
+        (random.randint(3, 9), random.randint(-500, 500)) for _ in range(400)
+    ]
+    base = spark.createDataFrame(base_rows, "g int, x long")
+    delta = spark.createDataFrame(delta_rows, "g int, x long")
+    measures = {
+        "s": ("sum", "x"),
+        "mn": ("min", "x"),
+        "mx": ("max", "x"),
+        "c": ("count", "x"),
+    }
+    mv = create_mv(
+        spark, "m", "t", base, str(tmp_path / "m"), ["g"], measures
+    )
+    apply_insert_delta(spark, mv, delta)
+    got = sorted(map(tuple, spark.read.parquet(mv.path).collect()))
+    rebuilt = create_mv(
+        spark,
+        "m2",
+        "t",
+        base.unionAll(delta),
+        str(tmp_path / "m2"),
+        ["g"],
+        measures,
+    )
+    want = sorted(map(tuple, spark.read.parquet(rebuilt.path).collect()))
+    assert got == want
