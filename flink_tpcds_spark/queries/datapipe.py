@@ -2410,3 +2410,47 @@ def dp_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_mix(
         d, budget_tokens=200_000, alpha=0.5, max_epochs=3
     ).orderBy("domain", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Filtered vector search (datapipe/similarity.py knn_bruteforce with
+# corpus_filter): top-k cosine under a metadata predicate — the
+# "WHERE label = 1" serving pattern every vector store exposes.
+# PRE-filtering the candidate set keeps the result exact (the
+# post-filter alternative on an index's top-k can starve below k);
+# the predicate is an ordinary pushdown filter, so at scale it prunes
+# parquet row groups before any dot product runs.
+# ---------------------------------------------------------------------------
+@_q(
+    "dp_knn_filtered",
+    """
+    WITH q AS (
+      SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+      FROM embeddings WHERE vec_id % 20 = 0
+    ), c AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+      FROM embeddings WHERE label = 1
+    ), s AS (
+      SELECT qid, cid, ROUND(list_cosine_similarity(qe, ce), 4) AS cos4
+      FROM q JOIN c ON cid <> qid
+    ), r AS (
+      SELECT qid, cid, cos4,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos4 DESC, cid) AS rn
+      FROM s
+    )
+    SELECT qid AS query_id, cid AS neighbor_id, cos4, CAST(rn AS INTEGER) AS rn
+    FROM r WHERE rn <= 5
+    ORDER BY query_id, rn
+    """,
+)
+def dp_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact filtered top-5: label=1 candidates only, every 20th
+    vector as query — same deterministic (cos4 DESC, id) ranking as
+    dp_knn_cosine."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return knn_bruteforce(
+        e,
+        F.col("vec_id") % 20 == 0,
+        k=5,
+        corpus_filter=F.col("label") == 1,
+    ).orderBy("query_id", "rn")
