@@ -614,3 +614,49 @@ def test_r10_entries_have_scale_safe_plans(spark, sf_dir):
         # body inlined into plain expressions (AQE hides codegen spans
         # pre-execution, so inlining is the observable contract)
         assert "charge(" not in plan and "buckets(" not in plan, name
+
+
+def test_r13_entries_have_scale_safe_plans(spark, sf_dir):
+    """Round-13 batch surfaces: no cartesian, no broadcast-nested-loop,
+    no row-at-a-time Python in any plan. The z-order/MV entries are
+    construction-time operators — their SELECT side is checked here,
+    their write-side properties in their own modules. The token mix
+    must plan its domain-target join as a broadcast (the targets side
+    is domain-granular by construction)."""
+    from flink_tpcds_spark.queries import all_queries
+
+    qs = all_queries()
+    # dp_token_budget_mix inherits domain_mix_weights' crossJoin of
+    # the ONE-ROW broadcast normalization total — that plans as a
+    # BroadcastNestedLoopJoin by definition (no join key exists) and
+    # is the legitimate BNLJ shape: the inner side is exactly one
+    # aggregate row at any corpus size.
+    allowed_bnlj = {"dp_token_budget_mix"}
+    for name in (
+        "ops_listagg",
+        "ops_ordered_set_aggs",
+        "ops_countmin_sketch",
+        "ops_time_type",
+        "dp_token_budget_mix",
+        "dp_knn_filtered",
+    ):
+        plan = (
+            qs[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        bads = ["CartesianProduct", "BatchEvalPython"]
+        if name not in allowed_bnlj:
+            bads.append("BroadcastNestedLoopJoin")
+        for bad in bads:
+            assert bad not in plan, f"{name}: {bad} in plan"
+    mix_plan = (
+        qs["dp_token_budget_mix"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in mix_plan, (
+        "domain targets must broadcast, not shuffle"
+    )
