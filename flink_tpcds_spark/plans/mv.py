@@ -132,13 +132,18 @@ class MvCatalog:
                 elif (
                     fn == "avg"
                     and ("sum", col) in stored
-                    and (("count", col) in stored or ("count", None) in stored)
+                    and ("count", col) in stored
                 ):
-                    cnt = stored.get(("count", col), stored.get(("count", None)))
+                    # AVG divides by the NON-NULL count of the column,
+                    # so only a stored count(col) qualifies — falling
+                    # back to the row count would silently inflate the
+                    # denominator for null-bearing columns (the
+                    # "unforgivable MV bug" class this matcher exists
+                    # to refuse).
                     aggs.append(
                         (
                             F.sum(stored[("sum", col)])
-                            / F.sum(cnt).cast("double")
+                            / F.sum(stored[("count", col)]).cast("double")
                         ).alias(out)
                     )
                 else:

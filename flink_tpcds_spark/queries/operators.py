@@ -3925,6 +3925,7 @@ def ops_mv_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ["l_returnflag", "l_linestatus", "l_linenumber"],
                 {
                     "sum_qty_dec": ("sum", "qty_dec"),
+                    "cnt_qty_dec": ("count", "qty_dec"),
                     "min_price": ("min", "l_extendedprice"),
                     "max_price": ("max", "l_extendedprice"),
                 },

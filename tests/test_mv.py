@@ -164,3 +164,42 @@ def test_apply_insert_delta_equals_rebuild(spark, tmp_path):
     )
     want = sorted(map(tuple, spark.read.parquet(rebuilt.path).collect()))
     assert got == want
+
+
+def test_avg_rewrite_null_semantics(spark, tmp_path):
+    """AVG over a null-bearing column: the rewrite must divide by the
+    NON-NULL count — and must refuse (None) when the MV stores only
+    the row count, because that denominator would be wrong."""
+    from pyspark.sql import functions as F
+
+    from flink_tpcds_spark.plans.mv import MvCatalog, create_mv
+
+    rows = [(1, 10.0), (1, None), (1, 20.0), (2, None), (2, 8.0)]
+    df = spark.createDataFrame(rows, "g int, x double")
+    cat = MvCatalog()
+    cat.register(
+        create_mv(
+            spark, "m", "t", df, str(tmp_path / "m"), ["g"],
+            {"s_x": ("sum", "x"), "c_x": ("count", "x")},
+        )
+    )
+    got = {
+        r.g: r.av
+        for r in cat.try_rewrite(
+            spark, "t", ["g"], {"av": ("avg", "x")}
+        ).collect()
+    }
+    want = {
+        r.g: r.av
+        for r in df.groupBy("g").agg(F.avg("x").alias("av")).collect()
+    }
+    assert got == want == {1: 15.0, 2: 8.0}
+
+    cat2 = MvCatalog()
+    cat2.register(
+        create_mv(
+            spark, "m2", "t", df, str(tmp_path / "m2"), ["g"],
+            {"s_x": ("sum", "x")},  # only the auto row count stored
+        )
+    )
+    assert cat2.try_rewrite(spark, "t", ["g"], {"av": ("avg", "x")}) is None
