@@ -2401,3 +2401,84 @@ def st_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Retention-bounded snapshot expiry (streaming/sinks.py vacuum): the
+# third table-maintenance operator next to compaction
+# (ops_compact_table) and clustering (ops_zorder_cluster). Six
+# micro-batches, vacuum retaining 2: the entry asserts IN-ENTRY that
+# storage collapsed to exactly 3 changelog partitions, then
+# value-checks BOTH surviving views — time travel to the newest
+# retained version (as_of 4, still exact after expiry) and the
+# current snapshot — against prefix/full oracles on the raw events.
+# ---------------------------------------------------------------------------
+@_q(
+    "st_vacuum_retention",
+    f"""
+    SELECT CAST(4 AS INTEGER) AS as_of, event_type,
+           CAST(count(*) AS BIGINT) AS cnt,
+           {dsum_sql('value')} AS total
+    FROM events WHERE event_id % 6 <= 4
+    GROUP BY event_type
+    UNION ALL
+    SELECT CAST(5 AS INTEGER), event_type,
+           CAST(count(*) AS BIGINT),
+           {dsum_sql('value')}
+    FROM events
+    GROUP BY event_type
+    ORDER BY as_of, event_type
+    """,
+)
+def st_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM with a 2-version retention window over the upsert
+    changelog: bounded storage, exact time travel inside the window."""
+    from ..streaming.sinks import ParquetUpsertSink
+
+    work = _workdir("st_vacuum_")
+    src = os.path.join(work, "in")
+    os.makedirs(src)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    for i in range(6):
+        events.filter(F.pmod("event_id", F.lit(6)) == i).coalesce(
+            1
+        ).write.parquet(os.path.join(src, f"b{i}"))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        dsum(F.col("value")).alias("total"),
+    )
+    sink = ParquetUpsertSink(os.path.join(work, "log"), ["event_type"])
+    (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(sink.foreach_batch)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    manifest = sink.vacuum(spark, retain_batches=2)
+    if manifest["partitions"] != 3 or manifest["cutoff"] != 3:
+        raise AssertionError(f"vacuum retention broke: {manifest}")
+    n_parts = len(
+        [d for d in os.listdir(sink.path) if d.startswith("__batch_id=")]
+    )
+    if n_parts != 3:
+        raise AssertionError(f"changelog kept {n_parts} partitions")
+    v4 = sink.snapshot(spark, as_of_batch=4).select(
+        F.lit(4).cast("int").alias("as_of"), "event_type", "cnt", "total"
+    )
+    cur = sink.snapshot(spark).select(
+        F.lit(5).cast("int").alias("as_of"), "event_type", "cnt", "total"
+    )
+    return v4.unionByName(cur).orderBy("as_of", "event_type")

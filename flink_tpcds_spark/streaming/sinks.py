@@ -151,6 +151,22 @@ class ParquetUpsertSink:
         log-compacted store."""
         log = self.changelog(spark)
         if as_of_batch is not None:
+            # An as_of older than the oldest retained stamp would
+            # silently return an EMPTY table after a vacuum — raise
+            # instead, the Delta/Iceberg expired-version contract.
+            # The check is a driver-side directory listing, no job.
+            import os
+
+            stamps = [
+                int(d.split("=", 1)[1])
+                for d in os.listdir(self.path)
+                if d.startswith(self.BATCH_COL + "=")
+            ]
+            if stamps and int(as_of_batch) < min(stamps):
+                raise ValueError(
+                    f"version {as_of_batch} expired: oldest retained "
+                    f"batch is {min(stamps)} (vacuum retention)"
+                )
             log = log.filter(F.col(self.BATCH_COL) <= int(as_of_batch))
         return self._keep_last(log).drop(self.BATCH_COL)
 
@@ -176,6 +192,62 @@ class ParquetUpsertSink:
         shutil.move(self.path, backup)
         shutil.move(tmp, self.path)
         shutil.rmtree(backup)
+
+    def vacuum(self, spark, retain_batches: int) -> dict:
+        """Retention-bounded snapshot expiry (Delta VACUUM / Iceberg
+        expire_snapshots): fold every partition older than the last
+        ``retain_batches`` into ONE base partition — the keep-last
+        snapshot of the expired prefix, stamped with the cutoff batch
+        id — and keep the younger partitions' rows unchanged. Time
+        travel stays EXACT for every ``as_of_batch > cutoff`` (later
+        stamps still win over the base); older versions are EXPIRED —
+        ``snapshot(as_of_batch < cutoff)`` raises, the same contract
+        a retention-bounded lakehouse gives (as_of == cutoff is the
+        oldest answerable version). Storage is bounded at retain_batches + 1
+        partitions no matter how long the stream runs — ``compact``
+        is the retain_batches=0 degenerate case that forfeits time
+        travel entirely.
+
+        Crash-safe via the same .old-backup swap as ``compact``. A
+        cluster deployment would rewrite only the expired partitions
+        and commit via its object store's protocol; the local swap
+        keeps the whole changelog atomic instead."""
+        import os
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        log = self.changelog(spark)
+        ids = sorted(
+            r[0] for r in log.select(self.BATCH_COL).distinct().collect()
+        )
+        if len(ids) <= retain_batches + 1:
+            return {
+                "expired_partitions": 0,
+                "cutoff": None,
+                "partitions": len(ids),
+            }
+        cutoff = ids[-(retain_batches + 1)]
+        base = (
+            self._keep_last(log.filter(F.col(self.BATCH_COL) <= cutoff))
+            .withColumn(self.BATCH_COL, F.lit(int(cutoff)))
+        )
+        young = log.filter(F.col(self.BATCH_COL) > cutoff)
+        tmp = self.path + ".compacting"
+        base.unionByName(young).write.partitionBy(self.BATCH_COL).mode(
+            "overwrite"
+        ).parquet(tmp)
+        backup = self.path + ".old"
+        if os.path.isdir(backup):
+            shutil.rmtree(backup)
+        shutil.move(self.path, backup)
+        shutil.move(tmp, self.path)
+        shutil.rmtree(backup)
+        return {
+            "expired_partitions": len(ids) - retain_batches - 1,
+            "cutoff": int(cutoff),
+            "partitions": retain_batches + 1,
+        }
 
 
 class ParquetRetractSink(CrashSafeParquetState):

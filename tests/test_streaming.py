@@ -1458,3 +1458,44 @@ def test_streaming_pivot_matches_batch_pivot(spark):
     }
     assert (batch[1].a, batch[1].b) == (got[1].a_cnt, got[1].b_cnt)
     assert (batch[2].a, batch[2].b or 0) == (got[2].a_cnt, got[2].b_cnt)
+
+
+def test_vacuum_retention_preserves_window(spark, tmp_path):
+    """vacuum(retain=2) on a 5-batch changelog: storage collapses to
+    3 partitions; the current snapshot and every as_of INSIDE the
+    window are unchanged; as_of at/before the cutoff resolves to the
+    cutoff snapshot; a second vacuum is a no-op."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from flink_tpcds_spark.streaming.sinks import ParquetUpsertSink
+
+    sink = ParquetUpsertSink(str(tmp_path / "log"), ["k"])
+    for b in range(5):
+        df = spark.createDataFrame(
+            [(k, b * 10 + k) for k in range(b + 1)], "k int, v long"
+        )
+        sink.foreach_batch(df, b)
+    before_cur = sorted(map(tuple, sink.snapshot(spark).collect()))
+    before_v3 = sorted(
+        map(tuple, sink.snapshot(spark, as_of_batch=3).collect())
+    )
+    man = sink.vacuum(spark, retain_batches=2)
+    assert man == {
+        "expired_partitions": 2,
+        "cutoff": 2,
+        "partitions": 3,
+    }
+    assert sorted(map(tuple, sink.snapshot(spark).collect())) == before_cur
+    assert (
+        sorted(map(tuple, sink.snapshot(spark, as_of_batch=3).collect()))
+        == before_v3
+    )
+    # the cutoff version is the oldest answerable one; anything
+    # older raises (the expired-version contract, never silent-empty)
+    assert len(sink.snapshot(spark, as_of_batch=2).collect()) == 3
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="expired"):
+        sink.snapshot(spark, as_of_batch=0)
+    # idempotent below the threshold
+    assert sink.vacuum(spark, retain_batches=2)["expired_partitions"] == 0
