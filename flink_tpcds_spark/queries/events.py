@@ -392,3 +392,79 @@ def ev_sliding_paned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap filling + LOCF (operators/gapfill.py): the
+# time_bucket_gapfill / interpolation operator class. The hourly
+# series per event_type is densified onto the full [min, max] hour
+# grid; empty buckets zero-fill their count/total (an empty bucket
+# truly has zero events) while `total_locf` carries the last OBSERVED
+# hourly total forward (NULL until a key's first observation). The
+# grid is generated (sequence + explode), never shuffled; LOCF is one
+# per-key ordered window.
+# ---------------------------------------------------------------------------
+@_q(
+    "ev_gap_fill",
+    f"""
+    WITH obs AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(count(*) AS BIGINT) AS cnt,
+             {dsum_sql('value')} AS total
+      FROM events GROUP BY event_type, h
+    ),
+    b AS (SELECT min(h) AS lo, max(h) AS hi FROM obs),
+    grid AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b
+    ),
+    keys AS (SELECT DISTINCT event_type FROM events),
+    dense AS (SELECT keys.event_type, grid.h FROM grid CROSS JOIN keys),
+    j AS (
+      SELECT dense.event_type, dense.h, obs.cnt, obs.total
+      FROM dense LEFT JOIN obs USING (event_type, h)
+    )
+    SELECT event_type, h,
+           CAST(coalesce(cnt, 0) AS BIGINT) AS cnt,
+           CAST(coalesce(total, 0.0) AS DOUBLE) AS total,
+           CAST(last_value(total IGNORE NULLS) OVER (
+                  PARTITION BY event_type ORDER BY h
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS total_locf
+    FROM j
+    ORDER BY event_type, h
+    """,
+)
+def ev_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly series densified per event_type: zero-filled counts,
+    LOCF totals — operators/gapfill.py:gap_fill."""
+    from ..operators.gapfill import gap_fill
+
+    e = load_table(spark, sf_dir, "events")
+    obs = (
+        e.select(
+            "event_type", F.date_trunc("hour", "ts").alias("h"), "value"
+        )
+        .groupBy("event_type", "h")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            dsum(F.col("value")).alias("total"),
+        )
+    )
+    filled = gap_fill(
+        obs,
+        key_col="event_type",
+        bucket_col="h",
+        zero_fill={
+            "cnt": F.lit(0).cast("bigint"),
+            "total": F.lit(0.0),
+        },
+        locf_cols=["total"],
+        interval="1 hour",
+    )
+    return filled.select(
+        "event_type",
+        "h",
+        "cnt",
+        F.col("total").cast("double").alias("total"),
+        F.col("total_locf").cast("double").alias("total_locf"),
+    ).orderBy("event_type", "h")

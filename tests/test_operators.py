@@ -926,3 +926,46 @@ def test_count_min_merge_law_and_bounds(spark):
         assert est[k] >= true.get(k, 0), k
     assert est["absent"] == 0
     assert sum(est[k] - true.get(k, 0) for k in keys) == 0
+
+
+def test_gap_fill_locf_and_zero_fill_semantics(spark):
+    """gap_fill on a hand-built series with leading, interior, and
+    trailing gaps: the grid densifies to [min, max] per key, counts
+    zero-fill, LOCF carries the last OBSERVED value (never the zero
+    fill), and leading gaps stay NULL."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from flink_tpcds_spark.operators.gapfill import gap_fill
+
+    t0 = dt.datetime(2026, 1, 1, 0)
+    h = lambda i: t0 + dt.timedelta(hours=i)  # noqa: E731
+    rows = [
+        ("a", h(1), 2, 10.0),  # key a observed at hours 1 and 4
+        ("a", h(4), 1, 7.0),
+        ("b", h(0), 3, 5.0),  # key b observed at hours 0 and 2
+        ("b", h(2), 1, 1.0),
+    ]
+    obs = spark.createDataFrame(
+        rows, "k string, h timestamp, cnt long, total double"
+    )
+    out = {
+        (r.k, r.h.hour): (r.cnt, r.total, r.total_locf)
+        for r in gap_fill(
+            obs,
+            key_col="k",
+            bucket_col="h",
+            zero_fill={"cnt": F.lit(0).cast("long"), "total": F.lit(0.0)},
+            locf_cols=["total"],
+        ).collect()
+    }
+    # grid is [0, 4] for BOTH keys (global bounds): 10 rows
+    assert len(out) == 10
+    assert out[("a", 0)] == (0, 0.0, None)  # leading gap: NULL locf
+    assert out[("a", 1)] == (2, 10.0, 10.0)
+    assert out[("a", 2)] == (0, 0.0, 10.0)  # interior gap carries 10
+    assert out[("a", 3)] == (0, 0.0, 10.0)
+    assert out[("a", 4)] == (1, 7.0, 7.0)
+    assert out[("b", 3)] == (0, 0.0, 1.0)  # trailing gap carries 1
+    assert out[("b", 4)] == (0, 0.0, 1.0)
