@@ -71,3 +71,56 @@ def gap_fill(
     for col, zero in zero_fill.items():
         out = out.withColumn(col, F.coalesce(F.col(col), zero))
     return out
+
+
+def linear_interpolate(
+    dense: DataFrame,
+    key_col: str,
+    bucket_col: str,
+    col: str,
+) -> DataFrame:
+    """Add ``<col>_interp``: linear interpolation of ``col`` across
+    INTERIOR gaps of an already-densified uniform grid (leading and
+    trailing gaps stay NULL — there is no second anchor to draw the
+    line to, the time_bucket_gapfill ``interpolate()`` contract).
+
+    Engine-exactness: the interpolation fraction is built from the
+    grid's ROW INDEX (row_number per key), so the weights are exact
+    small-integer ratios — no epoch/timezone arithmetic — and the
+    formula ``prev + (next - prev) * frac`` in doubles is
+    bit-identical on any engine evaluating the same text. Cost: the
+    same single per-key ordered window pass as LOCF (two running
+    scans, no extra shuffle)."""
+    w_ord = Window.partitionBy(key_col).orderBy(bucket_col)
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_next = w_ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    rn = F.row_number().over(w_ord)
+    obs_rn = F.when(F.col(col).isNotNull(), rn)
+    out = (
+        dense.withColumn("__rn", rn)
+        .withColumn("__obs_rn", obs_rn)
+        .withColumn("__pv", F.last(col, ignorenulls=True).over(w_prev))
+        .withColumn(
+            "__pr", F.last("__obs_rn", ignorenulls=True).over(w_prev)
+        )
+        .withColumn("__nv", F.first(col, ignorenulls=True).over(w_next))
+        .withColumn(
+            "__nr", F.first("__obs_rn", ignorenulls=True).over(w_next)
+        )
+    )
+    frac = (F.col("__rn") - F.col("__pr")).cast("double") / (
+        F.col("__nr") - F.col("__pr")
+    ).cast("double")
+    interp = (
+        F.when(F.col(col).isNotNull(), F.col(col).cast("double"))
+        .when(
+            F.col("__pv").isNotNull() & F.col("__nv").isNotNull(),
+            F.col("__pv").cast("double")
+            + (F.col("__nv").cast("double") - F.col("__pv").cast("double"))
+            * frac,
+        )
+        .otherwise(F.lit(None).cast("double"))
+    )
+    return out.withColumn(f"{col}_interp", interp).drop(
+        "__rn", "__obs_rn", "__pv", "__pr", "__nv", "__nr"
+    )

@@ -468,3 +468,92 @@ def ev_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total").cast("double").alias("total"),
         F.col("total_locf").cast("double").alias("total_locf"),
     ).orderBy("event_type", "h")
+
+
+# ---------------------------------------------------------------------------
+# Linear interpolation across interior gaps (operators/gapfill.py:
+# linear_interpolate) — time_bucket_gapfill's interpolate(). The
+# fraction is built from the dense grid's ROW INDEX (exact small
+# integers, no epoch/timezone arithmetic), and the oracle evaluates
+# the byte-identical `pv + (nv - pv) * frac` double formula, so the
+# full-precision hash is deterministic. Leading/trailing gaps stay
+# NULL (no second anchor), observed buckets pass through.
+# ---------------------------------------------------------------------------
+@_q(
+    "ev_interpolate",
+    f"""
+    WITH obs AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             {dsum_sql('value')} AS total
+      FROM events GROUP BY event_type, h
+    ),
+    b AS (SELECT min(h) AS lo, max(h) AS hi FROM obs),
+    grid AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b
+    ),
+    keys AS (SELECT DISTINCT event_type FROM events),
+    dense AS (SELECT keys.event_type, grid.h FROM grid CROSS JOIN keys),
+    j AS (
+      SELECT dense.event_type, dense.h, obs.total,
+             row_number() OVER (
+               PARTITION BY dense.event_type ORDER BY dense.h) AS rn
+      FROM dense LEFT JOIN obs USING (event_type, h)
+    ),
+    k AS (
+      SELECT event_type, h, total, rn,
+             CASE WHEN total IS NOT NULL THEN rn END AS obs_rn
+      FROM j
+    ),
+    m AS (
+      SELECT event_type, h, total, rn,
+             last_value(total IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(obs_rn IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pr,
+             first_value(total IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(obs_rn IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nr
+      FROM k
+    )
+    SELECT event_type, h,
+           CAST(CASE WHEN total IS NOT NULL THEN total
+                     WHEN pv IS NOT NULL AND nv IS NOT NULL
+                     THEN pv + (nv - pv)
+                          * (CAST(rn - pr AS DOUBLE)
+                             / CAST(nr - pr AS DOUBLE))
+                END AS DOUBLE) AS total_interp
+    FROM m
+    ORDER BY event_type, h
+    """,
+)
+def ev_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interior-gap linear interpolation of the hourly totals series
+    per event_type over the densified grid."""
+    from ..operators.gapfill import gap_fill, linear_interpolate
+
+    e = load_table(spark, sf_dir, "events")
+    obs = (
+        e.select(
+            "event_type", F.date_trunc("hour", "ts").alias("h"), "value"
+        )
+        .groupBy("event_type", "h")
+        .agg(dsum(F.col("value")).alias("total"))
+    )
+    dense = gap_fill(
+        obs,
+        key_col="event_type",
+        bucket_col="h",
+        zero_fill={},
+        locf_cols=[],
+        interval="1 hour",
+    )
+    return (
+        linear_interpolate(dense, "event_type", "h", "total")
+        .select("event_type", "h", "total_interp")
+        .orderBy("event_type", "h")
+    )

@@ -969,3 +969,39 @@ def test_gap_fill_locf_and_zero_fill_semantics(spark):
     assert out[("a", 4)] == (1, 7.0, 7.0)
     assert out[("b", 3)] == (0, 0.0, 1.0)  # trailing gap carries 1
     assert out[("b", 4)] == (0, 0.0, 1.0)
+
+
+def test_linear_interpolate_known_series(spark):
+    """Interpolation on a hand-built series: interior gap of two
+    buckets between 10 and 40 -> 20, 30; leading/trailing gaps NULL;
+    observed buckets pass through untouched."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from flink_tpcds_spark.operators.gapfill import (
+        gap_fill,
+        linear_interpolate,
+    )
+
+    t0 = dt.datetime(2026, 1, 1, 0)
+    h = lambda i: t0 + dt.timedelta(hours=i)  # noqa: E731
+    obs = spark.createDataFrame(
+        [("a", h(1), 10.0), ("a", h(4), 40.0), ("b", h(0), 5.0)],
+        "k string, h timestamp, total double",
+    )
+    dense = gap_fill(
+        obs, key_col="k", bucket_col="h", zero_fill={}, locf_cols=[]
+    )
+    out = {
+        (r.k, r.h.hour): r.total_interp
+        for r in linear_interpolate(dense, "k", "h", "total").collect()
+    }
+    assert out[("a", 0)] is None  # leading gap
+    assert out[("a", 1)] == 10.0
+    assert out[("a", 2)] == 20.0
+    assert out[("a", 3)] == 30.0
+    assert out[("a", 4)] == 40.0
+    assert out[("b", 0)] == 5.0
+    for i in (1, 2, 3, 4):  # trailing gaps for key b
+        assert out[("b", i)] is None
