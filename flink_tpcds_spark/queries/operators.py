@@ -4165,3 +4165,52 @@ def ops_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("max_price").cast("double").alias("max_price"),
         ).orderBy("l_linestatus")
     return _SIDE_MEMO[key]
+
+
+# ---------------------------------------------------------------------------
+# Moving (windowed) MEDIAN — the order-statistic-over-sliding-frame
+# class Spark has no native window aggregate for: expressed as
+# sort_array(collect_list) over the frame + element_at of the
+# ceil(n/2)-th element (PERCENTILE_DISC(0.5) semantics — the smallest
+# value with cumulative share >= 1/2, discrete, so results are exact
+# elements and engine-comparison is never an interpolation question).
+# Frame size is bounded (3 PRECEDING), so the per-row collected array
+# is O(4) — this is NOT the unbounded-collect antipattern.
+# ---------------------------------------------------------------------------
+@_q(
+    "ops_moving_median",
+    """
+    SELECT user_id, event_id,
+           CAST(quantile_disc(value, 0.5) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS mov_median
+    FROM events
+    WHERE user_id % 50 = 0
+    ORDER BY user_id, event_id
+    """,
+)
+def ops_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENTILE_DISC(0.5) over a 4-row sliding frame per user."""
+    from pyspark.sql.window import Window as W
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 50 == 0
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, W.currentRow)
+    )
+    frame = F.sort_array(F.collect_list("value").over(w))
+    median = F.element_at(
+        frame, F.ceil(F.size(frame) * 0.5).cast("int")
+    )
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            median.cast("double").alias("mov_median"),
+        )
+        .orderBy("user_id", "event_id")
+    )
