@@ -2482,3 +2482,135 @@ def st_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(5).cast("int").alias("as_of"), "event_type", "cnt", "total"
     )
     return v4.unionByName(cur).orderBy("as_of", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Broadcast-state / side-input refresh (the Flink
+# BroadcastProcessFunction pattern — a slowly-changing rules stream
+# joined against the event stream, each event matched by the rules
+# IN FORCE at its arrival batch, not today's). The rules table is
+# re-read INSIDE foreachBatch and filtered to rule_batch <= batch_id,
+# then broadcast-joined — per batch the rules side is tiny by
+# contract, so no shuffle ever touches the event side. The oracle
+# replays the as-of-batch rule resolution in closed form.
+# ---------------------------------------------------------------------------
+@_q(
+    "st_broadcast_rules",
+    """
+    WITH rules AS (
+      SELECT t.event_type, b.rule_batch,
+             CAST((b.rule_batch + 1) * (10 + length(t.event_type))
+                  AS DOUBLE) AS threshold
+      FROM (SELECT DISTINCT event_type FROM events) t,
+           (SELECT CAST(g AS INTEGER) AS rule_batch
+            FROM generate_series(0, 3) s(g)) b
+    ),
+    ev AS (
+      SELECT event_id, event_type, value,
+             CAST(event_id % 4 AS INTEGER) AS batch
+      FROM events
+    ),
+    applied AS (
+      SELECT ev.event_id, ev.event_type, ev.batch,
+             max(rules.rule_batch) AS rule_in_force
+      FROM ev JOIN rules
+        ON rules.event_type = ev.event_type
+       AND rules.rule_batch <= ev.batch
+      GROUP BY ev.event_id, ev.event_type, ev.batch
+    )
+    SELECT a.event_id, a.event_type,
+           CAST(a.batch AS INTEGER) AS batch,
+           CAST(a.rule_in_force AS INTEGER) AS rule_in_force,
+           CAST(ev.value > (a.rule_in_force + 1)
+                           * (10 + length(a.event_type))
+                AS BOOLEAN) AS flagged
+    FROM applied a JOIN ev ON ev.event_id = a.event_id
+    ORDER BY a.event_id
+    """,
+)
+def st_broadcast_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events flow in 4 micro-batches; a versioned rules table is
+    reloaded per batch and applied AS OF that batch (rule_batch <=
+    batch_id, latest wins). Results accumulate in an append log —
+    re-matching an old event under newer rules would be wrong and
+    cannot happen because matching occurs inside the batch."""
+    work = _workdir("st_bcast_")
+    src = os.path.join(work, "in")
+    out_dir = os.path.join(work, "out")
+    os.makedirs(src)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    for i in range(4):
+        events.filter(F.pmod("event_id", F.lit(4)) == i).coalesce(
+            1
+        ).write.parquet(os.path.join(src, f"b{i}"))
+    # the versioned rules table: one version per batch, all visible
+    # on disk — VISIBILITY is governed by rule_batch <= batch_id
+    # inside the handler (the as-of contract)
+    rules_path = os.path.join(work, "rules")
+    types = [r[0] for r in events.select("event_type").distinct().collect()]
+    spark.createDataFrame(
+        [
+            (t, b, float((b + 1) * (10 + len(t))))
+            for t in types
+            for b in range(4)
+        ],
+        "event_type string, rule_batch int, threshold double",
+    ).write.parquet(rules_path)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        rules = (
+            sp.read.parquet(rules_path)
+            .filter(F.col("rule_batch") <= int(batch_id))
+        )
+        r = rules.alias("r")
+        latest = (
+            rules.groupBy("event_type")
+            .agg(F.max("rule_batch").alias("rule_in_force"))
+            .alias("l")
+        )
+        in_force = r.join(
+            latest,
+            (F.col("r.event_type") == F.col("l.event_type"))
+            & (F.col("r.rule_batch") == F.col("l.rule_in_force")),
+        ).select(
+            F.col("r.event_type").alias("event_type"),
+            F.col("l.rule_in_force").alias("rule_in_force"),
+            F.col("r.threshold").alias("threshold"),
+        )
+        matched = batch_df.join(
+            F.broadcast(in_force), "event_type"
+        ).select(
+            "event_id",
+            "event_type",
+            F.lit(int(batch_id)).cast("int").alias("batch"),
+            F.col("rule_in_force").cast("int"),
+            (F.col("value") > F.col("threshold")).alias("flagged"),
+        )
+        matched.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"__batch_id={int(batch_id)}")
+        )
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(handle)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return (
+        spark.read.parquet(out_dir)
+        .select("event_id", "event_type", "batch", "rule_in_force", "flagged")
+        .orderBy("event_id")
+    )
