@@ -557,3 +557,77 @@ def ev_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "h", "total_interp")
         .orderBy("event_type", "h")
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust anomaly detection via MAD (median absolute deviation): flag
+# events whose value sits more than k MADs from their series median —
+# the standard robust alternative to z-scores (median/MAD have a 50 %
+# breakdown point; mean/stddev are dragged by the outliers they are
+# supposed to find). Both medians are PERCENTILE_DISC (exact
+# elements, no interpolation — engine-safe at full hash precision).
+# Two grouped aggregations on the same key: series median, then MAD
+# over the deviations; the flag is a pure map.
+# ---------------------------------------------------------------------------
+@_q(
+    "ev_anomaly_mad",
+    """
+    WITH med AS (
+      SELECT event_type,
+             quantile_disc(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_id, e.event_type, e.value, med.med,
+             abs(e.value - med.med) AS adev
+      FROM events e JOIN med USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type,
+             quantile_disc(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT dev.event_id, dev.event_type,
+           CAST(dev.value AS DOUBLE) AS value,
+           CAST(dev.med AS DOUBLE) AS series_median,
+           CAST(mad.mad AS DOUBLE) AS series_mad,
+           CAST(dev.adev > 3 * mad.mad AS BOOLEAN) AS is_anomaly
+    FROM dev JOIN mad USING (event_type)
+    WHERE dev.adev > 3 * mad.mad
+    ORDER BY dev.event_id
+    """,
+)
+def ev_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-MAD outliers per event_type series — only the flagged rows
+    are emitted (the alerting shape)."""
+    e = load_table(spark, sf_dir, "events")
+    e.createOrReplaceTempView("ev_mad_events")
+    return spark.sql(
+        """
+        WITH med AS (
+          SELECT event_type,
+                 percentile_disc(0.5) WITHIN GROUP (ORDER BY value)
+                   AS med
+          FROM ev_mad_events GROUP BY event_type
+        ),
+        dev AS (
+          SELECT e.event_id, e.event_type, e.value, med.med,
+                 abs(e.value - med.med) AS adev
+          FROM ev_mad_events e JOIN med USING (event_type)
+        ),
+        mad AS (
+          SELECT event_type,
+                 percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)
+                   AS mad
+          FROM dev GROUP BY event_type
+        )
+        SELECT dev.event_id, dev.event_type,
+               CAST(dev.value AS DOUBLE) AS value,
+               CAST(dev.med AS DOUBLE) AS series_median,
+               CAST(mad.mad AS DOUBLE) AS series_mad,
+               CAST(dev.adev > 3 * mad.mad AS BOOLEAN) AS is_anomaly
+        FROM dev JOIN mad USING (event_type)
+        WHERE dev.adev > 3 * mad.mad
+        ORDER BY dev.event_id
+        """
+    )
