@@ -174,6 +174,34 @@ def main() -> None:
     out["st_pivot_rows"] = sink.snapshot(spark).count()
     out["st_pivot_sec"] = round(time.time() - t0, 3)
 
+    # -- gap fill + interpolation over the replicated hourly series ---------
+    from flink_tpcds_spark.operators.gapfill import (
+        gap_fill,
+        linear_interpolate,
+    )
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    # xf copies of the key space -> xf * 5 series over the same range
+    keyed = spark.range(xf).crossJoin(ev).select(
+        F.concat_ws("_", "event_type", F.col("id").cast("string")).alias(
+            "series"
+        ),
+        F.date_trunc("hour", "ts").alias("h"),
+        "value",
+    )
+    obs = keyed.groupBy("series", "h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("value").alias("total"),
+    )
+    t0 = time.time()
+    dense = gap_fill(
+        obs, key_col="series", bucket_col="h",
+        zero_fill={"cnt": F.lit(0).cast("bigint")}, locf_cols=["total"],
+    )
+    filled = linear_interpolate(dense, "series", "h", "total")
+    out["gapfill_rows"] = filled.count()
+    out["gapfill_sec"] = round(time.time() - t0, 3)
+
     print(json.dumps(out))
 
 
