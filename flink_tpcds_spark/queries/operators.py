@@ -4214,3 +4214,65 @@ def ops_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 dimension build (slowly-changing dimension, the
+# classic warehouse versioning op): a change stream becomes validity
+# intervals — valid_from = the change's timestamp, valid_to = the
+# NEXT change's timestamp for the same key (NULL while current),
+# is_current on the open row. One window (lead over ts per key), no
+# self-join. The entry versions each user's event history and probes
+# it with the interval arithmetic every downstream as-of join relies
+# on (duration of each closed version, count of open rows == count
+# of keys).
+# ---------------------------------------------------------------------------
+@_q(
+    "ops_scd2_dimension",
+    """
+    WITH versions AS (
+      SELECT user_id, event_id, event_type, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS valid_to
+      FROM events
+    )
+    SELECT user_id, event_id, event_type, valid_from, valid_to,
+           CAST(valid_to IS NULL AS BOOLEAN) AS is_current,
+           CAST(CASE WHEN valid_to IS NOT NULL
+                     THEN date_diff('second', valid_from, valid_to)
+                END AS BIGINT) AS version_seconds
+    FROM versions
+    WHERE user_id % 25 = 0
+    ORDER BY user_id, valid_from, event_id
+    """,
+)
+def ops_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change stream -> versioned dimension rows with
+    [valid_from, valid_to) intervals and a current-row flag."""
+    from pyspark.sql.window import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    out = (
+        e.withColumn("valid_to", F.lead("ts").over(w))
+        .filter(F.col("user_id") % 25 == 0)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.col("ts").alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+            F.when(
+                F.col("valid_to").isNotNull(),
+                (
+                    F.col("valid_to").cast("long")
+                    - F.col("ts").cast("long")
+                ),
+            )
+            .cast("bigint")
+            .alias("version_seconds"),
+        )
+        .orderBy("user_id", "valid_from", "event_id")
+    )
+    return out

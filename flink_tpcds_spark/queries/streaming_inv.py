@@ -2614,3 +2614,88 @@ def st_broadcast_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "batch", "rule_in_force", "flagged")
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-source stream UNION (the Flink multi-input union topology):
+# two independent file streams — different directories, different
+# batch cadence (1 vs 2 files per trigger), one source missing the
+# value column (NULL-filled via unionByName) — merged into ONE
+# update-mode aggregation. The oracle is the same aggregate over the
+# batch union; totals ride the decimal bridge so merge order across
+# sources cannot move a bit.
+# ---------------------------------------------------------------------------
+@_q(
+    "st_union_streams",
+    f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(count(value) AS BIGINT) AS cnt_valued,
+           {dsum_sql('value')} AS total
+    FROM (
+      SELECT event_type, value FROM events WHERE event_id % 2 = 0
+      UNION ALL
+      SELECT event_type, NULL AS value FROM events WHERE event_id % 2 = 1
+    )
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def st_union_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two schemas, two cadences, one streaming aggregate."""
+    from ..streaming.sinks import ParquetUpsertSink
+
+    work = _workdir("st_union_")
+    src_a = os.path.join(work, "in_a")
+    src_b = os.path.join(work, "in_b")
+    os.makedirs(src_a)
+    os.makedirs(src_b)
+    events = load_table(spark, sf_dir, "events")
+    a = events.filter(F.pmod("event_id", F.lit(2)) == 0).select(
+        "event_id", "event_type", "value"
+    )
+    b = events.filter(F.pmod("event_id", F.lit(2)) == 1).select(
+        "event_id", "event_type"
+    )
+    for i in range(4):
+        a.filter(F.pmod("event_id", F.lit(8)) == 2 * i).coalesce(
+            1
+        ).write.parquet(os.path.join(src_a, f"b{i}"))
+        b.filter(
+            F.pmod("event_id", F.lit(8)) == 2 * i + 1
+        ).coalesce(1).write.parquet(os.path.join(src_b, f"b{i}"))
+
+    sa = (
+        spark.readStream.schema(
+            "event_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src_a)
+    )
+    sb = (
+        spark.readStream.schema("event_id long, event_type string")
+        .option("maxFilesPerTrigger", 2)
+        .option("recursiveFileLookup", "true")
+        .parquet(src_b)
+    )
+    unioned = sa.unionByName(sb, allowMissingColumns=True)
+    agg = unioned.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.count("value").cast("bigint").alias("cnt_valued"),
+        dsum(F.col("value")).alias("total"),
+    )
+    sink = ParquetUpsertSink(os.path.join(work, "log"), ["event_type"])
+    (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(sink.foreach_batch)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return (
+        sink.snapshot(spark)
+        .select("event_type", "cnt", "cnt_valued", "total")
+        .orderBy("event_type")
+    )
