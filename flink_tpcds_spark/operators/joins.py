@@ -40,9 +40,14 @@ def asof_join(
     right_cols: list[str] | None = None,
     tolerance_seconds: float | None = None,
     prefix: str = "r_",
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the latest right row with
-    ``right.right_time <= left.left_time`` (backward as-of), per key.
+    ``right.right_time <= left.left_time`` (backward as-of, the
+    default), or — ``direction="forward"`` — the EARLIEST right row
+    with ``right.right_time >= left.left_time`` (the pandas
+    merge_asof direction=forward contract; both bounds inclusive),
+    per key.
 
     Strategy: tag and union both sides, then a single
     ``last(..., ignorenulls=True)`` window ordered by (time, side)
@@ -54,12 +59,17 @@ def asof_join(
     If several right rows share (key, time), the one that sorts last
     wins; pre-deduplicate with ``dedup_last`` for full determinism.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward: {direction}")
+    fwd = direction == "forward"
     keys = [on] if isinstance(on, str) else list(on)
     right_cols = right_cols or [
         c for c in right.columns if c not in keys and c != right_time
     ]
 
-    l_tagged = left.withColumn("__side", F.lit(1)).withColumn(
+    l_tagged = left.withColumn(
+        "__side", F.lit(0 if fwd else 1)
+    ).withColumn(
         "__t", F.col(left_time)
     )
     for c in right_cols:
@@ -71,7 +81,7 @@ def asof_join(
     r_tagged = right.select(
         *[F.col(k) for k in keys],
         F.col(right_time).alias("__t"),
-        F.lit(0).alias("__side"),
+        F.lit(1 if fwd else 0).alias("__side"),
         *[F.col(c).alias(prefix + c) for c in right_cols],
         F.col(right_time).alias(prefix + "__matched_t"),
     )
@@ -81,24 +91,41 @@ def asof_join(
 
     unioned = l_tagged.unionByName(r_tagged.select(*l_tagged.columns))
 
-    # right rows (__side=0) sort before left rows at equal time → the
-    # as-of bound is inclusive (right version at exactly left_time wins).
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col("__t"), F.col("__side"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    # The side tag makes the bound inclusive in BOTH directions: at
+    # equal time, backward sorts right rows (0) before left (1) so
+    # the running last() sees them; forward sorts left rows (0)
+    # before right (1) so the running first() over the FOLLOWING
+    # frame sees them.
+    order = [F.col("__t"), F.col("__side")]
+    if fwd:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(*order)
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        fill = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
+    else:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        fill = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
     filled = unioned
     for c in [*[prefix + c for c in right_cols], prefix + "__matched_t"]:
-        filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
+        filled = filled.withColumn(c, fill(c))
 
-    out = filled.filter(F.col("__side") == 1).drop("__side", "__t")
+    out = filled.filter(F.col("__side") == (0 if fwd else 1)).drop(
+        "__side", "__t"
+    )
     if tolerance_seconds is not None:
         age = _seconds(
             F.col(left_time), left.schema[left_time].dataType
         ) - _seconds(
             F.col(prefix + "__matched_t"), right.schema[right_time].dataType
         )
+        if fwd:
+            age = -age
         keep = age <= F.lit(float(tolerance_seconds))
         for c in right_cols:
             out = out.withColumn(

@@ -4276,3 +4276,59 @@ def ops_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id", "valid_from", "event_id")
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# FORWARD as-of join (operators/joins.py asof_join
+# direction="forward"): for each purchase, the NEXT view event by the
+# same user at or after the purchase time — the pandas merge_asof
+# direction=forward contract, still one shuffle + one ordered window
+# scan (never the O(n*m) inequality join). The DuckDB oracle uses a
+# window over the tagged union (DuckDB's native ASOF is
+# backward-only), mirroring the operator's own strategy text.
+# ---------------------------------------------------------------------------
+@_q(
+    "ops_asof_forward",
+    """
+    WITH tagged AS (
+      SELECT user_id, ts, 0 AS side, event_id, NULL::BIGINT AS view_id
+      FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT user_id, ts, 1 AS side, NULL, event_id
+      FROM events WHERE event_type = 'view'
+    ),
+    filled AS (
+      SELECT user_id, ts, side, event_id,
+             first_value(view_id IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, side
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS next_view_id
+      FROM tagged
+    )
+    SELECT CAST(event_id AS BIGINT) AS purchase_id,
+           CAST(next_view_id AS BIGINT) AS next_view_id
+    FROM filled
+    WHERE side = 0
+    ORDER BY purchase_id
+    """,
+)
+def ops_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-event-at-or-after join per user (forward as-of)."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    out = asof_join(
+        purchases,
+        views,
+        on="user_id",
+        right_cols=["view_id"],
+        direction="forward",
+    )
+    return out.select(
+        F.col("event_id").cast("bigint").alias("purchase_id"),
+        F.col("r_view_id").cast("bigint").alias("next_view_id"),
+    ).orderBy("purchase_id")

@@ -1005,3 +1005,50 @@ def test_linear_interpolate_known_series(spark):
     assert out[("b", 0)] == 5.0
     for i in (1, 2, 3, 4):  # trailing gaps for key b
         assert out[("b", i)] is None
+
+
+def test_asof_forward_known_series(spark):
+    """Forward as-of on a hand-built series: inclusive bound (a right
+    row AT the left time matches), earliest-after wins, no-following
+    rows yield NULL, and tolerance nulls out matches too far ahead."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from flink_tpcds_spark.operators import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (1, 25, 101), (1, 99, 102), (2, 5, 200)],
+        "k int, t int, lid int",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 900), (1, 20, 901), (1, 30, 902), (2, 1, 903)],
+        "k int, t int, rid int",
+    )
+    out = {
+        r.lid: r.r_rid
+        for r in asof_join(
+            left,
+            right,
+            on="k",
+            left_time="t",
+            right_time="t",
+            right_cols=["rid"],
+            direction="forward",
+        ).collect()
+    }
+    assert out == {100: 900, 101: 902, 102: None, 200: None}
+
+    tol = {
+        r.lid: r.r_rid
+        for r in asof_join(
+            left,
+            right,
+            on="k",
+            left_time="t",
+            right_time="t",
+            right_cols=["rid"],
+            direction="forward",
+            tolerance_seconds=4.0,
+        ).collect()
+    }
+    # 101 -> 902 is 5 ahead, beyond the 4-second tolerance
+    assert tol == {100: 900, 101: None, 102: None, 200: None}
