@@ -631,3 +631,80 @@ def ev_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY dev.event_id
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# First-touch attribution: each purchase credits the EARLIEST click
+# by the same user within the 7 days before it (inclusive). One
+# range-frame window over the tagged union — a single shuffle on
+# user_id, no purchase x click interval join (the O(n*m)-per-key
+# shape attribution queries usually degenerate into). The (ts, id)
+# pair is packed into one BIGINT so MIN picks the earliest click
+# with a deterministic id tie-break on both engines.
+# ---------------------------------------------------------------------------
+@_q(
+    "ev_attribution",
+    """
+    WITH tagged AS (
+      SELECT user_id,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS tsec,
+             CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side,
+             event_id
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    w AS (
+      SELECT user_id, tsec, side, event_id,
+             min(CASE WHEN side = 0
+                      THEN tsec * 100000000 + event_id END) OVER (
+               PARTITION BY user_id ORDER BY tsec
+               RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+               AS first_touch
+      FROM tagged
+    )
+    SELECT CAST(event_id AS BIGINT) AS purchase_id,
+           CAST(first_touch % 100000000 AS BIGINT) AS first_click_id
+    FROM w
+    WHERE side = 1
+    ORDER BY purchase_id
+    """,
+)
+def ev_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day first-touch click attribution per purchase."""
+    from pyspark.sql.window import Window as W
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    tagged = e.select(
+        "user_id",
+        # explicit whole-second floor on BOTH engines: DuckDB's
+        # epoch() returns a fractional double whose BIGINT cast
+        # ROUNDS, while Spark's long cast FLOORS — truncating first
+        # removes the divergence class for sub-second timestamps
+        F.date_trunc("second", F.col("ts"))
+        .cast("timestamp_ltz")
+        .cast("long")
+        .alias("tsec"),
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("side"),
+        "event_id",
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("tsec")
+        .rangeBetween(-604800, W.currentRow)
+    )
+    packed = F.when(
+        F.col("side") == 0,
+        F.col("tsec") * F.lit(100_000_000) + F.col("event_id"),
+    )
+    out = tagged.withColumn("first_touch", F.min(packed).over(w))
+    return (
+        out.filter(F.col("side") == 1)
+        .select(
+            F.col("event_id").cast("bigint").alias("purchase_id"),
+            (F.col("first_touch") % 100_000_000)
+            .cast("bigint")
+            .alias("first_click_id"),
+        )
+        .orderBy("purchase_id")
+    )
