@@ -65,6 +65,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.deterministic import dsum, dsum_sql
 from ..schemas import load_table
@@ -2698,4 +2699,99 @@ def st_union_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
         sink.snapshot(spark)
         .select("event_type", "cnt", "cnt_valued", "total")
         .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming SCD Type-2 maintenance (streaming/scd2.py): the dimension
+# is built INCREMENTALLY — each arriving version closes its
+# predecessor (valid_to = successor ts) and becomes the open row;
+# per batch only touched keys move (join + anti-join on the key),
+# closed history lives in immutable per-batch partitions. The final
+# (closed ∪ open) table must hash-match the one-shot batch SCD2
+# build over the full history (the ops_scd2_dimension oracle).
+# Batches are time-range splits (the CDC in-order-per-key contract).
+# ---------------------------------------------------------------------------
+@_q(
+    "st_scd2",
+    """
+    WITH versions AS (
+      SELECT user_id, event_id, event_type, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS valid_to
+      FROM events
+    )
+    SELECT user_id, event_id, event_type, valid_from, valid_to,
+           CAST(valid_to IS NULL AS BOOLEAN) AS is_current
+    FROM versions
+    WHERE user_id % 10 = 0
+    ORDER BY user_id, valid_from, event_id
+    """,
+)
+def st_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four time-range micro-batches maintain the versioned dimension
+    incrementally; the maintained table equals the batch build."""
+    from ..streaming.scd2 import Scd2State
+
+    work = _workdir("st_scd2_")
+    src = os.path.join(work, "in")
+    os.makedirs(src)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    # percentile_disc rejects timestamps; rank cuts via ntile over
+    # the small distinct-ts set instead (deterministic, type-safe)
+    cuts_rows = (
+        events.select("ts")
+        .distinct()
+        .select(
+            "ts",
+            F.ntile(4).over(Window.orderBy("ts")).alias("q"),
+        )
+        .groupBy("q")
+        .agg(F.max("ts").alias("cut"))
+        .orderBy("q")
+        .collect()
+    )
+    c = [r.cut for r in cuts_rows]
+    cuts = type("C", (), {"c1": c[0], "c2": c[1], "c3": c[2]})()
+    ranges = [
+        F.col("ts") <= cuts.c1,
+        (F.col("ts") > cuts.c1) & (F.col("ts") <= cuts.c2),
+        (F.col("ts") > cuts.c2) & (F.col("ts") <= cuts.c3),
+        F.col("ts") > cuts.c3,
+    ]
+    for i, flt in enumerate(ranges):
+        events.filter(flt).coalesce(1).write.parquet(
+            os.path.join(src, f"b{i}")
+        )
+    state = Scd2State(os.path.join(work, "dim"))
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(state.foreach_batch)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return (
+        state.result(spark)
+        .filter(F.col("user_id") % 10 == 0)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "valid_from",
+            "valid_to",
+            "is_current",
+        )
+        .orderBy("user_id", "valid_from", "event_id")
     )

@@ -1499,3 +1499,58 @@ def test_vacuum_retention_preserves_window(spark, tmp_path):
         sink.snapshot(spark, as_of_batch=0)
     # idempotent below the threshold
     assert sink.vacuum(spark, retain_batches=2)["expired_partitions"] == 0
+
+
+def test_scd2_incremental_equals_batch_and_replay_idempotent(spark, tmp_path):
+    """Scd2State over 3 in-order batches (keys spanning batches, keys
+    with several versions INSIDE one batch, keys appearing once) must
+    equal the one-shot lead() build; replaying a batch changes
+    nothing."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from flink_tpcds_spark.streaming.scd2 import Scd2State
+
+    t0 = dt.datetime(2026, 1, 1)
+    t = lambda i: t0 + dt.timedelta(minutes=i)  # noqa: E731
+    batches = [
+        [(1, 100, t(0), "a"), (1, 101, t(5), "b"), (2, 200, t(1), "x")],
+        [(1, 102, t(10), "c"), (3, 300, t(11), "y")],
+        [(2, 201, t(20), "z"), (3, 301, t(21), "y2"), (3, 302, t(22), "y3")],
+    ]
+    schema = "user_id long, event_id long, ts timestamp, event_type string"
+    state = Scd2State(str(tmp_path / "dim"))
+    for i, rows in enumerate(batches):
+        state.update(spark, spark.createDataFrame(rows, schema), i)
+    # replay of batch 1 must be a no-op
+    state.update(spark, spark.createDataFrame(batches[1], schema), 1)
+
+    got = sorted(
+        map(tuple, state.result(spark).collect()), key=lambda r: (r[0], r[3])
+    )
+    all_rows = spark.createDataFrame(
+        [r for b in batches for r in b], schema
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    want = sorted(
+        map(
+            tuple,
+            all_rows.withColumn("valid_to", F.lead("ts").over(w))
+            .select(
+                "user_id",
+                "event_id",
+                "event_type",
+                F.col("ts").alias("valid_from"),
+                "valid_to",
+                F.col("valid_to").isNull().alias("is_current"),
+            )
+            .collect(),
+        ),
+        key=lambda r: (r[0], r[3]),
+    )
+    assert got == want
+    # exactly one open row per key
+    opens = [r for r in got if r[5]]
+    assert sorted(r[0] for r in opens) == [1, 2, 3]
