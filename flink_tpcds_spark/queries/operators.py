@@ -4332,3 +4332,63 @@ def ops_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").cast("bigint").alias("purchase_id"),
         F.col("r_view_id").cast("bigint").alias("next_view_id"),
     ).orderBy("purchase_id")
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time dimension join (the read side of SCD2; reference
+# TemporalRowTimeJoinOperator): each fact row joins the dimension
+# VERSION valid at the fact's timestamp. Because SCD2 intervals
+# partition each key's timeline (contiguous, non-overlapping — the
+# lead() build guarantees it), "valid_from <= t < valid_to" is
+# EXACTLY the backward as-of match on valid_from — one window pass,
+# not an interval join. Dimension: each user's view history
+# versioned SCD2-style; facts: purchases.
+# ---------------------------------------------------------------------------
+@_q(
+    "ops_scd2_pit_join",
+    """
+    WITH dim AS (
+      SELECT user_id, event_id AS version_id, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS valid_to
+      FROM events WHERE event_type = 'view'
+    ),
+    facts AS (
+      SELECT user_id, event_id AS purchase_id, ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT f.purchase_id,
+           CAST(d.version_id AS BIGINT) AS version_id
+    FROM facts f
+    LEFT JOIN dim d
+      ON d.user_id = f.user_id
+     AND d.valid_from <= f.ts
+     AND (d.valid_to > f.ts OR d.valid_to IS NULL)
+    ORDER BY f.purchase_id
+    """,
+)
+def ops_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Facts x versioned dimension at fact time — backward as-of on
+    valid_from (valid because SCD2 intervals partition the timeline);
+    the oracle uses the definitional interval join."""
+    e = load_table(spark, sf_dir, "events")
+    dim = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        F.col("event_id").alias("version_id"),
+    )
+    facts = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    out = asof_join(
+        facts,
+        dim,
+        on="user_id",
+        left_time="ts",
+        right_time="valid_from",
+        right_cols=["version_id"],
+    )
+    return out.select(
+        "purchase_id",
+        F.col("r_version_id").cast("bigint").alias("version_id"),
+    ).orderBy("purchase_id")
