@@ -464,7 +464,42 @@ def main() -> None:
         out["sf1"] = sf1
     if sf10 is not None:
         out["sf10"] = sf10
+    # Two-line emission (VERDICT r10 item 5, closing the r9 ask): the
+    # driver archives only the TAIL of stdout (~2 KB), and the full
+    # detail object is longer than that — r10's artifact opens
+    # mid-queries-map. Line 1 = the full detail object (complete for
+    # local readers). The LAST line = a compact but complete metric
+    # object (headline value + full per-query map + calibration +
+    # block TOTALS only) sized well under the tail window, so the
+    # archived artifact always parses from its last newline.
     print(json.dumps(out))
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "sf": out["sf"],
+        "runs_per_query": out["runs_per_query"],
+        "queries": times,
+        "calibration": calibration,
+    }
+    for block in ("tpcds_corpus", "tpcds_corpus_stats"):
+        if block in out:
+            compact[block] = {
+                k: v
+                for k, v in out[block].items()
+                if k != "top10_slowest"
+            }
+    if sf10 is not None:
+        compact["sf10"] = sf10["stats"]
+    if sf1 is not None:
+        compact["sf1"] = {
+            k: sf1[k]
+            for k in ("views_total_sec", "stats_total_sec")
+            if k in sf1
+        }
+        if "returns_bucketed" in sf1:
+            compact["sf1"]["returns_bucketed"] = sf1["returns_bucketed"]
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -30,6 +30,7 @@ table; a silent wrong rewrite is the one unforgivable MV bug.
 
 from __future__ import annotations
 
+import os as _os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -37,6 +38,24 @@ from pyspark.sql import functions as F
 
 #: measure functions an MV can store and a query can re-aggregate
 _DECOMPOSABLE = {"sum", "count", "min", "max"}
+
+
+def _recover(path: str) -> None:
+    """Heal a crash mid-``apply_insert_delta`` (same protocol as the
+    streaming sink's compact, streaming/sinks.py): backup-only →
+    restore it; backup alongside a live MV (crash after promote) →
+    stale, remove; an orphaned temp dir is never the source of truth."""
+    import shutil
+
+    backup = path + ".old"
+    if _os.path.isdir(backup):
+        if not _os.path.isdir(path):
+            shutil.move(backup, path)
+        else:
+            shutil.rmtree(backup)
+    tmp = path + ".delta_tmp"
+    if _os.path.isdir(tmp):
+        shutil.rmtree(tmp)
 
 
 @dataclass
@@ -151,6 +170,7 @@ class MvCatalog:
                     break
             if not ok:
                 continue
+            _recover(mv.path)
             mv_df = spark.read.parquet(mv.path)
             if not group_cols:
                 return mv_df.agg(*aggs)
@@ -174,8 +194,8 @@ def apply_insert_delta(
     MERGE surface and a rebuild of the touched groups instead.
     """
     import shutil
-    import tempfile
 
+    _recover(mv.path)
     aggs = []
     for out, (fn, col) in mv.measures.items():
         if fn == "count" and col is None:
@@ -187,8 +207,18 @@ def apply_insert_delta(
     combined = []
     for out, (fn, _col) in mv.measures.items():
         a, b = F.col(f"cur.{out}"), F.col(f"d.{out}")
-        if fn in ("sum", "count"):
+        if fn == "count":
+            # COUNT is never NULL on a present side; absent side = 0.
             merged = F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0))
+        elif fn == "sum":
+            # SUM over an all-NULL group is stored as NULL; folding it
+            # through coalesce(x, 0) would resurrect it as 0, which the
+            # base-table aggregate would never return. NULL+NULL stays
+            # NULL; one-sided NULL contributes nothing (SQL SUM ignores
+            # NULLs).
+            merged = F.when(a.isNull() & b.isNull(), F.lit(None)).otherwise(
+                F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0))
+            )
         elif fn == "min":
             merged = F.least(F.coalesce(a, b), F.coalesce(b, a))
         else:  # max
@@ -199,7 +229,15 @@ def apply_insert_delta(
         .join(d.alias("d"), mv.group_cols, "full_outer")
         .select(*mv.group_cols, *combined)
     )
-    tmp = tempfile.mkdtemp(prefix="mv_delta_")
+    # Crash-safe promote — the same .old-backup swap as the streaming
+    # sink compact/vacuum (streaming/sinks.py) and
+    # IncrementalAggState.update: the temp dir is written NEXT TO the
+    # MV (same filesystem, so the moves are renames, never copies),
+    # and a crash at any point leaves either the old rollup (restored
+    # by _recover) or the new one — never neither.
+    tmp = mv.path + ".delta_tmp"
     merged_df.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(mv.path)
+    backup = mv.path + ".old"
+    shutil.move(mv.path, backup)
     shutil.move(tmp, mv.path)
+    shutil.rmtree(backup)

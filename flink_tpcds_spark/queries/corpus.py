@@ -57,6 +57,20 @@ prime factor other than 2/5) is BANNED outside a
 DOUBLE while Spark divides exactly in decimal and HALF_UP-rounds, so
 such quotients flip near rounding boundaries (CORRECTNESS_r09's
 ``ops_lateral_alias`` red). Enforced by ``tests/test_oracle_lint.py``.
+
+Output-type contract for suite oracles (round 11): the FINAL Spark
+schema may not contain DECIMAL, ARRAY, MAP or STRUCT columns. The
+driver canonicalizes both engines through pandas, where DuckDB's
+``fetch_df`` coerces DECIMAL → float64 while Spark keeps
+``decimal.Decimal`` (rendered differently → hash mismatch at
+matching rows/schema: CORRECTNESS_r10's ``ops_lateral_alias`` /
+``ops_mv_rewrite`` / ``ops_mv_incremental``), and container cells
+crash pandas ``factorize`` outright (``dp_bpe_tokens``). Bridge in
+the final select on BOTH engines: ``CAST(x AS DOUBLE)`` for decimals
+(exact while values terminate within 2^53) and
+``array_join``/``array_to_string`` for arrays. Enforced over every
+built suite DataFrame by ``tests/test_oracle_parity.py`` and by
+``oracle.compare(fetch="driver")``.
 """
 
 from __future__ import annotations

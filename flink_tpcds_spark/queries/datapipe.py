@@ -739,9 +739,11 @@ def dp_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dp_bpe_tokens",
     f"""
     SELECT doc_id,
-           flatten([string_split(trim({_bpe_seq_sql('w')}, '|'), '||')
-                    for w in regexp_extract_all(lower(coalesce(text, '')),
-                                                '[a-z0-9]+')]) AS tokens
+           array_to_string(
+             flatten([string_split(trim({_bpe_seq_sql('w')}, '|'), '||')
+                      for w in regexp_extract_all(lower(coalesce(text, '')),
+                                                  '[a-z0-9]+')]), '|'
+           ) AS tokens
     FROM documents
     ORDER BY doc_id
     """,
@@ -750,11 +752,22 @@ def dp_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token SEQUENCES (not just counts): the flat per-document
     BPE token array from curate.bpe_tokenize, value-hashed against the
     oracle's independent replace-chain derivation — every merge
-    decision on every word of every document must match."""
+    decision on every word of every document must match.
+
+    The gate compares the '|'-joined rendering of the array
+    (lossless: BPE tokens are [a-z0-9]+ substrings, never containing
+    '|') because an ARRAY-typed final column crashes the driver's
+    pandas canonicalization (CORRECTNESS_r10: "unhashable type:
+    'list'") — suite entries may not emit ARRAY finals
+    (tests/test_oracle_lint.py)."""
     from ..datapipe.curate import bpe_tokenize
 
     d = load_table(spark, sf_dir, "documents")
-    return bpe_tokenize(d, _BPE_MERGES).orderBy("doc_id")
+    return (
+        bpe_tokenize(d, _BPE_MERGES)
+        .select("doc_id", F.array_join("tokens", "|").alias("tokens"))
+        .orderBy("doc_id")
+    )
 
 
 @_q(

@@ -675,6 +675,18 @@ def ev_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "purchase")
     )
+    # The (tsec, event_id) arithmetic packing below is only injective
+    # while event_id < 1e8 — a larger id space would silently corrupt
+    # first_click_id, and the oracle replays the identical packing so
+    # the gate could not see it (ADVICE r10). Guard the precondition
+    # in-entry: one O(1)-result aggregate, loud failure over wrong
+    # answers. tsec*1e8 + id then tops out near 1.7e17 ≪ 2^63.
+    max_id = e.agg(F.max("event_id")).first()[0]
+    if max_id is not None and max_id >= 100_000_000:
+        raise AssertionError(
+            f"ev_attribution packing precondition violated: "
+            f"max(event_id)={max_id} >= 1e8"
+        )
     tagged = e.select(
         "user_id",
         # explicit whole-second floor on BOTH engines: DuckDB's

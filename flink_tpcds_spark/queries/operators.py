@@ -3213,13 +3213,24 @@ def ops_sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # from every scale-6 boundary while the double error is ~1e-11: both
 # engines land on the identical value for every possible input.
 # tests/test_oracle_lint.py bans the non-terminating class repo-wide.
+#
+# Output-type bridge (CORRECTNESS_r10 red, root-caused in VERDICT
+# r10): even with bit-identical values, a DECIMAL-typed FINAL column
+# diverges at the driver because DuckDB's pandas fetch coerces
+# DECIMAL to float64 while Spark's toPandas keeps decimal.Decimal —
+# the driver's canonicalizer renders the two differently. So the
+# lateral-alias chain still computes in DECIMAL (the ÷8 fix above),
+# but every final column is CAST to DOUBLE on BOTH engines (values
+# terminate at ≤6 decimal digits — double-exact). The rule is now
+# enforced registry-wide by tests/test_oracle_lint.py (no DECIMAL/
+# ARRAY/MAP/STRUCT-typed final columns in suite entries).
 # ---------------------------------------------------------------------------
 @_q(
     "ops_lateral_alias",
     """
     SELECT o_orderkey,
-           CAST(o_totalprice / 8 AS DECIMAL(18,6)) AS eighth,
-           eighth * 2 AS quarter_half,
+           CAST(CAST(o_totalprice / 8 AS DECIMAL(18,6)) AS DOUBLE) AS eighth,
+           CAST(eighth * 2 AS DOUBLE) AS quarter_half,
            CAST(quarter_half > 40000 AS BOOLEAN) AS is_big
     FROM orders
     ORDER BY o_orderkey
@@ -3236,8 +3247,9 @@ def ops_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT o_orderkey,
-               CAST(o_totalprice / 8 AS DECIMAL(18,6)) AS eighth,
-               eighth * 2 AS quarter_half,
+               CAST(CAST(o_totalprice / 8 AS DECIMAL(18,6)) AS DOUBLE)
+                   AS eighth,
+               CAST(eighth * 2 AS DOUBLE) AS quarter_half,
                CAST(quarter_half > 40000 AS BOOLEAN) AS is_big
         FROM ops_lca_orders
         ORDER BY o_orderkey
@@ -3887,7 +3899,7 @@ def ops_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)))
-                AS DECIMAL(28,6)) AS sum_qty,
+                AS DOUBLE) AS sum_qty,
            CAST(COUNT(*) AS BIGINT) AS cnt,
            CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
            CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price,
@@ -3950,9 +3962,14 @@ def ops_mv_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise AssertionError(
                 "MV rewrite plan still touches the base table"
             )
+        # sum_qty rides the repo's decimal bridge (CAST AS DOUBLE):
+        # the exact decimal sum terminates at 6 digits and is far
+        # below 2^53, so the cast is value-exact on both engines —
+        # a DECIMAL-typed final column would diverge at the driver's
+        # pandas canonicalization (CORRECTNESS_r10 red).
         _SIDE_MEMO[key] = got.select(
             "l_returnflag",
-            F.col("sum_qty_raw").cast("decimal(28,6)").alias("sum_qty"),
+            F.col("sum_qty_raw").cast("double").alias("sum_qty"),
             "cnt",
             F.col("min_price").cast("double").alias("min_price"),
             F.col("max_price").cast("double").alias("max_price"),
@@ -4060,8 +4077,8 @@ def ops_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(hour(CAST(ts AS TIME)) AS INTEGER) AS h,
            CAST(count(*) AS BIGINT) AS cnt,
-           min(CAST(ts AS TIME)) AS first_t,
-           max(CAST(ts AS TIME)) AS last_t
+           CAST(min(CAST(ts AS TIME)) AS VARCHAR) AS first_t,
+           CAST(max(CAST(ts AS TIME)) AS VARCHAR) AS last_t
     FROM events
     GROUP BY h
     ORDER BY h
@@ -4070,24 +4087,56 @@ def ops_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ops_time_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TIME-typed time-of-day rollup: extract, group by hour, min/max
     TIME per hour — the time-without-date class of the reference's
-    type system."""
+    type system.
+
+    Session hygiene (ADVICE r10): the flag used to stay set on the
+    driver's shared session, a cross-entry side effect. It cannot
+    simply be restored after building the plan — execution
+    RE-analyzes it (UNSUPPORTED_TIME_TYPE at collect even when TIME
+    is only intermediate; verified on 4.1) — so the 24-row rollup is
+    materialized inside the flag-on scope and returned as a local
+    DataFrame, TIME values rendered to their ISO text (identical to
+    DuckDB's TIME→VARCHAR rendering: micros iff nonzero). The TIME
+    feature itself — cast, group, min/max over TIME — still runs
+    distributed under the flag; only the 24-row result crosses."""
+    prev = None
+    try:
+        prev = spark.conf.get("spark.sql.timeType.enabled")
+    except Exception:
+        prev = None
     spark.conf.set("spark.sql.timeType.enabled", "true")
-    e = load_table(spark, sf_dir, "events")
-    e.createOrReplaceTempView("ops_time_events")
-    return spark.sql(
-        """
-        SELECT CAST(hour(t) AS INT) AS h,
-               CAST(count(*) AS BIGINT) AS cnt,
-               min(t) AS first_t,
-               max(t) AS last_t
-        FROM (
-          SELECT CAST(date_format(ts, 'HH:mm:ss.SSSSSS') AS TIME) AS t
-          FROM ops_time_events
-        )
-        GROUP BY h
-        ORDER BY h
-        """
-    )
+    try:
+        e = load_table(spark, sf_dir, "events")
+        e.createOrReplaceTempView("ops_time_events")
+        rows = spark.sql(
+            """
+            SELECT CAST(hour(t) AS INT) AS h,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   min(t) AS first_t,
+                   max(t) AS last_t
+            FROM (
+              SELECT CAST(date_format(ts, 'HH:mm:ss.SSSSSS') AS TIME) AS t
+              FROM ops_time_events
+            )
+            GROUP BY h
+            ORDER BY h
+            """
+        ).collect()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.timeType.enabled")
+        else:
+            spark.conf.set("spark.sql.timeType.enabled", prev)
+    def _tstr(t) -> str:
+        # DuckDB's TIME→VARCHAR trims trailing fractional zeros
+        # ('10:00:23.3766'); Python isoformat pads to 6 ('…376600').
+        s = t.isoformat()
+        return s.rstrip("0").rstrip(".") if "." in s else s
+
+    return spark.createDataFrame(
+        [(r.h, r.cnt, _tstr(r.first_t), _tstr(r.last_t)) for r in rows],
+        "h int, cnt bigint, first_t string, last_t string",
+    ).orderBy("h")
 
 
 # ---------------------------------------------------------------------------
@@ -4103,7 +4152,7 @@ def ops_time_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)))
-                AS DECIMAL(28,6)) AS sum_qty,
+                AS DOUBLE) AS sum_qty,
            CAST(COUNT(*) AS BIGINT) AS cnt,
            CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
            CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price
@@ -4157,9 +4206,10 @@ def ops_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if got is None:
             raise AssertionError("MV rewrite did not match")
+        # CAST AS DOUBLE = the decimal bridge (see ops_mv_rewrite).
         _SIDE_MEMO[key] = got.select(
             "l_linestatus",
-            F.col("sum_qty_raw").cast("decimal(28,6)").alias("sum_qty"),
+            F.col("sum_qty_raw").cast("double").alias("sum_qty"),
             "cnt",
             F.col("min_price").cast("double").alias("min_price"),
             F.col("max_price").cast("double").alias("max_price"),

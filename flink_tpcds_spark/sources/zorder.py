@@ -87,8 +87,14 @@ def _zkey_arrow(cols: list[str], bounds: list[list[float]]) -> Column:
         for d, (s, b) in enumerate(zip(series, np_bounds)):
             v = s.to_numpy(dtype=np.float64, na_value=np.nan)
             # count of boundaries strictly below v (= side='left');
-            # NULL/NaN buckets to 0 — the JVM reference's semantics
-            # (a null comparison filters out every boundary)
+            # NULL buckets to 0 — the JVM reference's semantics (a
+            # null comparison filters out every boundary). True NaN
+            # never reaches here: the input expression maps it to
+            # +inf (below), because Spark SQL orders NaN ABOVE every
+            # double, so the JVM filter-count gives NaN the top
+            # bucket — Arrow must agree (byte-identical-keys
+            # contract; the float64 series cannot tell NULL from NaN
+            # on its own, hence the pre-UDF rewrite).
             buck = np.searchsorted(b, v, side="left").astype(np.int64)
             buck = np.where(np.isnan(v), 0, buck)
             for i in range(_BITS):
@@ -96,7 +102,11 @@ def _zkey_arrow(cols: list[str], bounds: list[list[float]]) -> Column:
         return pd.Series(out)
 
     zkey = pandas_udf(_fn, "long")
-    return zkey(*[F.col(c).cast("double") for c in cols])
+    ins = []
+    for c in cols:
+        d = F.col(c).cast("double")
+        ins.append(F.when(F.isnan(d), F.lit(float("inf"))).otherwise(d))
+    return zkey(*ins)
 
 
 def _quantile_bounds(df: DataFrame, cols: list[str]) -> list[list[float]]:

@@ -203,3 +203,77 @@ def test_avg_rewrite_null_semantics(spark, tmp_path):
         )
     )
     assert cat2.try_rewrite(spark, "t", ["g"], {"av": ("avg", "x")}) is None
+
+
+def test_delta_preserves_null_sum(spark, tmp_path):
+    """A group whose SUM is stored NULL (all inputs NULL) must stay
+    NULL after a delta that doesn't touch it — coalesce(x,0)+… would
+    resurrect it as 0, which SUM over the base would never return
+    (ADVICE r10). A delta that DOES add a value to such a group
+    replaces the NULL (SQL SUM ignores NULLs)."""
+    from flink_tpcds_spark.plans.mv import apply_insert_delta, create_mv
+
+    base = spark.createDataFrame(
+        [(1, None), (1, None), (2, 5.0), (3, None)], "g int, x double"
+    )
+    delta = spark.createDataFrame([(2, 7.0), (3, 4.0)], "g int, x double")
+    mv = create_mv(
+        spark, "m", "t", base, str(tmp_path / "m"), ["g"],
+        {"s": ("sum", "x"), "c": ("count", "x")},
+    )
+    apply_insert_delta(spark, mv, delta)
+    got = {r.g: (r.s, r.c) for r in spark.read.parquet(mv.path).collect()}
+    want = {
+        r.g: (r.s, r.c)
+        for r in base.unionAll(delta)
+        .groupBy("g")
+        .agg(F.sum("x").alias("s"), F.count("x").alias("c"))
+        .collect()
+    }
+    assert got == want
+    assert got[1] == (None, 0)  # the resurrected-zero class, pinned
+
+
+def test_delta_swap_is_crash_safe(spark, tmp_path):
+    """The .old-backup promote protocol: every intermediate crash
+    state (backup-only, backup+live, orphaned temp) recovers to a
+    readable MV — never 'no MV at all' (ADVICE r10: the old
+    rmtree-then-move had a window with neither)."""
+    import shutil
+
+    from flink_tpcds_spark.plans.mv import (
+        MvCatalog,
+        _recover,
+        apply_insert_delta,
+        create_mv,
+    )
+
+    base = spark.createDataFrame([(1, 2.0), (2, 3.0)], "g int, x double")
+    delta = spark.createDataFrame([(1, 5.0)], "g int, x double")
+    mv = create_mv(
+        spark, "m", "t", base, str(tmp_path / "m"), ["g"],
+        {"s": ("sum", "x")},
+    )
+    apply_insert_delta(spark, mv, delta)
+    want = sorted(map(tuple, spark.read.parquet(mv.path).collect()))
+
+    # crash state A: promoted, stale backup left behind
+    shutil.copytree(mv.path, mv.path + ".old")
+    _recover(mv.path)
+    assert sorted(map(tuple, spark.read.parquet(mv.path).collect())) == want
+    import os
+
+    assert not os.path.isdir(mv.path + ".old")
+
+    # crash state B: live dir moved to backup, promote never happened
+    shutil.move(mv.path, mv.path + ".old")
+    _recover(mv.path)
+    assert sorted(map(tuple, spark.read.parquet(mv.path).collect())) == want
+
+    # crash state C: orphaned temp dir alongside the live MV
+    shutil.copytree(mv.path, mv.path + ".delta_tmp")
+    cat = MvCatalog()
+    cat.register(mv)
+    got = cat.try_rewrite(spark, "t", ["g"], {"s": ("sum", "x")})
+    assert got is not None
+    assert not os.path.isdir(mv.path + ".delta_tmp")

@@ -132,3 +132,89 @@ def test_left_operand_extraction():
     assert _DOUBLE_CAST.search(_left_operand(sql, pos))
     sql2 = "SELECT o_totalprice / 7 FROM t"
     assert _left_operand(sql2, sql2.index("/")) == "o_totalprice"
+
+
+# ---------------------------------------------------------------------------
+# Output-type rule (round 11, VERDICT r10): a suite entry's FINAL
+# Spark schema may not contain DecimalType / ArrayType / MapType /
+# StructType. The driver canonicalizes both engines' results through
+# pandas: DuckDB's fetch_df coerces DECIMAL to float64 while Spark
+# keeps decimal.Decimal (renders diverge → hash mismatch at matching
+# rows/schema — the exact r10 signature of ops_lateral_alias /
+# ops_mv_rewrite / ops_mv_incremental), and container cells crash
+# pandas' factorize ("unhashable type: 'list'" — dp_bpe_tokens).
+# Bridge in the final select on BOTH engines: CAST(x AS DOUBLE) for
+# decimals (exact while the value terminates within 2^53) and
+# array_join / array_to_string for arrays. The rule itself is
+# enforced over every built suite DataFrame by
+# tests/test_oracle_parity.py::test_query_matches_oracle (which
+# already constructs each entry) and by oracle.compare's "driver"
+# fetch mode; the tests below pin the helper + the certification
+# mode's teeth.
+# ---------------------------------------------------------------------------
+
+
+def test_banned_final_types_helper():
+    from pyspark.sql import types as T
+
+    from flink_tpcds_spark.oracle import banned_final_types
+
+    bad = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("d", T.DecimalType(18, 6)),
+            T.StructField("a", T.ArrayType(T.StringType())),
+            T.StructField("m", T.MapType(T.StringType(), T.LongType())),
+            T.StructField(
+                "s",
+                T.StructType([T.StructField("x", T.LongType())]),
+            ),
+        ]
+    )
+    flagged = banned_final_types(bad)
+    assert [f.split(":")[0] for f in flagged] == ["d", "a", "m", "s"]
+
+    good = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("v", T.DoubleType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("b", T.BooleanType()),
+            T.StructField("dt", T.DateType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    assert banned_final_types(good) == []
+
+
+def test_decimal_canary_fails_driver_mode(spark, oracle_con):
+    """A deliberately DECIMAL-typed entry must FAIL the driver-faithful
+    certification even when its VALUES are bit-identical cross-engine —
+    the r10 blind spot made unrepresentable (VERDICT r10 item 3)."""
+    from flink_tpcds_spark.oracle import compare
+
+    sql = "SELECT CAST(1234.5 AS DECIMAL(18,6)) AS v"
+    df = spark.sql(sql)
+    ok_modes = {
+        m: compare("canary", df, oracle_con, sql, fetch=m).ok
+        for m in ("native", "pandas", "driver")
+    }
+    # values identical → the lenient modes pass (that WAS the blind
+    # spot); the driver mode alone must refuse the schema.
+    assert ok_modes["native"] and ok_modes["pandas"]
+    assert not ok_modes["driver"]
+    res = compare("canary", df, oracle_con, sql, fetch="driver")
+    assert "driver-canon-unsafe" in res.detail
+
+
+def test_driver_render_distinguishes_decimal_from_float():
+    from decimal import Decimal
+
+    from flink_tpcds_spark.oracle import _render, _render_driver
+
+    # the lenient renderer normalizes them equal (the blind spot) …
+    assert _render(Decimal("123.456000")) == _render(123.456)
+    # … the driver-faithful one never does.
+    assert _render_driver(Decimal("123.456000")) != _render_driver(123.456)
+    with pytest.raises(TypeError):
+        _render_driver(["a", "b"])

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import pytest
 
-from flink_tpcds_spark.oracle import compare
+from flink_tpcds_spark.oracle import banned_final_types, certify, compare
 from flink_tpcds_spark.queries import all_oracles, all_queries
 
 _QUERIES = all_queries()
@@ -43,16 +43,33 @@ def test_driver_window_is_fully_oracled():
 @pytest.mark.parametrize("name", _PARITY)
 def test_query_matches_oracle(name, spark, oracle_con, sf_dir):
     df = _QUERIES[name](spark, sf_dir)
+    if not name.startswith("q"):
+        # r11 class guard (VERDICT r10): suite entries may not emit
+        # DECIMAL/ARRAY/MAP/STRUCT final columns — the driver's pandas
+        # canonicalization renders or crashes on them divergently.
+        # Corpus entries are exempt: their generator canonicalizes.
+        assert banned_final_types(df.schema) == [], (
+            f"{name} emits driver-canon-unsafe final columns: "
+            f"{banned_final_types(df.schema)} — bridge with CAST AS "
+            f"DOUBLE / array_join on BOTH engines"
+        )
     if name not in _ORACLES:
         # rows-only check (non-SQL-expressible op) — must at least run.
         assert df.count() >= 0
         return
-    res = compare(name, df, oracle_con, _ORACLES[name])
-    assert res.ok, (
-        f"{name}: rows {res.spark_rows}/{res.oracle_rows}, "
-        f"cols_match={res.columns_match}, hash_match={res.hash_match}, "
-        f"{res.detail}"
-    )
+    # Three-mode certification, one Spark job (oracle.certify): the
+    # native hash plus the two pandas-coercion modes that caught the
+    # r4 (HUGEINT) and r10 (DECIMAL/ARRAY) locally-green-driver-red
+    # classes.
+    for res, fetch in zip(
+        certify(name, df, oracle_con, _ORACLES[name]),
+        ("native", "pandas", "driver"),
+    ):
+        assert res.ok, (
+            f"{name} [{fetch}]: rows {res.spark_rows}/{res.oracle_rows}, "
+            f"cols_match={res.columns_match}, hash_match={res.hash_match}, "
+            f"{res.detail}"
+        )
 
 
 def test_entry_smoke(spark):

@@ -1694,7 +1694,9 @@ def test_zorder_degenerate_constant_column(spark, tmp_path):
 def test_zorder_arrow_key_equals_jvm_reference(spark):
     """The Arrow searchsorted z-key must equal the pure-JVM
     filter-count + shift/or reference byte-for-byte — including NULL
-    values (bucket 0 on both paths) and values exactly on a
+    values (bucket 0 on both paths), NaN (top bucket on both paths —
+    Spark SQL orders NaN above every double, so the JVM filter-count
+    gives it 255; ADVICE r10), ±inf, and values exactly on a
     boundary."""
     import random
 
@@ -1707,6 +1709,9 @@ def test_zorder_arrow_key_equals_jvm_reference(spark):
     ]
     rows.append((3000, None, 0.0))
     rows.append((3001, 5.0, None))
+    rows.append((3002, float("nan"), 1.0))
+    rows.append((3003, 5.0, float("nan")))
+    rows.append((3004, float("inf"), float("-inf")))
     df = spark.createDataFrame(rows, "id long, a double, b double")
     fast = {
         r["id"]: r["__zkey"]
