@@ -1,0 +1,191 @@
+"""Async lookup join — bounded in-flight external lookups per task.
+
+Reference: ``AsyncLookupJoinRunner.java`` /
+``common/functions/AsyncTableFunction.java`` — each parallel task
+probes an external keyed service with up to ``capacity`` lookups IN
+FLIGHT simultaneously (Flink's async-I/O operator), instead of one
+blocking round trip per row. Spark has no async-I/O primitive
+(SURVEY §2.3, the one capability row left open through round 10); the
+honest analog is a ``mapInPandas`` stage whose Python worker runs a
+single-threaded **asyncio** client: raw non-blocking sockets
+(``asyncio.open_connection``), an ``asyncio.Semaphore(capacity)`` as
+the in-flight bound, key-batched GETs against the REST row service
+(``sources/restds.py``), and a per-partition key cache (the
+``LookupJoinCachingRunner`` analog) so repeated probe keys cost one
+wire round trip.
+
+Scale shape: no shuffle, no driver collect — each task independently
+multiplexes its own socket set, so total service pressure is
+``tasks × capacity`` and throughput scales with partitions while the
+capacity knob protects the external system (exactly the contract the
+reference's operator exists to provide). The service's ``/meta``
+endpoint reports an ``max_inflight`` high-water mark, letting tests
+prove the overlap (and the bound) server-side rather than trusting
+client bookkeeping.
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.parse
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import StructField, StructType
+
+
+def _lookup_chunks_async(
+    host: str,
+    port: int,
+    path_tpl: str,
+    payloads: list[dict],
+    capacity: int,
+) -> list[dict]:
+    """Fetch one request per payload, ≤ ``capacity`` in flight.
+
+    Runs inside the Python worker. Each request is a hand-rolled
+    HTTP/1.1 GET over ``asyncio.open_connection`` with
+    ``Connection: close`` (the service speaks HTTP/1.0 framing), read
+    to EOF, NDJSON-decoded. A semaphore — not a thread pool — bounds
+    concurrency: one OS thread, ``capacity`` sockets multiplexed.
+    """
+    import asyncio
+
+    async def one(sem: "asyncio.Semaphore", payload: dict) -> list[dict]:
+        async with sem:
+            path = path_tpl.format(
+                f=urllib.parse.quote(json.dumps(payload, separators=(",", ":")))
+            )
+            reader, writer = await asyncio.open_connection(host, port)
+            try:
+                writer.write(
+                    (
+                        f"GET {path} HTTP/1.1\r\n"
+                        f"Host: {host}\r\n"
+                        "Connection: close\r\n\r\n"
+                    ).encode()
+                )
+                await writer.drain()
+                data = await reader.read(-1)
+            finally:
+                writer.close()
+                try:
+                    await writer.wait_closed()
+                except Exception:  # noqa: BLE001 — close is best-effort
+                    pass
+            head, _, body = data.partition(b"\r\n\r\n")
+            status = int(head.split(b" ", 2)[1])
+            if status != 200:
+                raise RuntimeError(f"lookup service HTTP {status}")
+            return [
+                json.loads(ln)
+                for ln in body.decode().splitlines()
+                if ln.strip()
+            ]
+
+    async def run() -> list[list[dict]]:
+        sem = asyncio.Semaphore(capacity)
+        return await asyncio.gather(*(one(sem, p) for p in payloads))
+
+    out: list[dict] = []
+    for rows in asyncio.run(run()):
+        out.extend(rows)
+    return out
+
+
+def async_lookup_join(
+    df: DataFrame,
+    url: str,
+    key_col: str,
+    right_key: str,
+    right_schema_ddl: str,
+    right_cols: list[str] | None = None,
+    how: str = "left",
+    capacity: int = 8,
+    batch_keys: int = 64,
+    sleep_ms: int = 0,
+) -> DataFrame:
+    """Join ``df`` against the keyed row service at ``url``.
+
+    For each probe partition: distinct un-cached keys are batched
+    ``batch_keys`` per request (IN-filter pushed to the service, same
+    wire predicate the batch connector compiles) and fetched with at
+    most ``capacity`` requests in flight; matches land in a
+    partition-local cache and fill the appended ``right_cols``.
+    ``how``: ``"left"`` keeps unmatched probe rows with NULL fills,
+    ``"inner"`` drops them. ``sleep_ms`` asks the service to simulate
+    per-request external latency (test/bench knob).
+
+    If several service rows share a key, the first wins —
+    point-lookup tables are unique-keyed by contract (the reference
+    requires a primary key on the temporal/lookup side).
+    """
+    if how not in ("left", "inner"):
+        raise ValueError(f"how must be left|inner, got {how!r}")
+    right_struct = StructType.fromDDL(right_schema_ddl)
+    names = {f.name for f in right_struct.fields}
+    if right_key not in names:
+        raise ValueError(f"right_key {right_key!r} not in service schema")
+    if right_cols is None:
+        right_cols = [f.name for f in right_struct.fields if f.name != right_key]
+    missing = [c for c in right_cols if c not in names]
+    if missing:
+        raise ValueError(f"right_cols not in service schema: {missing}")
+    clash = set(right_cols) & set(df.columns)
+    if clash:
+        raise ValueError(f"output name clash: {sorted(clash)}")
+
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField(
+                f.name, f.dataType, True
+            )  # lookup side is nullable under "left"
+            for f in right_struct.fields
+            if f.name in right_cols
+        ]
+    )
+    parsed = urllib.parse.urlparse(url)
+    host, port = parsed.hostname, parsed.port
+    extra = f"&sleep_ms={sleep_ms}" if sleep_ms else ""
+    path_tpl = "/rows?f={f}" + extra
+    fcols = list(right_cols)
+
+    def probe(batches):
+        cache: dict = {}
+
+        def pred(chunk: list) -> dict:
+            return {"col": right_key, "op": "in", "val": chunk}
+
+        for pdf in batches:
+            keys = [
+                k
+                for k in dict.fromkeys(pdf[key_col].tolist())
+                if k is not None and k == k and k not in cache
+            ]
+            chunks = [
+                keys[i : i + batch_keys]
+                for i in range(0, len(keys), batch_keys)
+            ]
+            if chunks:
+                rows = _lookup_chunks_async(
+                    host, port, path_tpl, [pred(c) for c in chunks], capacity
+                )
+                for r in rows:
+                    k = r[right_key]
+                    if k not in cache:
+                        cache[k] = tuple(r.get(c) for c in fcols)
+                # negative-cache the misses so retries of the same key
+                # in later batches don't re-probe the service
+                for k in keys:
+                    cache.setdefault(k, None)
+            hit = pdf[key_col].map(
+                lambda k: cache.get(k) if k == k and k is not None else None
+            )
+            out = pdf.copy()
+            for i, c in enumerate(fcols):
+                out[c] = hit.map(lambda t, i=i: t[i] if t is not None else None)
+            if how == "inner":
+                out = out[hit.map(lambda t: t is not None)]
+            yield out
+
+    return df.mapInPandas(probe, schema=out_schema)

@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import json
 import threading
+import time
 import urllib.parse
 import urllib.request
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -79,6 +80,13 @@ class _ServiceState:
         self.staged: dict[str, list[dict]] = {}
         self.committed_epochs: set[str] = set()
         self.pushed_filter_hits = 0  # how many /rows requests carried filters
+        # async-lookup instrumentation: how many /rows requests are
+        # being served RIGHT NOW and the high-water mark — lets a test
+        # prove a client really overlaps in-flight lookups
+        # (AsyncLookupJoinRunner's capacity contract) instead of
+        # trusting the client's own bookkeeping.
+        self.inflight = 0
+        self.max_inflight = 0
 
 
 def _matches(row: dict, preds: list[dict]) -> bool:
@@ -152,6 +160,7 @@ class _Handler(BaseHTTPRequestHandler):
                         "schema": st.schema_ddl,
                         "count": len(st.rows),
                         "pushed_filter_hits": st.pushed_filter_hits,
+                        "max_inflight": st.max_inflight,
                     }
                 )
         elif url.path == "/latest":
@@ -159,22 +168,35 @@ class _Handler(BaseHTTPRequestHandler):
                 self._json({"offset": len(st.rows)})
         elif url.path == "/rows":
             preds = [json.loads(f) for f in q.get("f", [])]
+            # optional simulated external-system latency (sleep OUTSIDE
+            # the lock, so concurrent requests really overlap) — used by
+            # the async-lookup tests to make in-flight overlap visible
+            sleep_ms = int(q.get("sleep_ms", ["0"])[0])
             with st.lock:
-                if preds:
-                    st.pushed_filter_hits += 1
-                if "start" in q:  # contiguous range slice: O(slice)
-                    start = int(q["start"][0])
-                    end = int(q["end"][0])
-                    base = st.rows[start:end]
-                else:  # legacy modulo split: O(log) per request
-                    split = int(q.get("split", ["0"])[0])
-                    of = int(q.get("of", ["1"])[0])
-                    base = [
-                        r
-                        for i, r in enumerate(st.rows)
-                        if i % of == split
-                    ]
-                rows = [r for r in base if _matches(r, preds)]
+                st.inflight += 1
+                st.max_inflight = max(st.max_inflight, st.inflight)
+            try:
+                if sleep_ms:
+                    time.sleep(sleep_ms / 1000.0)
+                with st.lock:
+                    if preds:
+                        st.pushed_filter_hits += 1
+                    if "start" in q:  # contiguous range slice: O(slice)
+                        start = int(q["start"][0])
+                        end = int(q["end"][0])
+                        base = st.rows[start:end]
+                    else:  # legacy modulo split: O(log) per request
+                        split = int(q.get("split", ["0"])[0])
+                        of = int(q.get("of", ["1"])[0])
+                        base = [
+                            r
+                            for i, r in enumerate(st.rows)
+                            if i % of == split
+                        ]
+                    rows = [r for r in base if _matches(r, preds)]
+            finally:
+                with st.lock:
+                    st.inflight -= 1
             self._ndjson(rows)
         elif url.path == "/range":
             start = int(q["start"][0])

@@ -1,0 +1,133 @@
+"""Async lookup join (reference AsyncLookupJoinRunner.java:60,
+AsyncTableFunction.java:66): result parity with the definitional
+join, left/inner semantics, the in-flight capacity contract proved
+SERVER-side (the service's max_inflight high-water mark), and the
+partition-local cache."""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_tpcds_spark.operators.async_lookup import async_lookup_join
+from flink_tpcds_spark.schemas import load_table
+from flink_tpcds_spark.sources import restds
+
+
+def _meta(url: str) -> dict:
+    with urllib.request.urlopen(url + "/meta") as r:
+        return json.loads(r.read())
+
+
+@pytest.fixture()
+def nation_service(spark, sf_dir):
+    n = load_table(spark, sf_dir, "nation")
+    rows = [
+        {"n_nationkey": r.n_nationkey, "n_name": r.n_name}
+        for r in n.collect()
+    ]
+    srv, url = restds.start_row_service(
+        "n_nationkey int, n_name string", rows
+    )
+    yield url
+    srv.shutdown()
+
+
+def test_matches_definitional_join(spark, sf_dir, nation_service):
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    got = async_lookup_join(
+        c,
+        nation_service,
+        "c_nationkey",
+        "n_nationkey",
+        "n_nationkey int, n_name string",
+        right_cols=["n_name"],
+        how="inner",
+        capacity=4,
+        batch_keys=8,
+    )
+    want = c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey, "inner"
+    ).select("c_custkey", "c_nationkey", "n_name")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_left_semantics_null_fill(spark, nation_service):
+    # keys 200+ don't exist in nation (0..24): left keeps them, NULL fill
+    probe = spark.range(0, 30).selectExpr(
+        "CAST(CASE WHEN id < 10 THEN id ELSE id + 200 END AS INT) AS k",
+        "id AS rid",
+    )
+    out = async_lookup_join(
+        probe,
+        nation_service,
+        "k",
+        "n_nationkey",
+        "n_nationkey int, n_name string",
+        right_cols=["n_name"],
+        how="left",
+    )
+    rows = {r.rid: r.n_name for r in out.collect()}
+    assert len(rows) == 30
+    assert all(rows[i] is not None for i in range(10))
+    assert all(rows[i] is None for i in range(10, 30))
+
+
+def test_capacity_bound_and_overlap(spark):
+    # single probe partition → exactly one client; the service's
+    # high-water mark IS the client's in-flight count. capacity=1
+    # must serialize; capacity=6 with per-request latency must overlap.
+    dim = [{"k": i, "v": i * 2} for i in range(64)]
+    probe = spark.range(0, 64).selectExpr("CAST(id AS BIGINT) AS k")
+
+    srv1, url1 = restds.start_row_service("k bigint, v bigint", dim)
+    async_lookup_join(
+        probe.coalesce(1), url1, "k", "k", "k bigint, v bigint",
+        right_cols=["v"], capacity=1, batch_keys=4, sleep_ms=10,
+    ).collect()
+    assert _meta(url1)["max_inflight"] == 1
+    srv1.shutdown()
+
+    srv2, url2 = restds.start_row_service("k bigint, v bigint", dim)
+    async_lookup_join(
+        probe.coalesce(1), url2, "k", "k", "k bigint, v bigint",
+        right_cols=["v"], capacity=6, batch_keys=4, sleep_ms=40,
+    ).collect()
+    assert _meta(url2)["max_inflight"] >= 3
+    srv2.shutdown()
+
+
+def test_partition_cache_dedups_requests(spark):
+    # 1000 probe rows over 8 distinct keys, one partition, batch_keys=2
+    # → at most ceil(8/2)=4 wire requests despite 1000 rows: the
+    # partition cache (LookupJoinCachingRunner analog) absorbs repeats.
+    dim = [{"k": i, "v": i} for i in range(8)]
+    srv, url = restds.start_row_service("k bigint, v bigint", dim)
+    probe = spark.range(0, 1000).selectExpr("CAST(id % 8 AS BIGINT) AS k")
+    out = async_lookup_join(
+        probe.coalesce(1), url, "k", "k", "k bigint, v bigint",
+        right_cols=["v"], capacity=4, batch_keys=2,
+    )
+    assert out.count() == 1000
+    assert _meta(url)["pushed_filter_hits"] <= 4
+    srv.shutdown()
+
+
+def test_registry_entry_certifies(spark, sf_dir, oracle_con):
+    from flink_tpcds_spark.oracle import certify
+    from flink_tpcds_spark.queries.operators import ORACLES, QUERIES
+
+    df = QUERIES["ops_async_lookup_join"](spark, sf_dir)
+    for res in certify(
+        "ops_async_lookup_join", df, oracle_con,
+        ORACLES["ops_async_lookup_join"],
+    ):
+        assert res.ok, res.detail
