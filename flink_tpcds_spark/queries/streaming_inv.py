@@ -2795,3 +2795,108 @@ def st_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "valid_from", "event_id")
     )
+
+
+@_q(
+    "st_async_enrich",
+    f"""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS cnt,
+           {dsum_sql('o_totalprice')} AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def st_async_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING async lookup enrichment — the shape the reference's
+    AsyncLookupJoinRunner.java actually runs in (StreamExecLookupJoin
+    with an AsyncTableFunction): an unbounded order stream is
+    enriched per micro-batch against the customer dimension service
+    with capacity-bounded in-flight lookups (operators/async_lookup.py
+    inside foreachBatch — the probe rows never leave the executors),
+    landing in per-batch overwrite directories so a replayed batch is
+    idempotent. Two availableNow runs over one checkpoint (second
+    half of the stream appended between runs) prove the enrichment
+    composes with offset-contract resume; the enriched landing zone
+    must aggregate value-exactly like the batch equi-join."""
+    from ..operators.async_lookup import async_lookup_join
+    from ..sources import restds
+
+    ddl = "o_custkey bigint, o_totalprice double"
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_custkey", "o_totalprice")
+    )
+    rows = [
+        {"o_custkey": r.o_custkey, "o_totalprice": r.o_totalprice}
+        for r in o.collect()
+    ]
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    dim_rows = [
+        {"c_custkey": r.c_custkey, "c_mktsegment": r.c_mktsegment}
+        for r in c.collect()
+    ]
+    half = len(rows) // 2
+    src_srv, src_url = restds.start_row_service(ddl, rows[:half])
+    dim_srv, dim_url = restds.start_row_service(
+        "c_custkey bigint, c_mktsegment string", dim_rows
+    )
+    for s in (src_srv, dim_srv):
+        _REST_SERVERS.append(s)
+        atexit.register(s.shutdown)
+    restds.register(spark)
+
+    work = _workdir("st_async_enrich_")
+    ckpt = os.path.join(work, "ckpt")
+    out = os.path.join(work, "out")
+
+    def enrich(bdf: DataFrame, batch_id: int) -> None:
+        enriched = async_lookup_join(
+            bdf,
+            dim_url,
+            "o_custkey",
+            "c_custkey",
+            "c_custkey bigint, c_mktsegment string",
+            right_cols=["c_mktsegment"],
+            how="inner",
+            capacity=8,
+            batch_keys=64,
+        )
+        # per-batch overwrite directory: a retried/replayed batch id
+        # lands in the same path — exactly-once in effect
+        enriched.write.mode("overwrite").parquet(
+            os.path.join(out, f"batch_{batch_id}")
+        )
+
+    def run_once() -> None:
+        q = (
+            spark.readStream.format("flinkrest")
+            .option("url", src_url)
+            .option("mode", "scalable")
+            .option("numpartitions", "4")
+            .load()
+            .writeStream.foreachBatch(enrich)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once()
+    restds._post(src_url + "/append", ndjson=rows[half:])
+    run_once()
+
+    back = spark.read.parquet(os.path.join(out, "batch_*"))
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            dsum(F.col("o_totalprice")).alias("total"),
+        )
+        .orderBy("c_mktsegment")
+    )
