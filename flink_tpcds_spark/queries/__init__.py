@@ -85,6 +85,10 @@ _PRIORITY_RECHECK: dict[str, int] = {
     "ops_recursive_cte": 10,
     "ops_sql_variables": 10,
     "ops_group_by_all": 10,
+    # file r11: restds grew the /rows in-flight counter + sleep_ms knob
+    # (async-lookup round) — the service every REST entry runs through
+    "ops_rest_source": 11,
+    "st_rest_stream": 11,
 }
 
 
