@@ -103,6 +103,7 @@ def async_lookup_join(
     capacity: int = 8,
     batch_keys: int = 64,
     sleep_ms: int = 0,
+    cache_max_keys: int = 1_000_000,
 ) -> DataFrame:
     """Join ``df`` against the keyed row service at ``url``.
 
@@ -113,7 +114,11 @@ def async_lookup_join(
     partition-local cache and fill the appended ``right_cols``.
     ``how``: ``"left"`` keeps unmatched probe rows with NULL fills,
     ``"inner"`` drops them. ``sleep_ms`` asks the service to simulate
-    per-request external latency (test/bench knob).
+    per-request external latency (test/bench knob). The cache is
+    FIFO-bounded at ``cache_max_keys`` per partition (the reference's
+    lookup cache is likewise bounded — an unbounded dict would be a
+    memory leak on a high-cardinality 100 TB probe side); eviction
+    only costs extra wire requests, never correctness.
 
     If several service rows share a key, the first wins —
     point-lookup tables are unique-keyed by contract (the reference
@@ -186,6 +191,10 @@ def async_lookup_join(
                 out[c] = hit.map(lambda t, i=i: t[i] if t is not None else None)
             if how == "inner":
                 out = out[hit.map(lambda t: t is not None)]
+            # bound the cache AFTER the batch is filled — eviction can
+            # never orphan a row of the batch that fetched the entry
+            while len(cache) > cache_max_keys:
+                cache.pop(next(iter(cache)))
             yield out
 
     return df.mapInPandas(probe, schema=out_schema)

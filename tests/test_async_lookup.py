@@ -131,3 +131,19 @@ def test_registry_entry_certifies(spark, sf_dir, oracle_con):
         ORACLES["ops_async_lookup_join"],
     ):
         assert res.ok, res.detail
+
+
+def test_cache_bound_evicts_but_stays_correct(spark):
+    # cache_max_keys=3 with 10 distinct keys across repeated batches:
+    # eviction forces re-fetches (more wire requests than the
+    # unbounded ceil(10/2)=5) yet the result is identical.
+    dim = [{"k": i, "v": i * 10} for i in range(10)]
+    srv, url = restds.start_row_service("k bigint, v bigint", dim)
+    probe = spark.range(0, 200).selectExpr("CAST(id % 10 AS BIGINT) AS k")
+    rows = async_lookup_join(
+        probe.coalesce(1), url, "k", "k", "k bigint, v bigint",
+        right_cols=["v"], capacity=4, batch_keys=2, cache_max_keys=3,
+    ).collect()
+    assert len(rows) == 200
+    assert all(r.v == r.k * 10 for r in rows)
+    srv.shutdown()
