@@ -660,3 +660,26 @@ def test_r13_entries_have_scale_safe_plans(spark, sf_dir):
     assert "BroadcastHashJoin" in mix_plan, (
         "domain targets must broadcast, not shuffle"
     )
+
+
+def test_r14_async_lookup_plan_shape(spark, sf_dir):
+    """The async lookup must be shuffle-free on the probe side: the
+    pruned 2-column scan feeds MapInPandas DIRECTLY (no Exchange
+    between — the lookup adds zero repartitioning), and the aggregate
+    above it keeps its map-side partial (the single Exchange in the
+    plan belongs to the groupBy, not the lookup)."""
+    from flink_tpcds_spark.queries.operators import QUERIES
+
+    plan = (
+        QUERIES["ops_async_lookup_join"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInPandas" in plan
+    scan_to_map = plan[plan.index("MapInPandas"):]
+    assert "Exchange" not in scan_to_map, (
+        "no shuffle may sit between the scan and the lookup stage"
+    )
+    assert "partial_count" in plan and "partial_sum" in plan
+    assert "ReadSchema: struct<o_custkey:bigint,o_totalprice:double>" in plan
