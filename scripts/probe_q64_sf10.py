@@ -26,13 +26,19 @@ sys.path.insert(
 
 
 def main() -> None:
-    from flink_tpcds_spark.session import get_spark
+    from flink_tpcds_spark.session import session_builder
     from flink_tpcds_spark.tpcds import datagen, runner
     from flink_tpcds_spark.tpcds.datagen import SIZES_SF10
 
     sf10_dir = "/tmp/tpcds_sf10"
     out: dict = {}
-    spark = get_spark()
+    # the tuned session disables the UI; the stage breakdown needs the
+    # status REST API, so re-enable it for the probe only
+    spark = (
+        session_builder("q64-probe")
+        .config("spark.ui.enabled", "true")
+        .getOrCreate()
+    )
     t0 = time.time()
     datagen.generate(sf10_dir, sizes=SIZES_SF10)
     out["gen_sec"] = round(time.time() - t0, 1)
@@ -40,6 +46,15 @@ def main() -> None:
     runner.register_catalog_tables(spark, sf10_dir, analyze=True)
     out["analyze_sec"] = round(time.time() - t0, 1)
     runner.run_spark("q96", spark)  # warmup, same as bench.py
+
+    def completed_stages() -> list[dict]:
+        ui = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app}/stages?status=complete",
+            timeout=10,
+        ) as r:
+            return json.loads(r.read())
 
     times: dict[str, list[float]] = {}
     for name in ("q72", "q64", "q14a"):
@@ -51,23 +66,21 @@ def main() -> None:
     out["stats_runs"] = times
     out["min"] = {k: min(v) for k, v in times.items()}
 
-    # Stage breakdown of the last q64 run from the status REST API.
-    # local[32] serves the UI at 4040 unless something else grabbed it.
+    # Stage breakdown of ONE further q64 run, attributed by diffing the
+    # completed-stage set before/after so other queries' stages are out.
     try:
-        ui = spark.sparkContext.uiWebUrl
-        app = spark.sparkContext.applicationId
-        with urllib.request.urlopen(
-            f"{ui}/api/v1/applications/{app}/stages?status=complete",
-            timeout=10,
-        ) as r:
-            stages = json.loads(r.read())
-        top = sorted(
-            stages, key=lambda s: -s.get("executorRunTime", 0)
-        )[:12]
-        out["top_stages_by_executor_run_time"] = [
+        before = {s["stageId"] for s in completed_stages()}
+        q0 = time.time()
+        runner.run_spark("q64", spark)
+        out["q64_attributed_run_sec"] = round(time.time() - q0, 2)
+        new = [
+            s for s in completed_stages() if s["stageId"] not in before
+        ]
+        top = sorted(new, key=lambda s: -s.get("executorRunTime", 0))[:12]
+        out["q64_top_stages_by_executor_run_time"] = [
             {
                 "stageId": s["stageId"],
-                "name": s.get("name", "")[:80],
+                "name": s.get("name", "")[:70],
                 "executorRunTime_ms": s.get("executorRunTime"),
                 "shuffleReadBytes": s.get("shuffleReadBytes"),
                 "shuffleWriteBytes": s.get("shuffleWriteBytes"),
@@ -76,6 +89,10 @@ def main() -> None:
             }
             for s in top
         ]
+        out["q64_stage_count"] = len(new)
+        out["q64_executor_run_time_total_ms"] = sum(
+            s.get("executorRunTime", 0) for s in new
+        )
     except Exception as e:  # noqa: BLE001 — probe stays best-effort
         out["stage_probe_err"] = str(e)[:200]
 
