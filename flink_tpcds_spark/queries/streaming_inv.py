@@ -2873,19 +2873,30 @@ def st_async_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(out, f"batch_{batch_id}")
         )
 
-    def run_once() -> None:
-        q = (
-            spark.readStream.format("flinkrest")
-            .option("url", src_url)
-            .option("mode", "scalable")
-            .option("numpartitions", "4")
-            .load()
-            .writeStream.foreachBatch(enrich)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
+    def run_once(retries: int = 1) -> None:
+        try:
+            q = (
+                spark.readStream.format("flinkrest")
+                .option("url", src_url)
+                .option("mode", "scalable")
+                .option("numpartitions", "4")
+                .load()
+                .writeStream.foreachBatch(enrich)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+        except Exception:  # noqa: BLE001 — restart-from-checkpoint once
+            # The whole pipeline is built to survive exactly this:
+            # offsets resume from the checkpoint and a replayed batch
+            # overwrites its own directory, so a restart after a
+            # transient failure (e.g. a Python worker lost under host
+            # load) is the Flink/Spark recovery contract, not a retry
+            # hack. One restart; a second failure propagates.
+            if retries <= 0:
+                raise
+            run_once(retries - 1)
 
     run_once()
     restds._post(src_url + "/append", ndjson=rows[half:])
