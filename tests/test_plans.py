@@ -677,7 +677,10 @@ def test_r14_async_lookup_plan_shape(spark, sf_dir):
         .toString()
     )
     assert "MapInPandas" in plan
-    scan_to_map = plan[plan.index("MapInPandas"):]
+    # rindex: after execution AQE prints "== Final Plan ==" then
+    # "== Initial Plan ==" — the LAST MapInPandas is the one whose
+    # subtree (everything below it in the dump) is the probe side
+    scan_to_map = plan[plan.rindex("MapInPandas"):]
     assert "Exchange" not in scan_to_map, (
         "no shuffle may sit between the scan and the lookup stage"
     )
