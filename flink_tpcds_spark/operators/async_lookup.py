@@ -154,18 +154,38 @@ def async_lookup_join(
     extra = f"&sleep_ms={sleep_ms}" if sleep_ms else ""
     path_tpl = "/rows?f={f}" + extra
     fcols = list(right_cols)
+    integral_key = df.schema[key_col].dataType.simpleString() in (
+        "tinyint", "smallint", "int", "bigint"
+    )
 
     def probe(batches):
+        import pandas as pd
+
         cache: dict = {}
 
         def pred(chunk: list) -> dict:
             return {"col": right_key, "op": "in", "val": chunk}
 
         for pdf in batches:
+            s = pdf[key_col]
+            if integral_key and s.dtype.kind == "f":
+                # a NULL anywhere in an int64 key column makes Arrow
+                # hand pandas float64 — exact only below 2^53; restore
+                # exact ints (nullable Int64) and fail loud past the
+                # exactness boundary instead of probing rounded keys
+                nn = s.dropna()
+                if len(nn) and (nn.abs() >= 2.0**53).any():
+                    raise ValueError(
+                        f"{key_col}: integral keys >= 2^53 passed "
+                        "through a nullable float64 batch — precision "
+                        "lost; drop the NULLs before the lookup"
+                    )
+                s = s.astype("Int64")
+            norm = [None if pd.isna(k) else k for k in s.tolist()]
             keys = [
                 k
-                for k in dict.fromkeys(pdf[key_col].tolist())
-                if k is not None and k == k and k not in cache
+                for k in dict.fromkeys(norm)
+                if k is not None and k not in cache
             ]
             chunks = [
                 keys[i : i + batch_keys]
@@ -183,14 +203,12 @@ def async_lookup_join(
                 # in later batches don't re-probe the service
                 for k in keys:
                     cache.setdefault(k, None)
-            hit = pdf[key_col].map(
-                lambda k: cache.get(k) if k == k and k is not None else None
-            )
+            hit = [cache.get(k) if k is not None else None for k in norm]
             out = pdf.copy()
             for i, c in enumerate(fcols):
-                out[c] = hit.map(lambda t, i=i: t[i] if t is not None else None)
+                out[c] = [t[i] if t is not None else None for t in hit]
             if how == "inner":
-                out = out[hit.map(lambda t: t is not None)]
+                out = out[[t is not None for t in hit]]
             # bound the cache AFTER the batch is filled — eviction can
             # never orphan a row of the batch that fetched the entry
             while len(cache) > cache_max_keys:

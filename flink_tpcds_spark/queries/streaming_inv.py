@@ -1455,7 +1455,12 @@ def st_rest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            # a still-running query would collide with the next run's
+            # checkpoint and the sink would be read mid-write — loud
+            # timeout beats a silent partial result
+            q.stop()
+            raise TimeoutError("st_rest_stream run exceeded 300 s")
 
     run_once()
     restds._post(src_url + "/append", ndjson=rows[half:])
@@ -2886,7 +2891,12 @@ def st_async_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(300)
+            if not q.awaitTermination(300):
+                # still running after the timeout: stop it — a live
+                # query on this checkpoint would collide with the next
+                # run and the landing zone would be read mid-write
+                q.stop()
+                raise TimeoutError("st_async_enrich run exceeded 300 s")
         except Exception:  # noqa: BLE001 — restart-from-checkpoint once
             # The whole pipeline is built to survive exactly this:
             # offsets resume from the checkpoint and a replayed batch

@@ -19,7 +19,6 @@ import json
 import os
 import sys
 import time
-import urllib.request
 
 sys.path.insert(
     0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -53,8 +52,7 @@ def main() -> None:
             sleep_ms=10,
         ).count()
         sec = round(time.time() - t0, 3)
-        with urllib.request.urlopen(url + "/meta") as r:
-            meta = json.loads(r.read())
+        meta = restds._get(url + "/meta")
         runs[f"capacity_{capacity}"] = {
             "sec": sec,
             "rows": n,

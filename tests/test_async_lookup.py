@@ -6,9 +6,6 @@ partition-local cache."""
 
 from __future__ import annotations
 
-import json
-import urllib.request
-
 import pytest
 from pyspark.sql import functions as F
 
@@ -18,8 +15,7 @@ from flink_tpcds_spark.sources import restds
 
 
 def _meta(url: str) -> dict:
-    with urllib.request.urlopen(url + "/meta") as r:
-        return json.loads(r.read())
+    return restds._get(url + "/meta")
 
 
 @pytest.fixture()
@@ -146,4 +142,29 @@ def test_cache_bound_evicts_but_stays_correct(spark):
     ).collect()
     assert len(rows) == 200
     assert all(r.v == r.k * 10 for r in rows)
+    srv.shutdown()
+
+
+def test_null_int_keys_restore_exact_ints(spark):
+    # a NULL anywhere in a bigint key column makes Arrow hand the
+    # worker float64; the operator must restore exact ints (so cache
+    # and wire predicates probe 3, not 3.0-rounded) and NULL-fill the
+    # null-key rows under "left"
+    dim = [{"k": i, "v": i * 7} for i in range(20)]
+    srv, url = restds.start_row_service("k bigint, v bigint", dim)
+    probe = spark.range(0, 40).selectExpr(
+        "CASE WHEN id % 4 = 0 THEN CAST(NULL AS BIGINT) "
+        "ELSE CAST(id % 20 AS BIGINT) END AS k",
+        "id AS rid",
+    )
+    rows = {r.rid: (r.k, r.v) for r in async_lookup_join(
+        probe, url, "k", "k", "k bigint, v bigint",
+        right_cols=["v"], how="left", batch_keys=8,
+    ).collect()}
+    assert len(rows) == 40
+    for rid, (k, v) in rows.items():
+        if rid % 4 == 0:
+            assert k is None and v is None
+        else:
+            assert v == k * 7
     srv.shutdown()
