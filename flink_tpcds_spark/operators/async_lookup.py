@@ -39,6 +39,7 @@ def _lookup_chunks_async(
     path_tpl: str,
     payloads: list[dict],
     capacity: int,
+    max_qps: float | None = None,
 ) -> list[dict]:
     """Fetch one request per payload, ≤ ``capacity`` in flight.
 
@@ -47,11 +48,31 @@ def _lookup_chunks_async(
     ``Connection: close`` (the service speaks HTTP/1.0 framing), read
     to EOF, NDJSON-decoded. A semaphore — not a thread pool — bounds
     concurrency: one OS thread, ``capacity`` sockets multiplexed.
+    ``max_qps`` adds the other half of the async-I/O operational
+    contract: request STARTS are paced to at most ``max_qps`` per
+    second per task (a serialized next-slot scheduler), protecting an
+    external service whose limit is rate, not concurrency.
     """
     import asyncio
 
+    slot = {"next": 0.0}
+    slot_lock: "asyncio.Lock | None" = None
+
+    async def pace() -> None:
+        if max_qps is None:
+            return
+        loop = asyncio.get_running_loop()
+        async with slot_lock:
+            now = loop.time()
+            start = max(now, slot["next"])
+            slot["next"] = start + 1.0 / max_qps
+            delay = start - now
+        if delay > 0:
+            await asyncio.sleep(delay)
+
     async def one(sem: "asyncio.Semaphore", payload: dict) -> list[dict]:
         async with sem:
+            await pace()
             path = path_tpl.format(
                 f=urllib.parse.quote(json.dumps(payload, separators=(",", ":")))
             )
@@ -83,6 +104,8 @@ def _lookup_chunks_async(
             ]
 
     async def run() -> list[list[dict]]:
+        nonlocal slot_lock
+        slot_lock = asyncio.Lock()
         sem = asyncio.Semaphore(capacity)
         return await asyncio.gather(*(one(sem, p) for p in payloads))
 
@@ -104,6 +127,7 @@ def async_lookup_join(
     batch_keys: int = 64,
     sleep_ms: int = 0,
     cache_max_keys: int = 1_000_000,
+    max_qps: float | None = None,
 ) -> DataFrame:
     """Join ``df`` against the keyed row service at ``url``.
 
@@ -118,7 +142,12 @@ def async_lookup_join(
     FIFO-bounded at ``cache_max_keys`` per partition (the reference's
     lookup cache is likewise bounded — an unbounded dict would be a
     memory leak on a high-cardinality 100 TB probe side); eviction
-    only costs extra wire requests, never correctness.
+    only costs extra wire requests, never correctness. ``max_qps``
+    caps request starts per second PER TASK (total service pressure =
+    tasks × max_qps) for services whose limit is rate, not
+    concurrency. Output row order follows the probe batch exactly
+    (the fill is row-aligned), so this is the reference's ORDERED
+    async mode; an unordered mode has nothing to reorder here.
 
     If several service rows share a key, the first wins —
     point-lookup tables are unique-keyed by contract (the reference
@@ -193,7 +222,8 @@ def async_lookup_join(
             ]
             if chunks:
                 rows = _lookup_chunks_async(
-                    host, port, path_tpl, [pred(c) for c in chunks], capacity
+                    host, port, path_tpl, [pred(c) for c in chunks],
+                    capacity, max_qps,
                 )
                 for r in rows:
                     k = r[right_key]

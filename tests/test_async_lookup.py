@@ -168,3 +168,23 @@ def test_null_int_keys_restore_exact_ints(spark):
         else:
             assert v == k * 7
     srv.shutdown()
+
+
+def test_max_qps_paces_request_starts(spark):
+    # 12 requests at max_qps=20 cannot start in less than 11/20 s —
+    # a deterministic LOWER bound (the pacer sleeps), robust to host
+    # speed in a way an upper-bound assertion would not be.
+    import time
+
+    dim = [{"k": i, "v": i} for i in range(12)]
+    srv, url = restds.start_row_service("k bigint, v bigint", dim)
+    probe = spark.range(0, 12).selectExpr("CAST(id AS BIGINT) AS k")
+    t0 = time.time()
+    n = async_lookup_join(
+        probe.coalesce(1), url, "k", "k", "k bigint, v bigint",
+        right_cols=["v"], capacity=8, batch_keys=1, max_qps=20,
+    ).count()
+    elapsed = time.time() - t0
+    assert n == 12
+    assert elapsed >= 11 / 20, f"pacer ran too fast: {elapsed:.3f}s"
+    srv.shutdown()
