@@ -40,6 +40,7 @@ def _lookup_chunks_async(
     payloads: list[dict],
     capacity: int,
     max_qps: float | None = None,
+    request_timeout: float = 30.0,
 ) -> list[dict]:
     """Fetch one request per payload, ≤ ``capacity`` in flight.
 
@@ -52,6 +53,10 @@ def _lookup_chunks_async(
     contract: request STARTS are paced to at most ``max_qps`` per
     second per task (a serialized next-slot scheduler), protecting an
     external service whose limit is rate, not concurrency.
+    ``request_timeout`` bounds each connect+round-trip (the
+    reference's async-I/O operator carries an explicit lookup timeout
+    — ``AsyncWaitOperator``'s timer — so a hung service fails the
+    task loudly instead of stalling the job forever).
     """
     import asyncio
 
@@ -70,29 +75,41 @@ def _lookup_chunks_async(
         if delay > 0:
             await asyncio.sleep(delay)
 
+    async def fetch(path: str) -> bytes:
+        reader, writer = await asyncio.open_connection(host, port)
+        try:
+            writer.write(
+                (
+                    f"GET {path} HTTP/1.1\r\n"
+                    f"Host: {host}\r\n"
+                    "Connection: close\r\n\r\n"
+                ).encode()
+            )
+            await writer.drain()
+            return await reader.read(-1)
+        finally:
+            writer.close()
+            try:
+                await writer.wait_closed()
+            except Exception:  # noqa: BLE001 — close is best-effort
+                pass
+
     async def one(sem: "asyncio.Semaphore", payload: dict) -> list[dict]:
         async with sem:
             await pace()
             path = path_tpl.format(
                 f=urllib.parse.quote(json.dumps(payload, separators=(",", ":")))
             )
-            reader, writer = await asyncio.open_connection(host, port)
             try:
-                writer.write(
-                    (
-                        f"GET {path} HTTP/1.1\r\n"
-                        f"Host: {host}\r\n"
-                        "Connection: close\r\n\r\n"
-                    ).encode()
+                data = await asyncio.wait_for(
+                    fetch(path), timeout=request_timeout
                 )
-                await writer.drain()
-                data = await reader.read(-1)
-            finally:
-                writer.close()
-                try:
-                    await writer.wait_closed()
-                except Exception:  # noqa: BLE001 — close is best-effort
-                    pass
+            except asyncio.TimeoutError:
+                raise TimeoutError(
+                    f"lookup request to {host}:{port} exceeded "
+                    f"{request_timeout} s (hung or half-dead service) — "
+                    "raise request_timeout if the service is just slow"
+                ) from None
             head, _, body = data.partition(b"\r\n\r\n")
             status = int(head.split(b" ", 2)[1])
             if status != 200:
@@ -128,6 +145,7 @@ def async_lookup_join(
     sleep_ms: int = 0,
     cache_max_keys: int = 1_000_000,
     max_qps: float | None = None,
+    request_timeout: float = 30.0,
 ) -> DataFrame:
     """Join ``df`` against the keyed row service at ``url``.
 
@@ -148,10 +166,13 @@ def async_lookup_join(
     concurrency. Output row order follows the probe batch exactly
     (the fill is row-aligned), so this is the reference's ORDERED
     async mode; an unordered mode has nothing to reorder here.
+    ``request_timeout`` (seconds) bounds each wire round trip — a
+    hung service fails the task loudly rather than stalling the job.
 
-    If several service rows share a key, the first wins —
-    point-lookup tables are unique-keyed by contract (the reference
-    requires a primary key on the temporal/lookup side).
+    The lookup side is unique-keyed by contract (the reference
+    requires a primary key on the temporal/lookup side); a service
+    that returns conflicting rows for one key raises rather than
+    silently dropping the reference's 1-to-N semantics.
     """
     if how not in ("left", "inner"):
         raise ValueError(f"how must be left|inner, got {how!r}")
@@ -223,12 +244,23 @@ def async_lookup_join(
             if chunks:
                 rows = _lookup_chunks_async(
                     host, port, path_tpl, [pred(c) for c in chunks],
-                    capacity, max_qps,
+                    capacity, max_qps, request_timeout,
                 )
                 for r in rows:
                     k = r[right_key]
-                    if k not in cache:
-                        cache[k] = tuple(r.get(c) for c in fcols)
+                    t = tuple(r.get(c) for c in fcols)
+                    prev = cache.get(k)
+                    if prev is not None and prev != t:
+                        # unique-key precondition violated: the service
+                        # holds ≥2 distinct rows for this key, and
+                        # picking one would silently drop the 1-to-N
+                        # rows the reference's LookupJoinRunner emits
+                        raise ValueError(
+                            f"lookup service returned conflicting rows "
+                            f"for key {k!r} — the lookup side must be "
+                            "unique-keyed (primary-key contract)"
+                        )
+                    cache[k] = t
                 # negative-cache the misses so retries of the same key
                 # in later batches don't re-probe the service
                 for k in keys:
@@ -236,7 +268,14 @@ def async_lookup_join(
             hit = [cache.get(k) if k is not None else None for k in norm]
             out = pdf.copy()
             for i, c in enumerate(fcols):
-                out[c] = [t[i] if t is not None else None for t in hit]
+                # dtype=object, NOT inferred: a mixed int/None fill
+                # would infer float64 and silently round integral
+                # values >= 2^53 on the Arrow trip back to int64
+                out[c] = pd.Series(
+                    [t[i] if t is not None else None for t in hit],
+                    dtype=object,
+                    index=out.index,
+                )
             if how == "inner":
                 out = out[[t is not None for t in hit]]
             # bound the cache AFTER the batch is filled — eviction can

@@ -89,6 +89,11 @@ _PRIORITY_RECHECK: dict[str, int] = {
     # (async-lookup round) — the service every REST entry runs through
     "ops_rest_source": 11,
     "st_rest_stream": 11,
+    # file r12: async_lookup gained request timeouts, object-dtype
+    # fills (exact ints past 2^53), and the unique-key fail-loud; the
+    # streaming form's retry narrowed to transient classes (ADVICE r11)
+    "ops_async_lookup_join": 12,
+    "st_async_enrich": 12,
 }
 
 

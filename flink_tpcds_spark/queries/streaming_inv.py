@@ -61,10 +61,12 @@ import atexit
 import functools
 import os
 import shutil
+import sys
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQueryException
 from pyspark.sql.window import Window
 
 from ..functions.deterministic import dsum, dsum_sql
@@ -2897,15 +2899,23 @@ def st_async_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # run and the landing zone would be read mid-write
                 q.stop()
                 raise TimeoutError("st_async_enrich run exceeded 300 s")
-        except Exception:  # noqa: BLE001 — restart-from-checkpoint once
+        except (TimeoutError, StreamingQueryException) as e:
             # The whole pipeline is built to survive exactly this:
             # offsets resume from the checkpoint and a replayed batch
             # overwrites its own directory, so a restart after a
             # transient failure (e.g. a Python worker lost under host
             # load) is the Flink/Spark recovery contract, not a retry
-            # hack. One restart; a second failure propagates.
+            # hack. ONLY the transient classes retry — an
+            # assertion-class bug propagates on first occurrence — and
+            # the swallowed first failure is logged so it is never
+            # invisible. One restart; a second failure propagates.
             if retries <= 0:
                 raise
+            print(
+                "st_async_enrich: restarting from checkpoint after "
+                f"{type(e).__name__}: {e}",
+                file=sys.stderr,
+            )
             run_once(retries - 1)
 
     run_once()

@@ -170,6 +170,56 @@ def test_null_int_keys_restore_exact_ints(spark):
     srv.shutdown()
 
 
+def test_request_timeout_fails_loud_on_hung_service(spark):
+    # sleep_ms makes every request outlast the client timeout: the
+    # task must fail with the descriptive TimeoutError, not stall
+    # (reference async-I/O carries an explicit lookup timeout —
+    # AsyncWaitOperator's timer; ADVICE r11)
+    dim = [{"k": i, "v": i} for i in range(4)]
+    srv, url = restds.start_row_service("k bigint, v bigint", dim)
+    probe = spark.range(0, 4).selectExpr("CAST(id AS BIGINT) AS k")
+    with pytest.raises(Exception, match="exceeded 0.3 s"):
+        async_lookup_join(
+            probe.coalesce(1), url, "k", "k", "k bigint, v bigint",
+            right_cols=["v"], sleep_ms=2000, request_timeout=0.3,
+        ).collect()
+    srv.shutdown()
+
+
+def test_conflicting_duplicate_key_rows_fail_loud(spark):
+    # two service rows share k=2 with different values: the unique-key
+    # (primary-key) contract is violated and the operator must raise
+    # instead of silently collapsing to one row (ADVICE r11 — the
+    # reference's LookupJoinRunner emits every matching right row)
+    dim = [{"k": i, "v": i} for i in range(4)] + [{"k": 2, "v": 99}]
+    srv, url = restds.start_row_service("k bigint, v bigint", dim)
+    probe = spark.range(0, 4).selectExpr("CAST(id AS BIGINT) AS k")
+    with pytest.raises(Exception, match="unique-keyed"):
+        async_lookup_join(
+            probe.coalesce(1), url, "k", "k", "k bigint, v bigint",
+            right_cols=["v"], batch_keys=8,
+        ).collect()
+    srv.shutdown()
+
+
+def test_left_fill_preserves_big_ints_exactly(spark):
+    # right-side bigint values >= 2^53 through a how='left' fill with
+    # unmatched rows: a float64-inferred fill column would round them
+    # on the Arrow trip back to int64; the object-dtype fill must keep
+    # them exact (ADVICE r11 medium)
+    big = (1 << 53) + 1  # not representable in float64
+    dim = [{"k": 1, "v": big}, {"k": 2, "v": big + 2}]
+    srv, url = restds.start_row_service("k bigint, v bigint", dim)
+    probe = spark.range(0, 4).selectExpr("CAST(id AS BIGINT) AS k")
+    rows = {r.k: r.v for r in async_lookup_join(
+        probe, url, "k", "k", "k bigint, v bigint",
+        right_cols=["v"], how="left", batch_keys=8,
+    ).collect()}
+    assert rows[1] == big and rows[2] == big + 2
+    assert rows[0] is None and rows[3] is None
+    srv.shutdown()
+
+
 def test_max_qps_paces_request_starts(spark):
     # 12 requests at max_qps=20 cannot start in less than 11/20 s —
     # a deterministic LOWER bound (the pacer sleeps), robust to host
