@@ -563,6 +563,108 @@ def duplicate_spans(
     )
 
 
+def exact_duplicate_spans(
+    df: DataFrame,
+    min_len: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT substring dedup detection — the full Lee et al. 2021
+    form ("Deduplicating Training Data Makes Language Models
+    Better"): a token position is duplicated iff it lies inside a
+    verbatim substring of ≥ ``min_len`` tokens that occurs more than
+    once in the corpus (ANY occurrences — cross-document or repeated
+    within one document). Emits the maximal duplicated spans as
+    ``(id, span_start, span_tokens)``.
+
+    Exactness argument (why this equals the paper's suffix-array
+    method without building one): a substring of length M ≥ L occurs
+    twice ⟺ every one of its L-token windows occurs twice (each
+    window of one occurrence has its verbatim twin inside the other),
+    and conversely every ≥2× L-window is itself a duplicated
+    substring of length L. So the union of all ≥2×-occurring L-token
+    windows is precisely the token set covered by duplicated
+    substrings of length ≥ L — the suffix array is one way to find
+    that union; a positioned L-gram multiplicity count is another.
+    Unlike :func:`duplicate_spans` (the k<L chained approximation)
+    this anchors on full L-windows (no chaining overclaim, nothing
+    shorter than L is ever reported) and counts total occurrences
+    (intra-document repeats are found).
+
+    Scale shape (the suffix array's O(N) memory is traded for
+    shuffle-light passes): pass 1 shuffles only ``(id, pos, hash)``
+    triples — 16-byte keys, never the gram text — to find candidate
+    hashes with multiplicity ≥ 2; pass 2 re-derives the gram text
+    ONLY for candidate positions (a semi-join-pruned slice of the
+    corpus) and confirms multiplicity on the actual content, making
+    the result hash-collision-proof, i.e. exact; the interval union
+    is a per-doc gaps-and-islands window (merge when the next start
+    is ≤ L past the previous — overlap or touch). Duplicate-free
+    corpus ⇒ pass 2 touches ~nothing.
+    """
+    L = min_len
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("__t")).filter(
+        F.size("__t") >= L
+    )
+    gram = F.expr(
+        f"transform(sequence(1, size(__t) - {L - 1}), "
+        f"i -> struct(i - 1 as pos, "
+        f"concat_ws(' ', slice(__t, i, {L})) as s))"
+    )
+    # pass 1: narrow shuffle — hash only, gram text dropped pre-shuffle
+    ph = base.select(id_col, F.explode(gram).alias("g")).select(
+        id_col,
+        F.col("g.pos").alias("pos"),
+        F.xxhash64(F.col("g.s")).alias("h"),
+    )
+    cand_h = (
+        ph.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("h")
+    )
+    cand_pos = ph.join(cand_h, "h", "left_semi").select(id_col, "pos")
+    # pass 2: content verify on candidates only (collision-proof) —
+    # the token arrays re-enter just for docs that hold a candidate
+    cand_s = cand_pos.join(base, id_col).select(
+        id_col,
+        "pos",
+        F.concat_ws(" ", F.slice(F.col("__t"), F.col("pos") + 1, L)).alias(
+            "s"
+        ),
+    )
+    dup_s = (
+        cand_s.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("s")
+    )
+    confirmed = cand_s.join(dup_s, "s", "left_semi").select(id_col, "pos")
+    # interval union of the [pos, pos+L) windows: merge when the gap
+    # between consecutive starts is ≤ L (overlap OR touch)
+    w = Window.partitionBy(id_col).orderBy("pos")
+    runs = confirmed.withColumn(
+        "brk",
+        F.when(
+            F.col("pos") - F.lag("pos").over(w) > L, F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "grp",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        runs.groupBy(id_col, "grp")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + F.lit(L) - F.min("pos"))
+            .cast("bigint")
+            .alias("span_tokens"),
+        )
+        .select(id_col, "span_start", "span_tokens")
+    )
+
+
 def remove_duplicate_spans(
     df: DataFrame,
     k: int = 3,

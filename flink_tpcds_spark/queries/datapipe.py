@@ -2051,6 +2051,61 @@ def dp_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dp_exact_dup_spans",
+    f"""
+    WITH t AS (
+      SELECT doc_id, toks
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+      WHERE len(toks) >= 8
+    ),
+    ps AS (
+      SELECT doc_id,
+             unnest(range(len(toks) - 7)) AS pos,
+             unnest(list_transform(range(1, len(toks) - 6),
+                                   i -> array_to_string(toks[i:i+7], ' ')))
+               AS s
+      FROM t
+    ),
+    dup AS (SELECT s FROM ps GROUP BY s HAVING count(*) >= 2),
+    m AS (SELECT ps.doc_id, ps.pos FROM ps JOIN dup USING (s)),
+    r AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER
+                    (PARTITION BY doc_id ORDER BY pos) > 8
+                  THEN 1 ELSE 0 END AS brk
+      FROM m
+    ),
+    g AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS grp
+      FROM r
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + 8 - MIN(pos) AS BIGINT) AS span_tokens
+    FROM g
+    GROUP BY doc_id, grp
+    ORDER BY doc_id, span_start
+    """,
+)
+def dp_exact_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT substring dedup, the full Lee et al. 2021 form: maximal
+    spans covered by verbatim ≥8-token substrings occurring ≥2 times
+    anywhere in the corpus (cross-doc AND intra-doc; full-window
+    anchored — no k<L chaining, content-verified so hash collisions
+    cannot fake a span) — datapipe/dedup.py:exact_duplicate_spans.
+    The oracle groups the L-grams by content directly; the engine's
+    hash-prefilter + verify topology must reach the same set."""
+    from ..datapipe.dedup import exact_duplicate_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    return exact_duplicate_spans(d, min_len=8).orderBy(
+        "doc_id", "span_start"
+    )
+
+
+@_q(
     "dp_span_scrub",
     f"""
     WITH allt AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

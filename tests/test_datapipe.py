@@ -1513,3 +1513,111 @@ def test_token_budget_mix_partitioning_invariant(spark, sf_dir):
         )
     )
     assert a == b and len(a) > 0
+
+
+def _brute_exact_spans(docs: list[tuple[int, str]], L: int):
+    """Reference oracle for exact-substring dedup: mark every token
+    position lying in an L-window whose content occurs >= 2 times
+    anywhere in the corpus, then union into maximal spans."""
+    import re
+
+    toked = [(i, re.findall(r"[a-z0-9]+", t.lower())) for i, t in docs]
+    from collections import Counter
+
+    counts = Counter(
+        " ".join(ts[p : p + L])
+        for _, ts in toked
+        for p in range(len(ts) - L + 1)
+    )
+    spans = []
+    for i, ts in toked:
+        marked = [
+            p
+            for p in range(len(ts) - L + 1)
+            if counts[" ".join(ts[p : p + L])] >= 2
+        ]
+        run: list[int] = []
+        for p in marked:
+            if run and p - run[-1] > L:
+                spans.append((i, run[0], run[-1] + L - run[0]))
+                run = []
+            run.append(p)
+        if run:
+            spans.append((i, run[0], run[-1] + L - run[0]))
+    return sorted(spans)
+
+
+def test_exact_dup_spans_matches_brute_force(spark):
+    from flink_tpcds_spark.datapipe.dedup import exact_duplicate_spans
+
+    dup = "alpha beta gamma delta epsilon zeta"  # 6 tokens
+    docs = [
+        (0, f"unique one two three {dup} tail0 tail1"),
+        (1, f"head0 head1 {dup} other words here now"),
+        # intra-doc repeat (cross-doc counting misses this entirely)
+        (2, f"solo solo2 {dup} middle filler pad {dup} end"),
+        (3, "nothing shared in this document at all kept clean"),
+    ]
+    L = 6
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = sorted(
+        map(
+            tuple,
+            exact_duplicate_spans(df, min_len=L).collect(),
+        )
+    )
+    assert got == _brute_exact_spans(docs, L)
+    assert any(d == 2 for d, _, _ in got)  # intra-doc repeat found
+
+
+def test_exact_dup_spans_no_sub_L_chaining(spark):
+    from flink_tpcds_spark.datapipe.dedup import exact_duplicate_spans
+
+    # Two docs share ONLY a 5-token string: with min_len=6 the exact
+    # form must report nothing, even though every k<6 gram of it is
+    # shared (the k-gram-chained approximation would overclaim).
+    docs = [
+        (0, "aa bb cc dd ee x1 x2 x3 x4 x5 x6"),
+        (1, "y1 y2 aa bb cc dd ee y3 y4 y5 y6"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    assert exact_duplicate_spans(df, min_len=6).count() == 0
+    # at min_len=5 exactly the shared window appears, in both docs
+    got = sorted(
+        map(tuple, exact_duplicate_spans(df, min_len=5).collect())
+    )
+    assert got == [(0, 0, 5), (1, 2, 5)]
+
+
+def test_exact_dup_spans_union_of_overlapping_partners(spark):
+    from flink_tpcds_spark.datapipe.dedup import exact_duplicate_spans
+
+    # doc 2 holds "p1..p5 q" whose prefix window matches doc 0 and
+    # suffix window matches doc 1: the union span in doc 2 covers all
+    # 6 tokens even though no single 6-token partner exists — that IS
+    # the Lee et al. coverage semantics (positions inside SOME >=L
+    # duplicated window), verified against brute force
+    docs = [
+        (0, "p1 p2 p3 p4 p5 z1 z2 z3 z4"),
+        (1, "w1 w2 w3 w4 p2 p3 p4 p5 q1"),
+        (2, "p1 p2 p3 p4 p5 q1 t1 t2 t3"),
+    ]
+    L = 5
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = sorted(
+        map(tuple, exact_duplicate_spans(df, min_len=L).collect())
+    )
+    assert got == _brute_exact_spans(docs, L)
+    assert (2, 0, 6) in got  # the merged union span
+
+
+def test_exact_dup_spans_registry_certifies(spark, sf_dir, oracle_con):
+    from flink_tpcds_spark.oracle import certify
+    from flink_tpcds_spark.queries.datapipe import ORACLES, QUERIES
+
+    df = QUERIES["dp_exact_dup_spans"](spark, sf_dir)
+    for res in certify(
+        "dp_exact_dup_spans", df, oracle_con,
+        ORACLES["dp_exact_dup_spans"],
+    ):
+        assert res.ok, res.detail
