@@ -641,6 +641,120 @@ def st_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "st_topn_retract",
+    """
+    WITH t1 AS (
+      SELECT user_id,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               AS total_value
+      FROM events WHERE event_id % 2 = 0
+      GROUP BY user_id
+    ),
+    tall AS (
+      SELECT user_id,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               AS total_value
+      FROM events
+      GROUP BY user_id
+    ),
+    top1 AS (
+      SELECT * FROM (
+        SELECT user_id, total_value,
+               ROW_NUMBER() OVER (ORDER BY total_value DESC, user_id)
+                 AS rn
+        FROM t1) WHERE rn <= 5
+    ),
+    top2 AS (
+      SELECT * FROM (
+        SELECT user_id, total_value,
+               ROW_NUMBER() OVER (ORDER BY total_value DESC, user_id)
+                 AS rn
+        FROM tall) WHERE rn <= 5
+    ),
+    ret AS (
+      SELECT count(*) AS n
+      FROM top1 JOIN top2 USING (rn)
+      WHERE top1.user_id <> top2.user_id
+         OR top1.total_value <> top2.total_value
+    )
+    SELECT CAST(top2.rn AS INTEGER) AS rn,
+           top2.user_id,
+           top2.total_value,
+           CAST((SELECT n FROM ret) AS BIGINT) AS n_retract
+    FROM top2
+    ORDER BY rn
+    """,
+)
+def st_topn_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retraction-mode streaming top-N (the reference's
+    RetractableTopNFunction.java semantics class, vs st_topn's
+    append-only TopNBuffer): an UPDATING input — batch 0 carries
+    per-user totals over the even-event half, batch 1 carries the
+    users' REVISED cumulative totals once their odd events land — so
+    rows already emitted into the top-5 can be demoted out of it.
+    The operator (streaming/topn.py streaming_top_k_retract) folds
+    the upsert stream keep-last, re-ranks the folded state per batch,
+    and emits a rank-keyed (+/-) retraction changelog through
+    ParquetRetractSink. Gated: the final rank snapshot must equal the
+    batch top-5 of the fully-folded totals, ``n_retract`` counts the
+    '-' ops batch 1 emitted (ranks whose occupant changed between the
+    half-data and full-data rankings — the oracle recomputes both
+    rankings and diffs them), and replay() must fold back to the
+    snapshot (asserted in tests)."""
+    from ..streaming.topn import streaming_top_k_retract
+
+    work = _workdir("st_topn_retract_")
+    src = os.path.join(work, "in")
+    os.makedirs(src)
+    e = load_table(spark, sf_dir, "events")
+    t1 = (
+        e.filter(F.col("event_id") % 2 == 0)
+        .groupBy("user_id")
+        .agg(dsum(F.col("value")).alias("total_value"))
+    )
+    tall_u2 = (
+        e.groupBy("user_id")
+        .agg(dsum(F.col("value")).alias("total_value"))
+        .join(
+            e.filter(F.col("event_id") % 2 == 1)
+            .select("user_id")
+            .distinct(),
+            "user_id",
+            "left_semi",
+        )
+    )
+    # sequential writes: the file source orders by modification time,
+    # so b0 (half-data totals) is batch 0 and b1 (revisions) batch 1
+    t1.coalesce(1).write.parquet(os.path.join(src, "b0"))
+    tall_u2.coalesce(1).write.parquet(os.path.join(src, "b1"))
+    stream = (
+        spark.readStream.schema("user_id long, total_value double")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q, _totals, ranks = streaming_top_k_retract(
+        stream, os.path.join(work, "sink"), k=5
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("st_topn_retract run exceeded 300 s")
+    n_retract = (
+        ranks.changelog(spark).filter(F.col("op") == "-").count()
+    )
+    return (
+        ranks.snapshot(spark)
+        .select(
+            F.col("rn").cast("int").alias("rn"),
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.col("total_value").cast("double").alias("total_value"),
+            F.lit(n_retract).cast("bigint").alias("n_retract"),
+        )
+        .orderBy("rn")
+    )
+
+
+@_q(
     "st_event_sort",
     """
     SELECT user_id,

@@ -61,3 +61,72 @@ def streaming_top_k_by_value(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_top_k_retract(
+    updates: DataFrame,
+    path: str,
+    key_col: str = "user_id",
+    value_col: str = "total_value",
+    k: int = 5,
+):
+    """Retraction-mode streaming top-N (reference
+    RetractableTopNFunction.java — the StreamExecRank variant for an
+    UPDATING input whose rows can be demoted out of the top-k, unlike
+    AppendOnlyTopNFunction's insert-only contract).
+
+    ``updates`` is an upsert changelog stream: each micro-batch
+    carries ``(key, value)`` rows giving changed keys' NEW values
+    (update-mode aggregation output — at most one row per key per
+    batch). Per micro-batch:
+
+    1. fold the batch into the keyed totals state
+       (:class:`~.sinks.ParquetUpsertSink` keep-last — the
+       reference's dataState map);
+    2. rank the folded snapshot's top-k by distributed TakeOrdered
+       (per-partition heaps + k-row merge; the row_number window runs
+       over the k survivors only — the treeMap analog);
+    3. feed the rank-keyed top-k table to a
+       :class:`~.sinks.ParquetRetractSink`: ranks whose occupant
+       (key, value) changed emit ``(-old, +new)`` pairs — exactly the
+       retract/emit stream RetractableTopNFunction produces when an
+       update pushes a row into, out of, or around the top-k.
+
+    Both sinks are replay-idempotent (upsert overwrites its batch
+    partition; retract skips already-applied batch ids), so the
+    composition inherits exactly-once effect under foreachBatch's
+    at-least-once replay. Returns ``(query, totals_sink, rank_sink)``
+    — final answer is ``rank_sink.snapshot()``; the changelog's
+    ``'-'`` ops are the retractions; ``rank_sink.replay()`` must fold
+    back to the snapshot (the retract-changelog contract).
+
+    Scale shape: the state fold and the diff are keyed joins on the
+    executors; the only driver transfer is the k-row top-k itself.
+    """
+    import os
+
+    from .sinks import ParquetRetractSink, ParquetUpsertSink
+
+    totals = ParquetUpsertSink(os.path.join(path, "totals"), [key_col])
+    ranks = ParquetRetractSink(os.path.join(path, "topk"), ["rn"])
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql.window import Window
+
+        totals.foreach_batch(batch_df, batch_id)
+        snap = totals.snapshot(batch_df.sparkSession)
+        order = [F.desc(value_col), F.asc(key_col)]
+        topk = snap.orderBy(*order).limit(k)
+        ranked = topk.select(
+            F.row_number().over(Window.orderBy(*order)).alias("rn"),
+            key_col,
+            value_col,
+        )
+        ranks.foreach_batch(ranked, batch_id)
+
+    q = (
+        updates.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, totals, ranks

@@ -1554,3 +1554,81 @@ def test_scd2_incremental_equals_batch_and_replay_idempotent(spark, tmp_path):
     # exactly one open row per key
     opens = [r for r in got if r[5]]
     assert sorted(r[0] for r in opens) == [1, 2, 3]
+
+
+def test_streaming_topn_retract_demotion_changelog(spark, tmp_path):
+    """streaming_top_k_retract (reference RetractableTopNFunction):
+    an update that demotes a row OUT of the top-k must emit the
+    (-old, +new) pair at the vacated rank and nothing for untouched
+    ranks; replay() must fold back to the snapshot."""
+    import os
+
+    from flink_tpcds_spark.streaming.topn import streaming_top_k_retract
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    b0 = [(1, 10.0), (2, 8.0), (3, 6.0), (4, 1.0)]
+    b1 = [(1, 2.0), (4, 9.0)]  # demote key 1 out of top-2; promote 4
+    schema = "user_id long, total_value double"
+    spark.createDataFrame(b0, schema).coalesce(1).write.parquet(
+        os.path.join(src, "b0")
+    )
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(
+        os.path.join(src, "b1")
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q, totals, ranks = streaming_top_k_retract(
+        stream, str(tmp_path / "sink"), k=2
+    )
+    assert q.awaitTermination(120), "stream did not finish"
+
+    # final folded totals: 1->2, 2->8, 3->6, 4->9 ⇒ top2 = [(4,9),(2,8)]
+    snap = {
+        (r.rn, r.user_id, r.total_value)
+        for r in ranks.snapshot(spark).collect()
+    }
+    assert snap == {(1, 4, 9.0), (2, 2, 8.0)}
+
+    log = ranks.changelog(spark).collect()
+    by_batch = {}
+    for r in log:
+        by_batch.setdefault(r["__batch_id"], set()).add(
+            (r.op, r.rn, r.user_id, r.total_value)
+        )
+    # batch 0: pure inserts of the initial top-2 [(1,10),(2,8)]
+    assert by_batch[0] == {("+", 1, 1, 10.0), ("+", 2, 2, 8.0)}
+    # batch 1: rank 1's occupant changed (1 demoted, 4 entered) →
+    # exactly one (-,+) pair; rank 2 (key 2) untouched → silent
+    assert by_batch[1] == {("-", 1, 1, 10.0), ("+", 1, 4, 9.0)}
+
+    # retract-changelog contract: folding the log == the snapshot
+    replayed = {
+        (r.rn, r.user_id, r.total_value)
+        for r in ranks.replay(spark).collect()
+    }
+    assert replayed == snap
+
+    # totals state folded keep-last
+    tot = {
+        (r.user_id, r.total_value)
+        for r in totals.snapshot(spark).collect()
+    }
+    assert tot == {(1, 2.0), (2, 8.0), (3, 6.0), (4, 9.0)}
+
+
+def test_streaming_topn_retract_registry_certifies(
+    spark, sf_dir, oracle_con
+):
+    from flink_tpcds_spark.oracle import certify
+    from flink_tpcds_spark.queries.streaming_inv import ORACLES, QUERIES
+
+    df = QUERIES["st_topn_retract"](spark, sf_dir)
+    for res in certify(
+        "st_topn_retract", df, oracle_con, ORACLES["st_topn_retract"]
+    ):
+        assert res.ok, res.detail
