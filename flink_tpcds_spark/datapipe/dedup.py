@@ -686,6 +686,17 @@ def remove_duplicate_spans(
     span join.
     """
     spans = duplicate_spans(df, k, min_span_tokens, id_col, text_col)
+    return _cut_spans(df, spans, id_col, text_col)
+
+
+def _cut_spans(
+    df: DataFrame, spans: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Cut every ``(id, span_start, span_tokens)`` span out of the
+    token stream and re-join the survivors — the shared removal tail
+    of both span detectors. The cut is a JVM higher-order ``filter``
+    with a positional lambda; no Python, no shuffle beyond the
+    per-doc span join."""
     span_lists = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_tokens")).alias("__spans")
     )
@@ -710,6 +721,25 @@ def remove_duplicate_spans(
             "n_removed_tokens"
         ),
     )
+
+
+def remove_exact_duplicate_spans(
+    df: DataFrame,
+    min_len: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply :func:`exact_duplicate_spans`: cut every token covered
+    by a verbatim ≥``min_len``-token substring occurring ≥2 times in
+    the corpus. This is the cut-every-occurrence variant (the repo's
+    established span-removal policy, matching
+    :func:`remove_duplicate_spans`); Lee et al. 2021 instead keep
+    one canonical copy per duplicate — a policy choice orthogonal to
+    the exact detection itself. Emits
+    ``(id, text_clean, n_tokens, n_removed_tokens)`` for every doc.
+    """
+    spans = exact_duplicate_spans(df, min_len, id_col, text_col)
+    return _cut_spans(df, spans, id_col, text_col)
 
 
 def boilerplate_ngrams(

@@ -2167,6 +2167,71 @@ def dp_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dp_exact_span_scrub",
+    f"""
+    WITH allt AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    t AS (SELECT doc_id, toks FROM allt WHERE len(toks) >= 8),
+    ps AS (
+      SELECT doc_id,
+             unnest(range(len(toks) - 7)) AS pos,
+             unnest(list_transform(range(1, len(toks) - 6),
+                                   i -> array_to_string(toks[i:i+7], ' ')))
+               AS s
+      FROM t
+    ),
+    dup AS (SELECT s FROM ps GROUP BY s HAVING count(*) >= 2),
+    m AS (SELECT ps.doc_id, ps.pos FROM ps JOIN dup USING (s)),
+    r AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER
+                    (PARTITION BY doc_id ORDER BY pos) > 8
+                  THEN 1 ELSE 0 END AS brk
+      FROM m
+    ),
+    g AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS grp
+      FROM r
+    ),
+    spans AS (
+      SELECT doc_id, MIN(pos) AS s0, MAX(pos) + 8 - MIN(pos) AS n
+      FROM g GROUP BY doc_id, grp
+    ),
+    sl AS (
+      SELECT doc_id, list(struct_pack(s := s0, n := n)) AS spans
+      FROM spans GROUP BY doc_id
+    ),
+    cut AS (
+      SELECT a.doc_id, a.toks,
+             [a.toks[i] for i in range(1, len(a.toks) + 1)
+              if coalesce(len(list_filter(sl.spans,
+                   sp -> (i - 1) >= sp.s AND (i - 1) < sp.s + sp.n)), 0) = 0]
+               AS kept
+      FROM allt a LEFT JOIN sl ON a.doc_id = sl.doc_id
+    )
+    SELECT doc_id,
+           coalesce(array_to_string(kept, ' '), '') AS text_clean,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(toks) - len(kept) AS BIGINT) AS n_removed_tokens
+    FROM cut
+    ORDER BY doc_id
+    """,
+)
+def dp_exact_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detect-and-cut under EXACT substring dedup (≥8-token verbatim
+    substrings occurring ≥2 times anywhere — the full Lee et al.
+    form of dp_exact_dup_spans) with the cut-every-occurrence
+    removal policy: every document re-emitted with covered tokens
+    removed plus removal accounting —
+    datapipe/dedup.py:remove_exact_duplicate_spans."""
+    from ..datapipe.dedup import remove_exact_duplicate_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    return remove_exact_duplicate_spans(d, min_len=8).orderBy("doc_id")
+
+
+@_q(
     "dp_vocab_drift",
     f"""
     WITH ta AS (

@@ -1621,3 +1621,36 @@ def test_exact_dup_spans_registry_certifies(spark, sf_dir, oracle_con):
         ORACLES["dp_exact_dup_spans"],
     ):
         assert res.ok, res.detail
+
+
+def test_exact_span_scrub_cuts_planted_only(spark):
+    from flink_tpcds_spark.datapipe.dedup import (
+        remove_exact_duplicate_spans,
+    )
+
+    dup = "d1 d2 d3 d4 d5 d6"  # 6 tokens, planted twice
+    docs = [
+        (0, f"a1 a2 a3 {dup} a4 a5"),
+        (1, f"b1 b2 {dup} b3 b4 b5"),
+        (2, "c1 c2 c3 c4 c5 c6 c7 c8 c9"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {
+        r.doc_id: (r.text_clean, r.n_tokens, r.n_removed_tokens)
+        for r in remove_exact_duplicate_spans(df, min_len=6).collect()
+    }
+    assert got[0] == ("a1 a2 a3 a4 a5", 11, 6)
+    assert got[1] == ("b1 b2 b3 b4 b5", 11, 6)
+    assert got[2] == ("c1 c2 c3 c4 c5 c6 c7 c8 c9", 9, 0)
+
+
+def test_exact_span_scrub_registry_certifies(spark, sf_dir, oracle_con):
+    from flink_tpcds_spark.oracle import certify
+    from flink_tpcds_spark.queries.datapipe import ORACLES, QUERIES
+
+    df = QUERIES["dp_exact_span_scrub"](spark, sf_dir)
+    for res in certify(
+        "dp_exact_span_scrub", df, oracle_con,
+        ORACLES["dp_exact_span_scrub"],
+    ):
+        assert res.ok, res.detail
