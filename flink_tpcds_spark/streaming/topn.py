@@ -78,7 +78,11 @@ def streaming_top_k_retract(
     ``updates`` is an upsert changelog stream: each micro-batch
     carries ``(key, value)`` rows giving changed keys' NEW values
     (update-mode aggregation output — at most one row per key per
-    batch). Per micro-batch:
+    batch). A NULL value is a DELETE tombstone — the reference's
+    input contract is "acc, delete or retract records"
+    (RetractableTopNFunction.java:52): the key leaves the ranking
+    entirely (its rank's next occupant emits the (-,+) pair), and a
+    later non-NULL update re-inserts it. Per micro-batch:
 
     1. fold the batch into the keyed totals state
        (:class:`~.sinks.ParquetUpsertSink` keep-last — the
@@ -114,7 +118,12 @@ def streaming_top_k_retract(
         from pyspark.sql.window import Window
 
         totals.foreach_batch(batch_df, batch_id)
-        snap = totals.snapshot(batch_df.sparkSession)
+        # tombstones stay in the keep-last state (so a delete beats
+        # an older value and a later update beats the delete) but are
+        # excluded from the ranking — the delete-record path
+        snap = totals.snapshot(batch_df.sparkSession).filter(
+            F.col(value_col).isNotNull()
+        )
         order = [F.desc(value_col), F.asc(key_col)]
         topk = snap.orderBy(*order).limit(k)
         ranked = topk.select(

@@ -1632,3 +1632,60 @@ def test_streaming_topn_retract_registry_certifies(
         "st_topn_retract", df, oracle_con, ORACLES["st_topn_retract"]
     ):
         assert res.ok, res.detail
+
+
+def test_streaming_topn_retract_delete_tombstone(spark, tmp_path):
+    """Delete-record path (RetractableTopNFunction.java:52 — input is
+    acc/delete/retract): a NULL-value tombstone evicts the key from
+    the ranking, its rank's next occupant emits the (-,+) pair, and a
+    later update re-inserts the key."""
+    import os
+
+    from flink_tpcds_spark.streaming.topn import streaming_top_k_retract
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    schema = "user_id long, total_value double"
+    batches = [
+        [(1, 10.0), (2, 8.0), (3, 6.0)],
+        [(1, None)],            # delete the rank-1 key
+        [(1, 7.0)],             # re-insert between 2 and 3
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            os.path.join(src, f"b{i}")
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q, totals, ranks = streaming_top_k_retract(
+        stream, str(tmp_path / "sink"), k=2
+    )
+    assert q.awaitTermination(120), "stream did not finish"
+
+    by_batch = {}
+    for r in ranks.changelog(spark).collect():
+        by_batch.setdefault(r["__batch_id"], set()).add(
+            (r.op, r.rn, r.user_id, r.total_value)
+        )
+    assert by_batch[0] == {("+", 1, 1, 10.0), ("+", 2, 2, 8.0)}
+    # delete of key 1: every rank shifts up — (2,8) takes rank 1,
+    # (3,6) enters at rank 2
+    assert by_batch[1] == {
+        ("-", 1, 1, 10.0), ("+", 1, 2, 8.0),
+        ("-", 2, 2, 8.0), ("+", 2, 3, 6.0),
+    }
+    # re-insert at 7.0: key 1 re-enters at rank 2, key 3 falls out
+    assert by_batch[2] == {("-", 2, 3, 6.0), ("+", 2, 1, 7.0)}
+    snap = {
+        (r.rn, r.user_id, r.total_value)
+        for r in ranks.snapshot(spark).collect()
+    }
+    assert snap == {(1, 2, 8.0), (2, 1, 7.0)}
+    assert snap == {
+        (r.rn, r.user_id, r.total_value)
+        for r in ranks.replay(spark).collect()
+    }
