@@ -79,11 +79,17 @@ def unpartitioned_windows(df: DataFrame) -> list[str]:
     through one task at scale.
 
     Formatted-plan rendering (Spark 4): a ``Window`` node's Arguments
-    are ``[functions], [partitionSpec], [orderSpec]`` and the
-    partition group is omitted entirely when empty (2 groups remain);
-    ``WindowGroupLimit`` renders ``[partitionSpec], [orderSpec], fn,
-    k, mode`` (1 bracket group when unpartitioned). Returns the node
-    header lines, one per offending node.
+    are ``[functions], [partitionSpec], [orderSpec]`` with EMPTY groups
+    omitted entirely — so 2 groups is ambiguous between a missing
+    partitionSpec and a missing orderSpec (an orderless aggregate
+    window like ``count(*) OVER (PARTITION BY k)`` renders
+    ``[functions], [partitionSpec]``). Disambiguate by content: every
+    orderSpec entry carries a sort direction (``ASC``/``DESC``), a
+    partitionSpec never does. ``WindowGroupLimit`` renders
+    ``[partitionSpec], [orderSpec], fn, k, mode`` (1 bracket group
+    when unpartitioned; its orderSpec is never empty — rank functions
+    require an ORDER BY). Returns the node header lines, one per
+    offending node.
     """
     text = explain_text(df)
     bad: list[str] = []
@@ -96,9 +102,18 @@ def unpartitioned_windows(df: DataFrame) -> list[str]:
         arg_m = re.search(r"^Arguments: (.*)$", block, re.M)
         if not arg_m:
             continue
-        n_groups = len(_top_level_bracket_groups(arg_m.group(1)))
-        floor = 3 if m.group(1) == "Window" else 2
-        if n_groups < floor:
+        groups = _top_level_bracket_groups(arg_m.group(1))
+        if m.group(1) == "Window":
+            if len(groups) >= 3:
+                continue
+            # 2 groups: partitioned iff the second group is a plain
+            # attribute list (no sort-direction markers)
+            unpartitioned = len(groups) < 2 or re.search(
+                r"\b(ASC|DESC)\b", groups[1]
+            )
+        else:
+            unpartitioned = len(groups) < 2
+        if unpartitioned:
             bad.append(header)
     return bad
 

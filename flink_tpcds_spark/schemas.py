@@ -149,6 +149,30 @@ def clear_table_redirects() -> None:
     _TABLE_REDIRECTS.clear()
 
 
+# On-disk schema memo: path -> ((mtime_ns, size), inferred StructType).
+# Schema inference re-reads the parquet footer on EVERY spark.read.parquet
+# call (~260 ms/call measured at the bench posture — a query touching 5
+# tables pays >1 s of driver-side footer reads per construction). The
+# footer is metadata, not data: caching it keyed on (mtime, size) changes
+# nothing about what the query computes and invalidates on any rewrite.
+_SCHEMA_CACHE: dict[str, tuple[tuple[int, int], T.StructType]] = {}
+
+
+def _read_with_cached_schema(spark: SparkSession, path: str) -> DataFrame:
+    try:
+        st = os.stat(path)
+        key = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        # missing path: let spark.read raise its own (clearer) error
+        return spark.read.parquet(path)
+    hit = _SCHEMA_CACHE.get(path)
+    if hit is not None and hit[0] == key:
+        return spark.read.schema(hit[1]).parquet(path)
+    df = spark.read.parquet(path)
+    _SCHEMA_CACHE[path] = (key, df.schema)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one declared table from ``{sf_dir}/{name}.parquet``
     (or its redirect target — see ``set_table_redirect``).
@@ -183,14 +207,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         #   division would lose precision), matching DuckDB's ns→µs;
         # - micros NTZ: a plain cast.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        df = _read_with_cached_schema(spark, path)
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, T.LongType):
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         elif isinstance(ts_type, T.TimestampNTZType):
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
-    return spark.read.parquet(path)
+    return _read_with_cached_schema(spark, path)
 
 
 def register_tables(

@@ -63,6 +63,22 @@ def session_builder(
         .config(
             "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m"
         )
+        # Scale-adaptive reducer count (guide §2.2/§2.5): AQE-planned
+        # (batch) shuffles START from 2× total cores and COALESCE down
+        # by size, so micro-scale queries still run a handful of
+        # post-coalesce tasks while decade-up inputs (the SF1/SF10
+        # canaries: q64's ~800 MB shuffle previously crammed into 8
+        # reducers on 32 cores) fan out to every core. Streaming
+        # (non-AQE) plans keep the small static default below. On a
+        # cluster, raise via SPARK_GRAFT_INITIAL_PARTITIONS to 2-3×
+        # total executor cores; the advisory size above then bounds
+        # per-partition bytes either way.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            os.environ.get(
+                "SPARK_GRAFT_INITIAL_PARTITIONS", str(max(32, 2 * cpus))
+            ),
+        )
         # --- join strategy: broadcast threshold mirrors the reference's
         #     TABLE_OPTIMIZER_BROADCAST_JOIN_THRESHOLD concept ---
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")

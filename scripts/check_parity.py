@@ -32,8 +32,9 @@ def main() -> int:
     con = duckdb_connection(sf_dir)
     queries, oracles = all_queries(), all_oracles()
     failed = []
+    filters = [f for f in name_filter.split(",") if f] if name_filter else []
     for name, fn in sorted(queries.items()):
-        if name_filter and name_filter not in name:
+        if filters and not any(f in name for f in filters):
             continue
         t0 = time.time()
         try:
