@@ -157,34 +157,13 @@ def minhash_signature_udf():
 
     @pandas_udf("array<bigint>")
     def sigs(hashed: pd.Series) -> pd.Series:
-        # Whole-batch form (r12, guide §4.2): flatten every row's hash
-        # array into one contiguous buffer and run each permutation as
-        # a single vectorized (a*h+b) % M + segmented min
-        # (minimum.reduceat) over the batch, instead of a Python loop
-        # allocating a (64, L) matrix per row. Permutations are chunked
-        # so the working set stays ~64 MB regardless of batch size.
-        # Math identical to the per-row form: int64 products ≤ 2^62, no
-        # overflow; numpy % on non-negatives ≡ Spark pmod.
-        arrs = [np.asarray(h, dtype=np.int64) for h in hashed]
-        if not arrs:
-            return pd.Series([], dtype=object)
-        lens = np.fromiter((len(x) for x in arrs), dtype=np.int64, count=len(arrs))
-        if (lens == 0).any():
-            raise ValueError("minhash signature of an empty shingle array")
-        flat = np.concatenate(arrs)[None, :]
-        offsets = np.zeros(len(arrs), dtype=np.int64)
-        np.cumsum(lens[:-1], out=offsets[1:])
         a = np.array(_PERM_A, dtype=np.int64)[:, None]
         b = np.array(_PERM_B, dtype=np.int64)[:, None]
-        n = flat.shape[1]
-        chunk = max(1, 8_000_000 // n)
-        mins = np.empty((N_HASHES, len(arrs)), dtype=np.int64)
-        for lo in range(0, N_HASHES, chunk):
-            hi = min(lo + chunk, N_HASHES)
-            p = (a[lo:hi] * flat + b[lo:hi]) % _MERSENNE
-            mins[lo:hi] = np.minimum.reduceat(p, offsets, axis=1)
-        sig_rows = np.ascontiguousarray(mins.T)
-        return pd.Series(list(sig_rows))
+        out = []
+        for h in hashed:
+            hh = np.asarray(h, dtype=np.int64)[None, :]
+            out.append((a * hh + b) % _MERSENNE)
+        return pd.Series([m.min(axis=1) for m in out])
 
     return sigs
 
@@ -209,18 +188,8 @@ def _band_keys(sig_col: Column) -> Column:
 
 def jaccard(a: Column, b: Column) -> Column:
     """Exact set Jaccard of two shingle arrays (int/int division —
-    bit-deterministic across engines).
-
-    |A∪B| is derived as |A|+|B|-|A∩B| instead of materializing
-    ``array_union``: both inputs are ``array_distinct`` outputs (sets),
-    so the identity is exact, and the verify join then builds ONE hash
-    structure per pair instead of two (intersect + union each
-    constructed a lookup set over the fat shingle arrays — measured on
-    the dp_neardup_minhash verify stage, guide §1.2 "per-task work").
-    The duplicated intersect subexpression is collapsed by codegen
-    subexpression elimination."""
-    inter = F.size(F.array_intersect(a, b))
-    return inter / (F.size(a) + F.size(b) - inter)
+    bit-deterministic across engines)."""
+    return F.size(F.array_intersect(a, b)) / F.size(F.array_union(a, b))
 
 
 def minhash_near_dup_pairs(
@@ -275,31 +244,15 @@ def minhash_near_dup_pairs(
     if max_bucket_size is not None:
         # Cache first: (id, band, bucket) is 3 ints × 16 rows/doc —
         # tiny next to the signature UDF it shields from recompute
-        # (both self-join sides read it).
+        # (the guard branch + both self-join sides all read it).
         bands = _register_cache(bands)
-        # Bucket-size guard as a window over the SAME key the self-join
-        # shuffles on (r12, guide §2.4 "remove shuffles outright"): the
-        # old form ran a separate groupBy aggregate (its own exchange)
-        # feeding a broadcast anti-join, and the optimizer built that
-        # whole subtree once PER self-join side. The count window rides
-        # the hashpartitioning(band, bucket) exchange the join needs
-        # anyway, so the guard costs zero extra shuffles and the two
-        # join sides become canonically identical → the second side's
-        # exchange is a ReusedExchange over the first's shuffle files.
-        # Shuffle volume is unchanged (the guard previously ran its own
-        # exchange over the same rows); over-cap rows are dropped
-        # post-shuffle instead of pre- — acceptable because over-cap
-        # buckets are outliers by construction (they exist to be
-        # dropped), and at 100 TB the win is the removed aggregate pass
-        # + broadcast barrier, not the straggler bytes.
-        from pyspark.sql.window import Window
-
-        w = Window.partitionBy("band", "bucket")
-        bands = (
-            bands.withColumn("_bsz", F.count(F.lit(1)).over(w))
-            .filter(F.col("_bsz") <= max_bucket_size)
-            .drop("_bsz")
+        over_cap = (
+            bands.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .filter(F.col("_bsz") > max_bucket_size)
+            .select("band", "bucket")
         )
+        bands = bands.join(F.broadcast(over_cap), ["band", "bucket"], "left_anti")
     candidates = (
         # merge: the bands table is corpus-sized (16 rows/doc) and
         # cached — its static estimate can still trip a broadcast of
