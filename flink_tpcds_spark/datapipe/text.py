@@ -54,8 +54,20 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 def add_quality_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality-scoring features: length, word shape, punctuation and
     digit ratios, stopword ratio; plus an ``is_quality`` gate in the
-    style of Gopher/C4 rules (bounds tuned loosely)."""
-    t = tokens(F.col(text_col))
+    style of Gopher/C4 rules (bounds tuned loosely).
+
+    The tokenization regex is materialized ONCE through a dedicated
+    projection (r12, guide §1.2 "per-task work"): inlining ``tokens()``
+    into every feature put five copies of ``regexp_extract_all`` into
+    one Project, and codegen subexpression elimination does not reach
+    inside higher-order-function trees — measured 5× the regex cost
+    per row. CollapseProject keeps the split (SPARK-36718: non-cheap
+    expressions referenced more than once are not re-inlined), so the
+    regex runs once per row and the features read the array column.
+    """
+    _tok = f"__{text_col}_toks"
+    df = df.withColumn(_tok, tokens(F.col(text_col)))
+    t = F.col(_tok)
     n_tok = F.size(t)
     text_len = F.length(F.col(text_col))
     punct = F.size(
@@ -89,32 +101,40 @@ def add_quality_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
         & (F.col("q_avg_token_len") >= 2.0)
         & (F.col("q_avg_token_len") <= 12.0)
         & (F.col("q_digit_ratio") <= 0.3),
-    )
+    ).drop(_tok)
 
 
 def langid(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Rule-based language ID: score = stopword hits per profile,
     predict the argmax (ties → lexicographic language order, 'und' if
     no hits). Deterministic and SQL-expressible for the oracle."""
-    t = tokens(F.col(text_col))
+    # Tokenize once through a projection boundary (same rationale as
+    # add_quality_columns), then materialize each language score as a
+    # column and build the argmax chain over the score COLUMNS — the
+    # iteratively-built when/greatest chain otherwise embeds O(L²)
+    # copies of the filter-over-tokens trees (each carrying its own
+    # copy of the tokenization regex).
+    _tok = f"__{text_col}_toks"
+    out = df.withColumn(_tok, tokens(F.col(text_col)))
+    t = F.col(_tok)
 
     def stopword_hits(sw: list[str]):
         # closure, not default-arg capture (HOF arity introspection)
         return F.size(F.filter(t, lambda w: w.isin(*sw)))
 
-    scores = {lang: stopword_hits(sw) for lang, sw in LANG_PROFILES.items()}
+    for lang, sw in LANG_PROFILES.items():
+        out = out.withColumn(f"score_{lang}", stopword_hits(sw).cast("bigint"))
     pred = F.lit("und")
-    best = F.lit(0)
+    best = F.lit(0).cast("bigint")
     # iterate in reverse-lexicographic order so that on ties the
     # lexicographically FIRST language wins (matches oracle SQL).
-    for lang in sorted(scores, reverse=True):
-        s = scores[lang]
-        pred = F.when(s >= F.greatest(best, F.lit(1)), F.lit(lang)).otherwise(pred)
+    for lang in sorted(LANG_PROFILES, reverse=True):
+        s = F.col(f"score_{lang}")
+        pred = F.when(
+            s >= F.greatest(best, F.lit(1).cast("bigint")), F.lit(lang)
+        ).otherwise(pred)
         best = F.greatest(best, s)
-    out = df
-    for lang, s in scores.items():
-        out = out.withColumn(f"score_{lang}", s.cast("bigint"))
-    return out.withColumn("pred_lang", pred)
+    return out.withColumn("pred_lang", pred).drop(_tok)
 
 
 # Hand-set logistic weights for the quality classifier — the shape of
