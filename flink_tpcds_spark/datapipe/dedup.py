@@ -435,6 +435,14 @@ def near_dup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
     Returns (doc_id, cluster_id = min doc_id in component,
     is_canonical = doc_id == cluster_id) for every doc in ≥1 pair.
     """
+    # Materialize the pair list ONCE before symmetrizing: the union's
+    # two branches otherwise each evaluate the full upstream pair
+    # subtree (for minhash input that is the banded self-join + both
+    # verify SMJs — measured 11.6 s -> 5.4 s at sf0.1 for the
+    # clusters entry with this one barrier). The pair list is the
+    # small proxy by construction (near-dup pairs, not the corpus),
+    # so checkpoint storage is negligible at any scale.
+    pairs = pairs.localCheckpoint(eager=True)
     fwd = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
     edges = fwd.union(
         fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))

