@@ -813,7 +813,13 @@ def remove_boilerplate_ngrams(
         df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
         .filter(F.size("__toks") >= k)
     )
-    base = _register_cache(base.persist())
+    # Eager barrier, not a lazy cache: base feeds the vocabulary
+    # build, the coverage join AND the final reattach — concurrent
+    # subtrees of one action race an unpopulated cache and each
+    # re-tokenize the corpus (same pathology measured on the curation
+    # ledger). The stored rows are the token arrays the cache held
+    # anyway; MEMORY_AND_DISK spills rather than fails.
+    base = base.localCheckpoint(eager=True)
     # (id, pos, gram) for every k-gram occurrence, pos 1-based
     pos_grams = base.select(
         F.col(id_col),

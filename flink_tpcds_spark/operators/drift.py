@@ -97,9 +97,15 @@ def psi_statistic(
     bin-granular count per side, a ``n_bins``-row spine join —
     nothing row-sized after the first aggregation.
     """
+    # The 1-row range and the n_bins-row joined counts are each read
+    # by 2+ downstream subtrees (both binned() sides read rng; the
+    # final agg reads j once for the totals and once for the terms) —
+    # un-materialized, every read re-scanned the corpus-sized inputs
+    # (measured 6+ scans of `old` where 3 passes is the floor). Eager
+    # barriers on the two tiny frames pin the scan count at the floor.
     rng = old.agg(
         F.min(value_col).alias("mn"), F.max(value_col).alias("mx")
-    )
+    ).localCheckpoint(eager=True)
 
     def binned(df: DataFrame, name: str) -> DataFrame:
         width = F.col("mx") - F.col("mn")
@@ -134,6 +140,7 @@ def psi_statistic(
             F.coalesce("ca", F.lit(0)).alias("ca"),
             F.coalesce("cb", F.lit(0)).alias("cb"),
         )
+        .localCheckpoint(eager=True)
     )
     tot = j.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
     half = F.lit(0.5)
@@ -180,6 +187,10 @@ def ks_statistic(
         .where(F.col("v").isNotNull())
         .withColumn("__a", F.lit(0))
     )
+    # Three actions read this distinct-value-sized aggregate (the
+    # approxQuantile, the per-bucket totals collect, and the caller's
+    # final action) — materialize it once instead of re-scanning both
+    # corpus-sized inputs per action.
     per_value = (
         a.unionAll(b)
         .groupBy("v")
@@ -187,6 +198,7 @@ def ks_statistic(
             F.sum("__a").cast("bigint").alias("ca"),
             F.sum(F.lit(1) - F.col("__a")).cast("bigint").alias("cb"),
         )
+        .localCheckpoint(eager=True)
     )
     # quantile buckets over the distinct values: boundaries are B-1
     # numbers on the driver; per-bucket totals are B rows

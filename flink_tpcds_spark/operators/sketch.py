@@ -169,17 +169,24 @@ def count_min_build(
         .groupBy("k")
         .agg(F.sum("w").alias("w"))
     )
-    rows = [
-        per_key.select(
-            F.lit(r).alias("row"),
-            _cms_bucket(F.col("k"), r, width).alias("bucket"),
-            F.col("w"),
-        )
-        for r in range(depth)
-    ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionAll(r)
+    # One explode over an array of (row, bucket) structs instead of a
+    # depth-way unionAll: the union's branches each re-evaluated the
+    # per-key aggregate (depth corpus scans); the explode derives all
+    # depth rows from ONE evaluation.
+    rb = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                _cms_bucket(F.col("k"), r, width).alias("bucket"),
+            )
+            for r in range(depth)
+        ]
+    )
+    out = per_key.select(F.explode(rb).alias("rb"), "w").select(
+        F.col("rb.row").alias("row"),
+        F.col("rb.bucket").alias("bucket"),
+        "w",
+    )
     return (
         out.groupBy("row", "bucket")
         .agg(F.sum("w").cast("bigint").alias("cnt"))

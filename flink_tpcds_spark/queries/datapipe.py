@@ -163,7 +163,10 @@ def dp_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_datapipe.py."""
     d = load_table(spark, sf_dir, "documents")
     pairs = minhash_near_dup_pairs(d, threshold=0.8).select("id_a", "id_b")
-    fp = simhash_fingerprints(d)
+    # Both join sides below read the fingerprint table — materialize
+    # the (id, 64-bit hash) proxy once instead of running the
+    # tokenize+hash UDF pass over the corpus twice.
+    fp = simhash_fingerprints(d).localCheckpoint(eager=True)
     return (
         pairs.join(
             fp.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("fa")),

@@ -4043,10 +4043,20 @@ def ops_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
         ).alias("k")
     )
-    sketch = count_min_build(toks, "k", depth=4, width=256)
+    # Tokenize once: the per-key count table (vocabulary-sized) feeds
+    # BOTH the sketch build (as pre-aggregated weights) and the exact
+    # counts for the in-entry lower-bound gate — previously each path
+    # re-ran the corpus tokenize, and the gate's count() action plus
+    # the caller's collect re-ran everything again.
+    per = (
+        toks.groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    sketch = count_min_build(per, "k", weight_col="w", depth=4, width=256)
     est = count_min_query(sketch, _CMS_KEYS, depth=4, width=256)
-    exact = toks.filter(F.col("k").isin(_CMS_KEYS)).groupBy("k").agg(
-        F.count(F.lit(1)).cast("bigint").alias("true_cnt")
+    exact = per.filter(F.col("k").isin(_CMS_KEYS)).select(
+        "k", F.col("w").alias("true_cnt")
     )
     viol = (
         est.join(exact, "k", "left")
