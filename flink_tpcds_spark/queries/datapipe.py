@@ -226,15 +226,26 @@ def _recall_invariant(approx: DataFrame, exact: DataFrame, floor: float) -> Data
     queries (deterministic) + a boolean that mean recall cleared the
     floor. The floor sits well under the measured value so the row
     only flips on a real topology regression, never on noise."""
-    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
-    per_q = exact.groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("n_exact")
-    ).join(
-        hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")),
-        "query_id",
-        "left",
-    ).select(
-        (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact")).alias("recall")
+    # One pass over `exact` (a full brute-force scoring pipeline):
+    # the hit flag and the per-query denominator come from a single
+    # left join + conditional count instead of a semi-join plus a
+    # second aggregation that re-evaluated the whole exact subtree.
+    # (An eager barrier was measured SLOWER warm at micro scale — it
+    # serializes the exact and approx pipelines that otherwise
+    # overlap; the single-consumer shape wins at every scale.)
+    # dropDuplicates guards the 1:1 join contract the semi-join gave
+    # for free; top-k outputs are already distinct so it is a no-op.
+    hits = approx.select("query_id", "neighbor_id").dropDuplicates(
+        ["query_id", "neighbor_id"]
+    ).withColumn("__hit", F.lit(1))
+    per_q = (
+        exact.join(hits, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hit"),
+        )
+        .select((F.col("n_hit") / F.col("n_exact")).alias("recall"))
     )
     return per_q.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_queries"),
