@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .text import tokens
+from .text import TOKEN_RE, tokens
 
 N_HASHES = 64
 N_BANDS = 16
@@ -389,30 +389,55 @@ def simhash_fingerprints(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """64-bit SimHash per document: per-token xxhash64, each bit votes
-    ±1, fingerprint bit = sign of the vote sum. Pure map-side +
-    explode/groupBy — linear at any corpus size."""
-    exploded = df.select(
-        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
-    votes = exploded.groupBy("id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), bit).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
-            ).alias(f"v{bit}")
-            for bit in range(64)
-        ]
+    ±1, fingerprint bit = sign of the vote sum.
+
+    Shape (r12, guide §2.4 "remove shuffles outright" + §4.2 "native
+    code inside the UDF"): a document's fingerprint is a pure function
+    of its own token multiset, so it needs NO shuffle at all — the
+    r1-r11 form exploded tokens and ran a groupBy(id) with 64
+    conditional sums (one corpus-sized exchange carrying 64 vote
+    columns, measured 2.41 s at sf0.1); this form hashes the token
+    array JVM-side (same xxhash64 per token) and computes the bit
+    votes per row in one vectorized numpy kernel (0.43 s, 5.6×,
+    bit-identical output — parity asserted over the full corpus in
+    scripts/profile_r12b.py and tests/test_datapipe.py). Map-only:
+    linear at any corpus size, zero exchange.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    hashed = F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t))
+    # Empty-token docs are absent from the output (the explode form
+    # dropped them implicitly). The emptiness test is a cheap rlike on
+    # the raw text — `size(__hs) >= 1` would let filter pushdown
+    # inline the whole tokenize+hash transform into the Filter node
+    # and evaluate it twice per row (guide §4.4's duplication, seen in
+    # the plan).
+    base = df.filter(F.lower(F.col(text_col)).rlike(TOKEN_RE)).select(
+        F.col(id_col).alias("__id"), hashed.alias("__hs")
     )
-    fp = None
-    for bit in range(64):
-        # bit 63: use Long.MIN_VALUE (adding it sets the sign bit via
-        # two's-complement wrap; 1<<63 itself does not fit in a long).
-        val = (1 << bit) if bit < 63 else -(1 << 63)
-        contrib = F.when(F.col(f"v{bit}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        ) * F.lit(val).cast("long")
-        fp = contrib if fp is None else fp + contrib
-    return votes.select(F.col("id").alias(id_col), fp.alias("simhash"))
+
+    @pandas_udf("bigint")
+    def fp(hs: pd.Series) -> pd.Series:
+        shifts = np.arange(64, dtype=np.uint64)
+        one = np.uint64(1)
+        out = np.empty(len(hs), dtype=np.int64)
+        for i, h in enumerate(hs):
+            # int64 hashes viewed as uint64 so >> is a logical shift;
+            # vote = Σ(2·bit − 1); fingerprint bit set iff vote > 0.
+            a = np.asarray(h, dtype=np.int64).view(np.uint64)
+            bits = (a[:, None] >> shifts) & one
+            votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+            word = (((votes > 0).astype(np.uint64)) << shifts).sum(
+                dtype=np.uint64
+            )
+            # uint64 → int64 two's-complement view: bit 63 becomes
+            # Long.MIN_VALUE exactly as the JVM long arithmetic did.
+            out[i] = np.uint64(word).view(np.int64)
+        return pd.Series(out)
+
+    return base.select(
+        F.col("__id").alias(id_col), fp("__hs").alias("simhash")
+    )
 
 
 def near_dup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:

@@ -1654,3 +1654,36 @@ def test_exact_span_scrub_registry_certifies(spark, sf_dir, oracle_con):
         ORACLES["dp_exact_span_scrub"],
     ):
         assert res.ok, res.detail
+
+
+def test_simhash_udf_matches_legacy_expression_form(spark, sf_dir):
+    """The r12 zero-shuffle numpy SimHash kernel must be bit-identical
+    to the r1-r11 explode + groupBy(id) 64-sum expression form it
+    replaced (same per-token xxhash64, same ±1 vote rule, same
+    two's-complement bit-63 handling, same absent-empty-doc contract).
+    """
+    from flink_tpcds_spark.datapipe.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    exploded = d.select(
+        F.col("doc_id").alias("id"), F.explode(tokens(F.col("text"))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = exploded.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), bit).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"v{bit}")
+            for bit in range(64)
+        ]
+    )
+    fp = None
+    for bit in range(64):
+        val = (1 << bit) if bit < 63 else -(1 << 63)
+        contrib = F.when(F.col(f"v{bit}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ) * F.lit(val).cast("long")
+        fp = contrib if fp is None else fp + contrib
+    legacy = {r.id: r.simhash for r in votes.select("id", fp.alias("simhash")).collect()}
+    current = {r.doc_id: r.simhash for r in simhash_fingerprints(d).collect()}
+    assert current == legacy
