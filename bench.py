@@ -99,6 +99,29 @@ def main() -> None:
         qs[name](spark, sf_dir).collect()
     release_caches()
 
+    # Transient-settle gate (r12 continuation, declared in
+    # OPTIMIZATION_r12.md): a DECAYING background transient (kernel
+    # writeback of a just-finished data generation, a sibling JVM
+    # teardown) can pass the loadavg gate at start yet inflate the
+    # first timed minutes 2-3x and be gone by the calibration block —
+    # observed on an idle box: headline 31.1 s whose per-query
+    # inflation decayed monotonically through the loop while the
+    # fixed anchor minutes later read normal. Absorb it: re-run the
+    # cheapest headline query until two consecutive readings agree
+    # within 20 % (max 8 runs — if it never settles, the loadavg/
+    # anchor stamps still adjudicate), and stamp the trace so the
+    # artifact shows what was absorbed.
+    settle_trace: list[float] = []
+    prev = None
+    for _ in range(8):
+        t0 = time.time()
+        qs["h06_forecast_revenue"](spark, sf_dir).collect()
+        cur = time.time() - t0
+        settle_trace.append(round(cur, 3))
+        if prev is not None and abs(cur - prev) <= 0.2 * max(cur, prev):
+            break
+        prev = cur
+
     # Steady-state timing: two measured runs per query, min reported.
     # A single sample conflates the query with whatever transient the
     # shared machine has at that second (GC, page cache, a sibling
@@ -511,6 +534,7 @@ def main() -> None:
         "loadavg_1m_at_start": load_1m,
         "load_gate_wait_sec": waited,
         "load_contended": load_contended,
+        "settle_trace": settle_trace,
         "calibration": calibration,
     }
     if tpcds is not None:
@@ -550,6 +574,7 @@ def main() -> None:
         "loadavg_1m_at_start": load_1m,
         "load_gate_wait_sec": waited,
         "load_contended": load_contended,
+        "settle_trace": settle_trace,
         "queries": times,
         "calibration": calibration,
     }
