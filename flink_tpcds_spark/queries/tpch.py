@@ -830,23 +830,35 @@ def h18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference: tpch/queries/q18.sql (threshold 300 → 250 for the
     synthetic line-count distribution).
+
+    Shape (r13, guide §2.4 "remove shuffles outright" + §3.1): the
+    declared GROUP BY keys are all functionally determined by
+    o_orderkey (orders/customer keys are unique), so ONE aggregation
+    of lineitem by l_orderkey computes both the HAVING sum (the exact
+    decimal(18,4) form) and sum_qty. The r1-r12 form scanned lineitem
+    twice (HAVING subquery + join), broadcast the ENTIRE orders table,
+    and paid a second wide 5-column groupBy exchange on the joined
+    rows; this form scans lineitem once, keeps the single orderkey
+    exchange, and broadcasts only the ~few qualifying aggregated rows
+    — orders and customer are never shuffled at any scale. Oracle
+    hash-parity pins the equivalence (every lineitem l_orderkey joins
+    at most one orders row, so per-order sums are identical).
     """
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
-    l2 = load_table(spark, sf_dir, "lineitem")
     big_orders = (
-        l2.groupBy(l2.l_orderkey.alias("bo_key"))
-        .agg(F.sum(l2.l_quantity.cast("decimal(18,4)")).alias("q"))
+        l.groupBy(l.l_orderkey.alias("bo_key"))
+        .agg(
+            F.sum(l.l_quantity.cast("decimal(18,4)")).alias("q"),
+            dsum(l.l_quantity).alias("sum_qty"),
+        )
         .filter(F.col("q") > 250)
-        .select("bo_key")
+        .select("bo_key", "sum_qty")
     )
     return (
-        o.join(big_orders, o.o_orderkey == F.col("bo_key"), "left_semi")
-        .join(l, o.o_orderkey == l.l_orderkey)
+        o.join(F.broadcast(big_orders), o.o_orderkey == F.col("bo_key"))
         .join(F.broadcast(c), c.c_custkey == o.o_custkey)
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(dsum(l.l_quantity).alias("sum_qty"))
         .select(
             "c_name",
             "c_custkey",
